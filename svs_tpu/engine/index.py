@@ -1,0 +1,283 @@
+"""RetrievalEngine: owns the device-resident corpus and runs searches.
+
+This is the TPU-native replacement for the reference's ``_EmbeddingsMatrix``
+RAM cache (``svs/kb.py:856-893``).  Responsibilities:
+
+- **freshness** — derived device state is keyed by the store's
+  ``matrix_version`` counter plus a cheap ``(count, max id)`` fingerprint of
+  the embeddings table, so packs are reused across queries and rebuilt
+  exactly when the store changed (including changes made by the reference
+  implementation, which doesn't know about the counter);
+- **cold start** — on open, a fresh sidecar file is mmap'd straight to the
+  device instead of rescanning BLOBs;
+- **search dispatch** — single-chip jitted matmul+top-k (f32/bf16/int8) or
+  the mesh-sharded path with per-shard top-k and ICI merge;
+- **candidate sizing** — when rescoring is on (default for bf16/int8), the
+  device returns an over-provisioned candidate set whose exact f32 rescore
+  happens against the store (see ``KB.retrieve``), keeping recall exact.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..store.db import Database
+from .packing import (
+    DIM_MULTIPLE,
+    ROW_MULTIPLE,
+    PackedCorpus,
+    pack_corpus,
+    pad_queries,
+)
+from .sidecar import load_sidecar, save_sidecar
+
+log = logging.getLogger(__name__)
+
+#: Candidate over-provisioning for the rescore stage: enough that a bf16 or
+#: int8 prescore ordering flip at the boundary cannot evict a true top-k hit.
+CANDIDATE_MULTIPLIER = 4
+CANDIDATE_MIN_EXTRA = 32
+
+
+class RetrievalEngine:
+    """Packs the corpus onto device(s) and runs exact cosine top-k."""
+
+    def __init__(
+        self,
+        precision: str = "bf16",
+        rescore: Optional[bool] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        data_axis: str = "data",
+        model_axis: Optional[str] = None,
+        device: Optional[jax.Device] = None,
+    ) -> None:
+        if precision not in ("f32", "bf16", "int8"):
+            raise ValueError(f"unknown precision: {precision!r}")
+        self.precision = precision
+        #: Exact f32 re-ranking of the device candidate set.  Defaults on
+        #: for reduced-precision storage, off for f32.
+        self.rescore = rescore if rescore is not None else precision != "f32"
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.model_axis = model_axis
+        self.device = device
+        self._corpus: Optional[PackedCorpus] = None
+        self._fingerprint: Optional[Tuple[int, int, int]] = None
+        self._lock = threading.Lock()
+
+    # -- freshness ----------------------------------------------------------
+
+    def invalidate(self) -> None:
+        with self._lock:
+            self._corpus = None
+            self._fingerprint = None
+
+    @property
+    def corpus(self) -> Optional[PackedCorpus]:
+        return self._corpus
+
+    def _placement(self):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return NamedSharding(
+                self.mesh, PartitionSpec(self.data_axis, self.model_axis)
+            )
+        return self.device
+
+    def _row_multiple(self) -> int:
+        if self.mesh is not None:
+            return ROW_MULTIPLE * int(self.mesh.shape[self.data_axis])
+        return ROW_MULTIPLE
+
+    def _dim_multiple(self) -> int:
+        if self.mesh is not None and self.model_axis is not None:
+            return DIM_MULTIPLE * int(self.mesh.shape[self.model_axis])
+        return DIM_MULTIPLE
+
+    @staticmethod
+    def _store_fingerprint(db: Database) -> Tuple[int, int, int]:
+        with db.transaction() as tx:
+            version = tx.matrix_version()
+            count, max_id = tx.embeddings_fingerprint()
+        return (version, count, max_id)
+
+    def ensure_fresh(
+        self,
+        db: Database,
+        sidecar_path: Union[str, Path, None] = None,
+    ) -> PackedCorpus:
+        """Return a corpus reflecting the store's current embeddings,
+        re-packing (from sidecar when possible, else from BLOBs) if stale.
+
+        Caller is responsible for serializing store access (the KB facade
+        holds its per-instance lock around this).
+        """
+        fingerprint = self._store_fingerprint(db)
+        with self._lock:
+            if self._corpus is not None and self._fingerprint == fingerprint:
+                return self._corpus
+
+            corpus = None
+            if sidecar_path is not None:
+                corpus = self._try_sidecar(sidecar_path, fingerprint)
+            if corpus is None:
+                log.info("packing corpus from store (fingerprint %s)", fingerprint)
+                with db.transaction() as tx:
+                    matrix, emb_ids = tx.build_embeddings_matrix()
+                corpus = pack_corpus(
+                    matrix,
+                    emb_ids,
+                    version=fingerprint[0],
+                    precision=self.precision,
+                    placement=self._placement(),
+                    row_multiple=self._row_multiple(),
+                    dim_multiple=self._dim_multiple(),
+                )
+            self._corpus = corpus
+            self._fingerprint = fingerprint
+            return corpus
+
+    def _try_sidecar(
+        self, path: Union[str, Path], fingerprint: Tuple[int, int, int]
+    ) -> Optional[PackedCorpus]:
+        loaded = load_sidecar(path, expected_version=fingerprint[0])
+        if loaded is None:
+            return None
+        data, row_scales, emb_ids, header = loaded
+        if header["precision"] != self.precision:
+            log.info("sidecar precision %s != engine %s; rebuilding",
+                     header["precision"], self.precision)
+            return None
+        if header["n_padded"] % self._row_multiple() != 0:
+            log.info("sidecar row padding incompatible with mesh; rebuilding")
+            return None
+        if header["dim_padded"] % self._dim_multiple() != 0:
+            log.info("sidecar dim padding incompatible with mesh; rebuilding")
+            return None
+        placement = self._placement()
+        log.info("loading corpus from sidecar %s", path)
+        device_data = jax.device_put(np.asarray(data), placement)
+        scales_arr = None
+        if row_scales is not None:
+            from .packing import _scales_placement
+
+            scales_arr = jax.device_put(
+                np.asarray(row_scales), _scales_placement(placement)
+            )
+        return PackedCorpus(
+            data=device_data,
+            row_scales=scales_arr,
+            emb_ids=np.asarray(emb_ids, dtype=np.int64),
+            n_valid=header["n_valid"],
+            dim=header["dim"],
+            version=header["matrix_version"],
+            precision=self.precision,
+        )
+
+    def write_sidecar(self, path: Union[str, Path]) -> None:
+        assert self._corpus is not None, "nothing packed yet"
+        save_sidecar(path, self._corpus)
+
+    # -- search ---------------------------------------------------------------
+
+    def candidate_count(self, k: int) -> int:
+        """How many candidates the device should return for a final top-k."""
+        if not self.rescore:
+            return k
+        return max(k * CANDIDATE_MULTIPLIER, k + CANDIDATE_MIN_EXTRA)
+
+    def topk(
+        self, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Device prescore: top-``k`` per query.
+
+        ``queries``: ``[d]`` or ``[B, d]`` f32 (unit-norm).  Returns
+        ``(scores f32 [B, k'], rows int64 [B, k'])`` with ``k' = min(k,
+        n_valid)``; ``rows`` index into ``corpus.emb_ids``.
+        """
+        corpus = self._corpus
+        assert corpus is not None, "call ensure_fresh() first"
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        assert queries.shape[1] == corpus.dim, (
+            f"query dim {queries.shape[1]} != corpus dim {corpus.dim}"
+        )
+        k_eff = min(int(k), corpus.n_valid)
+        if k_eff <= 0:
+            b = queries.shape[0]
+            return (
+                np.zeros((b, 0), dtype=np.float32),
+                np.zeros((b, 0), dtype=np.int64),
+            )
+        q = jnp.asarray(pad_queries(queries, corpus.dim_padded))
+        n_valid = jnp.int32(corpus.n_valid)
+
+        if self.mesh is not None:
+            from ..parallel.sharded import sharded_score_topk
+
+            vals, idx = sharded_score_topk(
+                corpus.data,
+                corpus.row_scales,
+                q,
+                n_valid,
+                k_eff,
+                mesh=self.mesh,
+                data_axis=self.data_axis,
+                model_axis=self.model_axis,
+            )
+        elif corpus.precision == "int8":
+            from ..ops.quant import score_topk_int8
+
+            vals, idx = score_topk_int8(
+                corpus.data, corpus.row_scales, q, n_valid, k_eff
+            )
+        else:
+            from ..ops.topk import score_topk
+
+            vals, idx = score_topk(corpus.data, q, n_valid, k_eff)
+
+        return (
+            np.asarray(vals, dtype=np.float32),
+            np.asarray(idx, dtype=np.int64),
+        )
+
+    def pairwise_topk(self, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Exact top-``k`` document pairs by similarity (strict upper
+        triangle).  Returns ``(scores [k'], rows_a [k'], rows_b [k'])`` with
+        indices into ``corpus.emb_ids``."""
+        corpus = self._corpus
+        assert corpus is not None, "call ensure_fresh() first"
+        n = corpus.n_valid
+        max_pairs = n * (n - 1) // 2
+        k_eff = min(int(k), max_pairs)
+        if k_eff <= 0:
+            empty_i = np.zeros((0,), dtype=np.int64)
+            return np.zeros((0,), dtype=np.float32), empty_i, empty_i
+
+        data = corpus.data
+        if corpus.precision == "int8":
+            # Dequantize once for the pairwise pass; bf16 keeps HBM in check
+            # and scores get no rescore here (parity with reference, which
+            # also reports raw prescores for pairs).
+            data = (
+                data.astype(jnp.float32) * corpus.row_scales[:, None]
+            ).astype(jnp.bfloat16)
+
+        from ..ops.pairwise import pairwise_topk_blocked
+
+        block_rows = min(256, corpus.n_padded)
+        vals, rows, cols = pairwise_topk_blocked(
+            data, jnp.int32(n), k_eff, block_rows=block_rows
+        )
+        return (
+            np.asarray(vals, dtype=np.float32),
+            np.asarray(rows, dtype=np.int64),
+            np.asarray(cols, dtype=np.int64),
+        )

@@ -1,0 +1,152 @@
+"""Corpus packing: host float32 matrix -> device-resident search layout.
+
+Padding rules (all static so every downstream kernel sees tile-aligned
+shapes):
+
+- rows padded up to a multiple of ``row_multiple`` (default 256, and the
+  engine additionally rounds to the mesh size when sharding) with zero
+  vectors — masked out of every search by ``n_valid``;
+- the embedding dim padded up to a multiple of 128 (the TPU lane width)
+  with zero columns — mathematically inert for dot products.
+
+Precision modes:
+
+- ``'f32'``  — full precision storage;
+- ``'bf16'`` — half the HBM traffic; f32 accumulation keeps scores tight,
+  and the engine's rescore stage restores exact f32 ordering;
+- ``'int8'`` — quarter traffic via per-row symmetric quantization
+  (:mod:`svs_tpu.ops.quant`), prescore-only, always rescored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROW_MULTIPLE = 256
+DIM_MULTIPLE = 128
+
+Precision = str  # 'f32' | 'bf16' | 'int8'
+
+_STORAGE_DTYPES = {
+    "f32": jnp.float32,
+    "bf16": jnp.bfloat16,
+}
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_matrix(
+    matrix: np.ndarray,
+    row_multiple: int = ROW_MULTIPLE,
+    dim_multiple: int = DIM_MULTIPLE,
+) -> np.ndarray:
+    """Zero-pad an ``[n, d]`` f32 matrix to tile-aligned shape."""
+    n, d = matrix.shape
+    n_pad = max(_round_up(n, row_multiple), row_multiple)
+    d_pad = max(_round_up(d, dim_multiple), dim_multiple)
+    if (n_pad, d_pad) == (n, d):
+        return np.ascontiguousarray(matrix, dtype=np.float32)
+    out = np.zeros((n_pad, d_pad), dtype=np.float32)
+    out[:n, :d] = matrix
+    return out
+
+
+def pad_queries(queries: np.ndarray, dim_padded: int) -> np.ndarray:
+    """Zero-pad query vectors ``[B, d]`` to the corpus's padded dim."""
+    b, d = queries.shape
+    if d == dim_padded:
+        return np.ascontiguousarray(queries, dtype=np.float32)
+    out = np.zeros((b, dim_padded), dtype=np.float32)
+    out[:, :d] = queries
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedCorpus:
+    """Device-resident packed corpus plus host-side id mapping."""
+
+    data: jax.Array  # [n_padded, dim_padded]; f32 / bf16 / int8
+    row_scales: Optional[jax.Array]  # [n_padded] f32, int8 mode only
+    emb_ids: np.ndarray  # [n_valid] int64: matrix row -> embeddings.id
+    n_valid: int
+    dim: int  # true (unpadded) embedding dim
+    version: int  # store matrix_version this pack reflects
+    precision: Precision
+
+    @property
+    def n_padded(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def dim_padded(self) -> int:
+        return self.data.shape[1]
+
+    def nbytes_device(self) -> int:
+        n = self.data.size * self.data.dtype.itemsize
+        if self.row_scales is not None:
+            n += self.row_scales.size * self.row_scales.dtype.itemsize
+        return n
+
+
+def pack_corpus(
+    matrix: np.ndarray,
+    emb_ids: np.ndarray,
+    version: int,
+    precision: Precision = "bf16",
+    placement: Union[jax.Device, jax.sharding.Sharding, None] = None,
+    row_multiple: int = ROW_MULTIPLE,
+    dim_multiple: int = DIM_MULTIPLE,
+) -> PackedCorpus:
+    """Pack a host f32 ``[n, d]`` matrix for device search.
+
+    ``placement`` may be a device (single chip), a Sharding (corpus split
+    over a mesh), or ``None`` (JAX default device).
+    """
+    assert matrix.ndim == 2
+    n, d = matrix.shape
+    padded = pad_matrix(matrix, row_multiple=row_multiple, dim_multiple=dim_multiple)
+
+    if precision == "int8":
+        from ..ops.quant import quantize_rows_int8
+
+        q, scales = quantize_rows_int8(jnp.asarray(padded))
+        data = jax.device_put(q, placement)
+        row_scales = jax.device_put(
+            scales, _scales_placement(placement)
+        )
+    elif precision in _STORAGE_DTYPES:
+        host = padded.astype(_STORAGE_DTYPES[precision]) if precision == "f32" else padded
+        arr = jnp.asarray(host, dtype=_STORAGE_DTYPES[precision])
+        data = jax.device_put(arr, placement)
+        row_scales = None
+    else:
+        raise ValueError(f"unknown precision: {precision!r}")
+
+    return PackedCorpus(
+        data=data,
+        row_scales=row_scales,
+        emb_ids=np.asarray(emb_ids, dtype=np.int64),
+        n_valid=n,
+        dim=d,
+        version=version,
+        precision=precision,
+    )
+
+
+def _scales_placement(
+    placement: Union[jax.Device, jax.sharding.Sharding, None],
+):
+    """Row scales shard like the corpus's row axis (1-D)."""
+    if isinstance(placement, jax.sharding.NamedSharding):
+        row_axis = placement.spec[0] if len(placement.spec) else None
+        return jax.sharding.NamedSharding(
+            placement.mesh, jax.sharding.PartitionSpec(row_axis)
+        )
+    return placement

@@ -1,0 +1,1179 @@
+"""The knowledge-base facades: :class:`AsyncKB` and :class:`KB`.
+
+API parity with the reference (Rhobota/svs ``src/svs/kb.py:925-1799``):
+constructor signature, bulk context managers (each one database
+transaction that rolls back atomically on exception), ``retrieve``,
+``document_top_pairwise_scores``, ``load``/``close(vacuum, also_gzip)``,
+and the self-describing embedding-function handshake.  On top of that,
+TPU-era extensions: ``retrieve_batch`` (many queries in one fused device
+step), engine precision/rescore/mesh knobs, and sidecar cold-start files.
+
+Architecture difference worth knowing: the reference implements the async
+and sync stacks twice (~900 duplicated lines).  Here all storage logic is
+synchronous and shared; :class:`AsyncKB` runs it in the default executor
+under an ``asyncio.Lock``, while :class:`KB` calls it directly under a
+``threading.Lock`` and owns a private event-loop thread *only* to await
+embedding providers and remote-file resolution (the same trick the
+reference's ``KB`` uses, ``kb.py:1422-1427``).
+
+Retrieval pipeline (vs the reference's NumPy dot at ``kb.py:1184-1190``):
+
+1. the engine keeps the corpus packed on device (bf16 by default) and runs
+   a jitted matmul + masked top-k, over-provisioning candidates;
+2. candidates are **rescored in f32 against the source-of-truth BLOBs**
+   inside the hydration transaction, so returned scores are exactly the
+   reference's float32 dot-product values and recall stays exact even with
+   reduced-precision device storage;
+3. the winners are hydrated with two point queries each, like the
+   reference.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import threading
+from pathlib import Path
+from typing import (
+    Any,
+    AsyncIterator,
+    Dict,
+    Iterator,
+    List,
+    Optional,
+    Sequence,
+    Tuple,
+    Union,
+)
+from contextlib import asynccontextmanager, contextmanager
+
+import numpy as np
+
+from .embeddings import make_embeddings_func
+from .embeddings.base import (
+    MAGNITUDE_TOLERANCE,
+    wrap_embeddings_func_check_magnitude,
+)
+from .engine.index import RetrievalEngine
+from .engine.packing import PackedCorpus
+from .engine.sidecar import sidecar_path_for
+from .store.blob import embedding_to_bytes
+from .store.db import Database
+from .store.tx import Tx
+from .types import (
+    AsyncDocumentAdder,
+    AsyncDocumentDeleter,
+    AsyncDocumentQuerier,
+    AsyncGraphInterface,
+    AsyncKeyValueInterface,
+    DocumentAdder,
+    DocumentDeleter,
+    DocumentId,
+    DocumentQuerier,
+    DocumentRecord,
+    EdgeId,
+    EmbeddingFunc,
+    GraphInterface,
+    KeyValueInterface,
+    NetworkXGraphTypes,
+    Retrieval,
+)
+from .utils import (
+    EventLoopThread,
+    chunkify,
+    delete_file_if_exists,
+    atomic_gzip_file,
+    resolve_to_local_uncompressed_file,
+)
+from .utils.topk_np import top_k_numpy
+
+log = logging.getLogger(__name__)
+
+#: How many texts go to the embedding provider per request during bulk-add.
+BULK_EMBEDDING_CHUNK_SIZE = 200
+
+#: 'auto' sidecar policy: persist the packed matrix for corpora at least
+#: this large (small ones repack faster than they mmap).
+SIDECAR_AUTO_MIN_DOCS = 50_000
+
+_OUT_OF_CONTEXT = "You may not call this function outside of the context manager!"
+
+
+# ---------------------------------------------------------------------------
+# Shared synchronous core
+# ---------------------------------------------------------------------------
+
+
+def _reconcile_embedding_func(
+    db: Database, embedding_func: Optional[EmbeddingFunc]
+) -> EmbeddingFunc:
+    """The open-time handshake that makes a KB self-describing.
+
+    Four cases over (constructor func, params stored in the DB), matching
+    the reference (``svs/kb.py:896-922``): both known -> warn if they
+    differ (constructor wins); only DB -> rebuild from stored params (or
+    warn-override with a non-introspectable constructor func); only
+    constructor -> persist its params; neither -> error (a brand-new DB
+    needs a function) or warn (non-introspectable funcs can't be stored).
+    """
+    db.check_or_set_schema_version()
+    with db.transaction() as tx:
+        try:
+            db_params = json.loads(tx.get_key("embedding_func_params"))
+        except KeyError:
+            db_params = None
+    ctor_params = getattr(embedding_func, "__embedding_func_params__", None)
+
+    if db_params is not None and ctor_params is not None:
+        if db_params != ctor_params:
+            log.warning(
+                "You are overriding the embedding function stored in the "
+                "database! Your function: %s, database function: %s",
+                ctor_params,
+                db_params,
+            )
+        assert embedding_func is not None
+    elif db_params is not None:
+        if embedding_func is not None:
+            log.warning(
+                "You are overriding the embedding function stored in the "
+                "database! Your function: *unknown params*, database "
+                "function: %s",
+                db_params,
+            )
+        else:
+            embedding_func = make_embeddings_func(db_params)
+    elif ctor_params is not None:
+        with db.transaction() as tx:
+            tx.set_key("embedding_func_params", json.dumps(ctor_params))
+        assert embedding_func is not None
+    else:
+        if embedding_func is not None:
+            log.warning(
+                "Cannot store this non-standard embeddings function to the "
+                "database. You'll have to pass it explicitly to all future "
+                "instantiations of this database."
+            )
+        else:
+            raise RuntimeError(
+                "No embedding function. You did not pass one to the "
+                "constructor and there is not one in the database. Pass the "
+                "embedding function on the *first* usage of a new database; "
+                "it will be stored there for later use."
+            )
+    return embedding_func
+
+
+def _open_database(
+    local_path: Union[str, Path],
+    force_fresh_db: bool,
+    embedding_func: Optional[EmbeddingFunc],
+) -> Tuple[Database, EmbeddingFunc]:
+    if force_fresh_db:
+        delete_file_if_exists(local_path)
+        delete_file_if_exists(sidecar_path_for(local_path))
+    db = Database(local_path)
+    try:
+        return db, _reconcile_embedding_func(db, embedding_func)
+    except BaseException:
+        db.close()
+        raise
+
+
+def _hydrate_hits(
+    tx: Tx, hits: Sequence[Tuple[float, int]]
+) -> List[Retrieval]:
+    """(score, emb_id) -> {'score', 'doc'} via two point queries per hit."""
+    out: List[Retrieval] = []
+    for score, emb_id in hits:
+        doc_id = tx.doc_id_for_emb_id(int(emb_id))
+        out.append(
+            {"score": float(score), "doc": tx.fetch_doc(doc_id, False)}
+        )
+    return out
+
+
+def _finalize_retrieval(
+    tx: Tx,
+    corpus: PackedCorpus,
+    query_vec: np.ndarray,
+    pre_vals: np.ndarray,
+    pre_rows: np.ndarray,
+    k: int,
+    rescore: bool,
+) -> List[Retrieval]:
+    """Turn device candidates for ONE query into hydrated results.
+
+    With ``rescore``, candidate embeddings are re-read from the store and
+    re-scored with a float32 dot product, so scores (and their ordering)
+    are bit-identical to the reference's CPU math regardless of the device
+    storage precision.
+    """
+    emb_ids = corpus.emb_ids[pre_rows]
+    if len(emb_ids) == 0:
+        return []
+    if rescore:
+        rows = tx.fetch_embedding_rows(emb_ids)
+        exact = rows @ query_vec.astype(np.float32)
+        hits = [
+            (score, int(emb_ids[i])) for score, i in top_k_numpy(exact, k)
+        ]
+    else:
+        hits = [
+            (float(pre_vals[i]), int(emb_ids[i]))
+            for i in range(min(k, len(emb_ids)))
+        ]
+    return _hydrate_hits(tx, hits)
+
+
+def _finalize_pairwise(
+    tx: Tx,
+    corpus: PackedCorpus,
+    pre_vals: np.ndarray,
+    rows_a: np.ndarray,
+    rows_b: np.ndarray,
+    k: int,
+    rescore: bool,
+) -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
+    """Hydrate top pairs; optionally f32-rescore the candidate pairs."""
+    emb_a = corpus.emb_ids[rows_a]
+    emb_b = corpus.emb_ids[rows_b]
+    n_pairs = len(emb_a)
+    if n_pairs == 0:
+        return []
+    if rescore:
+        unique = sorted(set(map(int, emb_a)) | set(map(int, emb_b)))
+        vectors = tx.fetch_embedding_rows(unique)
+        pos = {e: i for i, e in enumerate(unique)}
+        exact = np.einsum(
+            "ij,ij->i",
+            vectors[[pos[int(e)] for e in emb_a]],
+            vectors[[pos[int(e)] for e in emb_b]],
+        )
+        order = top_k_numpy(exact, k)
+        triples = [
+            (score, int(emb_a[i]), int(emb_b[i])) for score, i in order
+        ]
+    else:
+        triples = [
+            (float(pre_vals[i]), int(emb_a[i]), int(emb_b[i]))
+            for i in range(min(k, n_pairs))
+        ]
+    emb_to_doc: Dict[int, DocumentId] = {}
+    doc_cache: Dict[DocumentId, DocumentRecord] = {}
+    for e in {e for _, e1, e2 in triples for e in (e1, e2)}:
+        emb_to_doc[e] = tx.doc_id_for_emb_id(e)
+    for d in set(emb_to_doc.values()):
+        doc_cache[d] = tx.fetch_doc(d, False)
+    return [
+        (score, doc_cache[emb_to_doc[e1]], doc_cache[emb_to_doc[e2]])
+        for score, e1, e2 in triples
+    ]
+
+
+# ---------------------------------------------------------------------------
+# AsyncKB
+# ---------------------------------------------------------------------------
+
+
+class AsyncKB:
+    """Async knowledge base for web services and pipelines.
+
+    ``local_path_or_remote_url`` accepts a local ``.sqlite`` path, a
+    ``file://`` path, a ``.gz`` of either, or an ``http(s)`` URL (downloaded
+    once into ``./.remote_cache/``).  The database opens lazily on first
+    use, or eagerly via :meth:`load` (which also warms the device corpus).
+
+    Engine knobs (all optional): ``precision`` ('bf16' default, 'f32',
+    'int8'), ``rescore`` (exact f32 re-ranking; default on for reduced
+    precision), ``mesh`` (a ``jax.sharding.Mesh`` to shard the corpus
+    across chips), ``device``, and ``sidecar`` (True/False/'auto': persist
+    the packed matrix next to the DB for mmap cold starts).
+    """
+
+    def __init__(
+        self,
+        local_path_or_remote_url: Union[Path, str],
+        embedding_func: Optional[EmbeddingFunc] = None,
+        force_fresh_db: bool = False,
+        *,
+        precision: str = "bf16",
+        rescore: Optional[bool] = None,
+        mesh: Optional[Any] = None,
+        device: Optional[Any] = None,
+        sidecar: Union[bool, str] = "auto",
+    ):
+        self.local_path_or_remote_url = local_path_or_remote_url
+        self.db: Optional[Database] = None
+        self.db_lock: Optional[asyncio.Lock] = None
+        self.embedding_func = embedding_func
+        self.embedding_func_orig = embedding_func
+        self.force_fresh_db = force_fresh_db
+        self.engine = RetrievalEngine(
+            precision=precision, rescore=rescore, mesh=mesh, device=device
+        )
+        self.sidecar = sidecar
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _get_lock(self) -> asyncio.Lock:
+        if self.db_lock is None:
+            self.db_lock = asyncio.Lock()
+        return self.db_lock
+
+    async def _ensure_db(self) -> Database:
+        if self.db is None:
+            local_path = await resolve_to_local_uncompressed_file(
+                self.local_path_or_remote_url
+            )
+            loop = asyncio.get_running_loop()
+
+            def heavy() -> Tuple[Database, EmbeddingFunc]:
+                return _open_database(
+                    local_path, self.force_fresh_db, self.embedding_func
+                )
+
+            self.db, self.embedding_func = await loop.run_in_executor(None, heavy)
+        return self.db
+
+    def _sidecar_path(self) -> Optional[Path]:
+        if self.sidecar is False or self.db is None:
+            return None
+        return sidecar_path_for(self.db.path)
+
+    def _should_write_sidecar(self, corpus: PackedCorpus) -> bool:
+        if self.sidecar is True:
+            return True
+        return self.sidecar == "auto" and corpus.n_valid >= SIDECAR_AUTO_MIN_DOCS
+
+    async def _ensure_engine_fresh(self) -> PackedCorpus:
+        """Pack (or reuse) the device corpus.  Caller must hold the lock."""
+        db = await self._ensure_db()
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            None, self.engine.ensure_fresh, db, self._sidecar_path()
+        )
+
+    async def load(self) -> None:
+        """Open the DB and warm the device corpus now (instead of lazily on
+        the first query); persists a sidecar according to policy."""
+        async with self._get_lock():
+            corpus = await self._ensure_engine_fresh()
+            path = self._sidecar_path()
+            if path is not None and self._should_write_sidecar(corpus):
+                loop = asyncio.get_running_loop()
+                await loop.run_in_executor(None, self.engine.write_sidecar, path)
+
+    async def close(self, vacuum: bool = False, also_gzip: bool = False) -> None:
+        """Flush and close.  ``vacuum`` compacts the file; ``also_gzip``
+        atomically writes the shareable ``<path>.gz`` artifact."""
+        async with self._get_lock():
+            db = await self._ensure_db()
+            loop = asyncio.get_running_loop()
+
+            def heavy() -> Union[str, Path]:
+                if vacuum:
+                    db.vacuum()
+                db.close()
+                return db.path
+
+            path = await loop.run_in_executor(None, heavy)
+            self.db = None
+            self.embedding_func = self.embedding_func_orig
+            self.engine.invalidate()
+            if also_gzip:
+                await loop.run_in_executor(
+                    None, atomic_gzip_file, path, f"{path}.gz"
+                )
+
+    def _checked_embedding_func(self) -> EmbeddingFunc:
+        assert self.embedding_func  # the db has been opened by every caller
+        return wrap_embeddings_func_check_magnitude(
+            self.embedding_func, MAGNITUDE_TOLERANCE
+        )
+
+    async def _embed(self, texts: List[str]) -> List[List[float]]:
+        return await self._checked_embedding_func()(texts)
+
+    async def _embed_to_bytes(self, texts: List[str]) -> List[bytes]:
+        vectors = await self._embed(texts)
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            None, lambda: [embedding_to_bytes(v) for v in vectors]
+        )
+
+    # -- bulk operations -------------------------------------------------------
+
+    @asynccontextmanager
+    async def bulk_add_docs(self) -> AsyncIterator[AsyncDocumentAdder]:
+        """One transaction: add documents, then fetch + store their
+        embeddings in provider-sized chunks before commit.  An exception
+        anywhere (including mid-embedding) rolls back the entire batch."""
+        loop = asyncio.get_running_loop()
+        async with self._get_lock():
+            db = await self._ensure_db()
+            txn = db.transaction()
+            tx = await loop.run_in_executor(None, txn.__enter__)
+            ok = False
+            try:
+                in_context = True
+                call_lock = asyncio.Lock()
+                pending: List[Tuple[DocumentId, str]] = []
+
+                async def add_doc(
+                    text: str,
+                    parent_id: Optional[DocumentId] = None,
+                    meta: Optional[Dict[str, Any]] = None,
+                    no_embedding: bool = False,
+                ) -> DocumentId:
+                    assert in_context, _OUT_OF_CONTEXT
+                    async with call_lock:
+                        doc_id = await loop.run_in_executor(
+                            None, tx.add_doc, text, parent_id, meta, None
+                        )
+                        if not no_embedding:
+                            pending.append((doc_id, text))
+                        return doc_id
+
+                try:
+                    log.info("bulk-add: transaction open")
+                    yield add_doc
+                finally:
+                    in_context = False
+                log.info("bulk-add: embedding %d documents", len(pending))
+                for chunk in chunkify(pending, BULK_EMBEDDING_CHUNK_SIZE):
+                    blobs = await self._embed_to_bytes([t for _, t in chunk])
+
+                    def backfill() -> None:
+                        for (doc_id, _), blob in zip(chunk, blobs):
+                            tx.set_doc_embedding(doc_id, blob, skip_check_old=True)
+
+                    await loop.run_in_executor(None, backfill)
+                if pending:
+                    await loop.run_in_executor(None, tx.bump_matrix_version)
+                ok = True
+            finally:
+                # Commit on success; roll back if anything above raised.
+                exc = None if ok else BaseException("rollback")
+                await loop.run_in_executor(
+                    None, txn.__exit__, None if ok else type(exc), exc, None
+                )
+                log.info("bulk-add: transaction %s", "committed" if ok else "rolled back")
+
+    @asynccontextmanager
+    async def bulk_del_docs(self) -> AsyncIterator[AsyncDocumentDeleter]:
+        """One transaction deleting documents (with their embeddings and
+        incident edges); refuses to delete docs that still have children."""
+        loop = asyncio.get_running_loop()
+        async with self._get_lock():
+            db = await self._ensure_db()
+            txn = db.transaction()
+            tx = await loop.run_in_executor(None, txn.__enter__)
+            ok = False
+            try:
+                in_context = True
+                call_lock = asyncio.Lock()
+
+                async def del_doc(doc_id: DocumentId) -> None:
+                    assert in_context, _OUT_OF_CONTEXT
+                    async with call_lock:
+                        await loop.run_in_executor(None, tx.del_doc, doc_id)
+
+                try:
+                    yield del_doc
+                finally:
+                    in_context = False
+                await loop.run_in_executor(None, tx.bump_matrix_version)
+                ok = True
+            finally:
+                exc = None if ok else BaseException("rollback")
+                await loop.run_in_executor(
+                    None, txn.__exit__, None if ok else type(exc), exc, None
+                )
+
+    @asynccontextmanager
+    async def bulk_query_docs(self) -> AsyncIterator[AsyncDocumentQuerier]:
+        loop = asyncio.get_running_loop()
+        async with self._get_lock():
+            db = await self._ensure_db()
+            txn = db.transaction()
+            tx = await loop.run_in_executor(None, txn.__enter__)
+            ok = False
+            try:
+                in_context = True
+                call_lock = asyncio.Lock()
+
+                class Querier(AsyncDocumentQuerier):
+                    async def count(self) -> int:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(None, tx.count_docs)
+
+                    async def query_doc(
+                        self, doc_id: DocumentId, include_embedding: bool = False
+                    ) -> DocumentRecord:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(
+                                None, tx.fetch_doc, doc_id, include_embedding
+                            )
+
+                    async def query_children(
+                        self, doc_id: DocumentId, include_embedding: bool = False
+                    ) -> List[DocumentRecord]:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(
+                                None, tx.fetch_doc_children, doc_id, include_embedding
+                            )
+
+                    async def query_level(
+                        self, level: int, include_embedding: bool = False
+                    ) -> List[DocumentRecord]:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(
+                                None, tx.fetch_docs_at_level, level, include_embedding
+                            )
+
+                    async def dfs_traversal(
+                        self, include_embedding: bool = False
+                    ) -> AsyncIterator[DocumentRecord]:
+                        async def visit(
+                            doc: DocumentRecord,
+                        ) -> AsyncIterator[DocumentRecord]:
+                            yield doc
+                            for child in await self.query_children(
+                                doc["id"], include_embedding
+                            ):
+                                async for sub in visit(child):
+                                    yield sub
+
+                        for root in await self.query_level(0, include_embedding):
+                            async for doc in visit(root):
+                                yield doc
+
+                    async def update_doc_meta(
+                        self,
+                        doc_id: DocumentId,
+                        new_meta: Optional[Dict[str, Any]],
+                    ) -> None:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            await loop.run_in_executor(
+                                None, tx.update_doc_meta, doc_id, new_meta
+                            )
+
+                try:
+                    yield Querier()
+                finally:
+                    in_context = False
+                ok = True
+            finally:
+                exc = None if ok else BaseException("rollback")
+                await loop.run_in_executor(
+                    None, txn.__exit__, None if ok else type(exc), exc, None
+                )
+
+    @asynccontextmanager
+    async def bulk_graph_update(self) -> AsyncIterator[AsyncGraphInterface]:
+        loop = asyncio.get_running_loop()
+        async with self._get_lock():
+            db = await self._ensure_db()
+            txn = db.transaction()
+            tx = await loop.run_in_executor(None, txn.__enter__)
+            ok = False
+            try:
+                in_context = True
+                call_lock = asyncio.Lock()
+
+                class Graph(AsyncGraphInterface):
+                    async def count_edges(self) -> int:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(None, tx.count_edges)
+
+                    async def add_directed_edge(
+                        self,
+                        from_doc: DocumentId,
+                        to_doc: DocumentId,
+                        relationship: DocumentId,
+                        weight: Optional[float] = None,
+                    ) -> EdgeId:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(
+                                None,
+                                tx.add_directed_edge,
+                                from_doc,
+                                to_doc,
+                                relationship,
+                                weight,
+                            )
+
+                    async def add_edge(
+                        self,
+                        doc1: DocumentId,
+                        doc2: DocumentId,
+                        relationship: DocumentId,
+                        weight: Optional[float] = None,
+                    ) -> EdgeId:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(
+                                None, tx.add_edge, doc1, doc2, relationship, weight
+                            )
+
+                    async def del_edge(self, edge_id: EdgeId) -> None:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            await loop.run_in_executor(None, tx.del_edge, edge_id)
+
+                    async def build_networkx_graph(
+                        self, multigraph: bool = True
+                    ) -> NetworkXGraphTypes:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(
+                                None, tx.build_networkx_graph, multigraph
+                            )
+
+                try:
+                    yield Graph()
+                finally:
+                    in_context = False
+                ok = True
+            finally:
+                exc = None if ok else BaseException("rollback")
+                await loop.run_in_executor(
+                    None, txn.__exit__, None if ok else type(exc), exc, None
+                )
+
+    @asynccontextmanager
+    async def bulk_keyval_update(self) -> AsyncIterator[AsyncKeyValueInterface]:
+        loop = asyncio.get_running_loop()
+        async with self._get_lock():
+            db = await self._ensure_db()
+            txn = db.transaction()
+            tx = await loop.run_in_executor(None, txn.__enter__)
+            ok = False
+            try:
+                in_context = True
+                call_lock = asyncio.Lock()
+
+                class KeyVal(AsyncKeyValueInterface):
+                    async def has(self, key: str) -> bool:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(
+                                None, tx.has_key_user, key
+                            )
+
+                    async def get(self, key: str, default: Any = KeyError) -> Any:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            try:
+                                return await loop.run_in_executor(
+                                    None, tx.get_key_user, key
+                                )
+                            except KeyError:
+                                if default is KeyError:
+                                    raise
+                                return default
+
+                    async def set(self, key: str, val: Any) -> None:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            await loop.run_in_executor(None, tx.set_key_user, key, val)
+
+                    async def remove(self, key: str) -> None:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            await loop.run_in_executor(None, tx.del_key_user, key)
+
+                    async def count(self) -> int:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            return await loop.run_in_executor(
+                                None, tx.count_keys_user
+                            )
+
+                    async def items(self) -> AsyncIterator[Tuple[str, Any]]:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            queue: asyncio.Queue = asyncio.Queue()
+
+                            def pump() -> None:
+                                try:
+                                    for item in tx.iter_keyval_user():
+                                        loop.call_soon_threadsafe(
+                                            queue.put_nowait, item
+                                        )
+                                    loop.call_soon_threadsafe(queue.put_nowait, None)
+                                except Exception as exc:  # forwarded below
+                                    loop.call_soon_threadsafe(queue.put_nowait, exc)
+
+                            task = loop.run_in_executor(None, pump)
+                            while True:
+                                item = await queue.get()
+                                if item is None:
+                                    break
+                                if isinstance(item, Exception):
+                                    raise item
+                                yield item
+                            await task
+
+                try:
+                    yield KeyVal()
+                finally:
+                    in_context = False
+                ok = True
+            finally:
+                exc = None if ok else BaseException("rollback")
+                await loop.run_in_executor(
+                    None, txn.__exit__, None if ok else type(exc), exc, None
+                )
+
+    # -- retrieval ---------------------------------------------------------------
+
+    async def retrieve(self, query: str, n: int) -> List[Retrieval]:
+        """Exact cosine top-``n`` for one query string."""
+        results = await self.retrieve_batch([query], n)
+        return results[0]
+
+    async def retrieve_batch(
+        self, queries: List[str], n: int
+    ) -> List[List[Retrieval]]:
+        """Exact cosine top-``n`` for a batch of queries: one provider call
+        for the embeddings and one fused device matmul+top-k for the whole
+        batch (new capability; the reference is one-query-at-a-time)."""
+        log.info("retrieving top %d for %d queries", n, len(queries))
+        loop = asyncio.get_running_loop()
+        async with self._get_lock():
+            corpus = await self._ensure_engine_fresh()
+        if corpus.n_valid == 0 or n <= 0:
+            return [[] for _ in queries]
+        vectors = np.asarray(await self._embed(queries), dtype=np.float32)
+        c = self.engine.candidate_count(n)
+        pre_vals, pre_rows = await loop.run_in_executor(
+            None, self.engine.topk, vectors, c
+        )
+        async with self._get_lock():
+            db = await self._ensure_db()
+
+            def heavy() -> List[List[Retrieval]]:
+                with db.transaction() as tx:
+                    return [
+                        _finalize_retrieval(
+                            tx,
+                            corpus,
+                            vectors[b],
+                            pre_vals[b],
+                            pre_rows[b],
+                            n,
+                            self.engine.rescore,
+                        )
+                        for b in range(len(queries))
+                    ]
+
+            return await loop.run_in_executor(None, heavy)
+
+    async def document_top_pairwise_scores(
+        self, n: int
+    ) -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
+        """Top-``n`` most-similar document pairs (dedup / NSFW-filter tool).
+        Runs blocked on device — no O(n_docs^2) host matrix."""
+        loop = asyncio.get_running_loop()
+        async with self._get_lock():
+            corpus = await self._ensure_engine_fresh()
+        if corpus.n_valid < 2 or n <= 0:
+            return []
+        c = n
+        if self.engine.rescore:
+            c = max(n + 64, int(n * 5 // 4))
+        vals, rows_a, rows_b = await loop.run_in_executor(
+            None, self.engine.pairwise_topk, c
+        )
+        async with self._get_lock():
+            db = await self._ensure_db()
+
+            def heavy() -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
+                with db.transaction() as tx:
+                    return _finalize_pairwise(
+                        tx, corpus, vals, rows_a, rows_b, n, self.engine.rescore
+                    )
+
+            return await loop.run_in_executor(None, heavy)
+
+
+# ---------------------------------------------------------------------------
+# KB (sync facade)
+# ---------------------------------------------------------------------------
+
+
+class KB:
+    """Synchronous knowledge base for scripts and notebooks.
+
+    Same surface as :class:`AsyncKB` with plain functions and context
+    managers.  Opens eagerly.  A private event-loop thread awaits the async
+    embedding providers; everything else runs on the calling thread under
+    one re-entrant-free lock.
+    """
+
+    def __init__(
+        self,
+        local_path_or_remote_url: Union[Path, str],
+        embedding_func: Optional[EmbeddingFunc] = None,
+        force_fresh_db: bool = False,
+        *,
+        precision: str = "bf16",
+        rescore: Optional[bool] = None,
+        mesh: Optional[Any] = None,
+        device: Optional[Any] = None,
+        sidecar: Union[bool, str] = "auto",
+    ):
+        self.local_path_or_remote_url = local_path_or_remote_url
+        self.embedding_func = embedding_func
+        self.embedding_func_orig = embedding_func
+        self.engine = RetrievalEngine(
+            precision=precision, rescore=rescore, mesh=mesh, device=device
+        )
+        self.sidecar = sidecar
+        self._lock = threading.Lock()
+        self._loop = EventLoopThread()
+        self.db: Optional[Database] = None
+        local_path = self._loop.run(
+            resolve_to_local_uncompressed_file(local_path_or_remote_url)
+        )
+        try:
+            self.db, self.embedding_func = _open_database(
+                local_path, force_fresh_db, embedding_func
+            )
+        except BaseException:
+            self._loop.stop()
+            raise
+
+    # -- plumbing ------------------------------------------------------------
+
+    def _require_db(self) -> Database:
+        assert self.db is not None, "KB is closed"
+        return self.db
+
+    def _sidecar_path(self) -> Optional[Path]:
+        if self.sidecar is False or self.db is None:
+            return None
+        return sidecar_path_for(self.db.path)
+
+    def _ensure_engine_fresh(self) -> PackedCorpus:
+        return self.engine.ensure_fresh(self._require_db(), self._sidecar_path())
+
+    def load(self) -> None:
+        """Warm the device corpus now; persists a sidecar per policy."""
+        with self._lock:
+            corpus = self._ensure_engine_fresh()
+            path = self._sidecar_path()
+            if path is not None and (
+                self.sidecar is True
+                or (self.sidecar == "auto" and corpus.n_valid >= SIDECAR_AUTO_MIN_DOCS)
+            ):
+                self.engine.write_sidecar(path)
+
+    def close(self, vacuum: bool = False, also_gzip: bool = False) -> None:
+        self._loop.stop()
+        with self._lock:
+            if self.db is None:
+                return
+            db = self.db
+            if vacuum:
+                db.vacuum()
+            db.close()
+            path = db.path
+            self.db = None
+            self.embedding_func = self.embedding_func_orig
+            self.engine.invalidate()
+            if also_gzip:
+                atomic_gzip_file(path, f"{path}.gz")
+
+    def _checked_embedding_func(self) -> EmbeddingFunc:
+        assert self.embedding_func  # true unless closed
+        return wrap_embeddings_func_check_magnitude(
+            self.embedding_func, MAGNITUDE_TOLERANCE
+        )
+
+    def _embed(self, texts: List[str]) -> List[List[float]]:
+        return self._loop.run(self._checked_embedding_func()(texts))
+
+    def _embed_to_bytes(self, texts: List[str]) -> List[bytes]:
+        return [embedding_to_bytes(v) for v in self._embed(texts)]
+
+    # -- bulk operations --------------------------------------------------------
+
+    @contextmanager
+    def bulk_add_docs(self) -> Iterator[DocumentAdder]:
+        with self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                in_context = True
+                pending: List[Tuple[DocumentId, str]] = []
+
+                def add_doc(
+                    text: str,
+                    parent_id: Optional[DocumentId] = None,
+                    meta: Optional[Dict[str, Any]] = None,
+                    no_embedding: bool = False,
+                ) -> DocumentId:
+                    assert in_context, _OUT_OF_CONTEXT
+                    doc_id = tx.add_doc(text, parent_id, meta, None)
+                    if not no_embedding:
+                        pending.append((doc_id, text))
+                    return doc_id
+
+                try:
+                    yield add_doc
+                finally:
+                    in_context = False
+                for chunk in chunkify(pending, BULK_EMBEDDING_CHUNK_SIZE):
+                    blobs = self._embed_to_bytes([t for _, t in chunk])
+                    for (doc_id, _), blob in zip(chunk, blobs):
+                        tx.set_doc_embedding(doc_id, blob, skip_check_old=True)
+                if pending:
+                    tx.bump_matrix_version()
+
+    @contextmanager
+    def bulk_del_docs(self) -> Iterator[DocumentDeleter]:
+        with self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                in_context = True
+
+                def del_doc(doc_id: DocumentId) -> None:
+                    assert in_context, _OUT_OF_CONTEXT
+                    tx.del_doc(doc_id)
+
+                try:
+                    yield del_doc
+                finally:
+                    in_context = False
+                tx.bump_matrix_version()
+
+    @contextmanager
+    def bulk_query_docs(self) -> Iterator[DocumentQuerier]:
+        with self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                in_context = True
+
+                class Querier(DocumentQuerier):
+                    def count(self) -> int:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.count_docs()
+
+                    def query_doc(
+                        self, doc_id: DocumentId, include_embedding: bool = False
+                    ) -> DocumentRecord:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.fetch_doc(doc_id, include_embedding)
+
+                    def query_children(
+                        self, doc_id: DocumentId, include_embedding: bool = False
+                    ) -> List[DocumentRecord]:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.fetch_doc_children(doc_id, include_embedding)
+
+                    def query_level(
+                        self, level: int, include_embedding: bool = False
+                    ) -> List[DocumentRecord]:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.fetch_docs_at_level(level, include_embedding)
+
+                    def dfs_traversal(
+                        self, include_embedding: bool = False
+                    ) -> Iterator[DocumentRecord]:
+                        def visit(doc: DocumentRecord) -> Iterator[DocumentRecord]:
+                            yield doc
+                            for child in self.query_children(
+                                doc["id"], include_embedding
+                            ):
+                                yield from visit(child)
+
+                        for root in self.query_level(0, include_embedding):
+                            yield from visit(root)
+
+                    def update_doc_meta(
+                        self,
+                        doc_id: DocumentId,
+                        new_meta: Optional[Dict[str, Any]],
+                    ) -> None:
+                        assert in_context, _OUT_OF_CONTEXT
+                        tx.update_doc_meta(doc_id, new_meta)
+
+                try:
+                    yield Querier()
+                finally:
+                    in_context = False
+
+    @contextmanager
+    def bulk_graph_update(self) -> Iterator[GraphInterface]:
+        with self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                in_context = True
+
+                class Graph(GraphInterface):
+                    def count_edges(self) -> int:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.count_edges()
+
+                    def add_directed_edge(
+                        self,
+                        from_doc: DocumentId,
+                        to_doc: DocumentId,
+                        relationship: DocumentId,
+                        weight: Optional[float] = None,
+                    ) -> EdgeId:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.add_directed_edge(
+                            from_doc, to_doc, relationship, weight
+                        )
+
+                    def add_edge(
+                        self,
+                        doc1: DocumentId,
+                        doc2: DocumentId,
+                        relationship: DocumentId,
+                        weight: Optional[float] = None,
+                    ) -> EdgeId:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.add_edge(doc1, doc2, relationship, weight)
+
+                    def del_edge(self, edge_id: EdgeId) -> None:
+                        assert in_context, _OUT_OF_CONTEXT
+                        tx.del_edge(edge_id)
+
+                    def build_networkx_graph(
+                        self, multigraph: bool = True
+                    ) -> NetworkXGraphTypes:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.build_networkx_graph(multigraph)
+
+                try:
+                    yield Graph()
+                finally:
+                    in_context = False
+
+    @contextmanager
+    def bulk_keyval_update(self) -> Iterator[KeyValueInterface]:
+        with self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                in_context = True
+
+                class KeyVal(KeyValueInterface):
+                    def has(self, key: str) -> bool:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.has_key_user(key)
+
+                    def __contains__(self, key: str) -> bool:
+                        return self.has(key)
+
+                    def get(self, key: str, default: Any = KeyError) -> Any:
+                        assert in_context, _OUT_OF_CONTEXT
+                        try:
+                            return tx.get_key_user(key)
+                        except KeyError:
+                            if default is KeyError:
+                                raise
+                            return default
+
+                    def __getitem__(self, key: str) -> Any:
+                        return self.get(key)
+
+                    def set(self, key: str, val: Any) -> None:
+                        assert in_context, _OUT_OF_CONTEXT
+                        tx.set_key_user(key, val)
+
+                    def __setitem__(self, key: str, val: Any) -> None:
+                        self.set(key, val)
+
+                    def remove(self, key: str) -> None:
+                        assert in_context, _OUT_OF_CONTEXT
+                        tx.del_key_user(key)
+
+                    def __delitem__(self, key: str) -> None:
+                        self.remove(key)
+
+                    def count(self) -> int:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return tx.count_keys_user()
+
+                    def __len__(self) -> int:
+                        return self.count()
+
+                    def items(self) -> Iterator[Tuple[str, Any]]:
+                        assert in_context, _OUT_OF_CONTEXT
+                        yield from tx.iter_keyval_user()
+
+                    def __iter__(self) -> Iterator[str]:
+                        assert in_context, _OUT_OF_CONTEXT
+                        yield from tx.iter_keys_user()
+
+                try:
+                    yield KeyVal()
+                finally:
+                    in_context = False
+
+    # -- retrieval ------------------------------------------------------------------
+
+    def retrieve(self, query: str, n: int) -> List[Retrieval]:
+        return self.retrieve_batch([query], n)[0]
+
+    def retrieve_batch(self, queries: List[str], n: int) -> List[List[Retrieval]]:
+        log.info("retrieving top %d for %d queries", n, len(queries))
+        with self._lock:
+            corpus = self._ensure_engine_fresh()
+        if corpus.n_valid == 0 or n <= 0:
+            return [[] for _ in queries]
+        vectors = np.asarray(self._embed(queries), dtype=np.float32)
+        pre_vals, pre_rows = self.engine.topk(
+            vectors, self.engine.candidate_count(n)
+        )
+        with self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                return [
+                    _finalize_retrieval(
+                        tx,
+                        corpus,
+                        vectors[b],
+                        pre_vals[b],
+                        pre_rows[b],
+                        n,
+                        self.engine.rescore,
+                    )
+                    for b in range(len(queries))
+                ]
+
+    def document_top_pairwise_scores(
+        self, n: int
+    ) -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
+        with self._lock:
+            corpus = self._ensure_engine_fresh()
+        if corpus.n_valid < 2 or n <= 0:
+            return []
+        c = n
+        if self.engine.rescore:
+            c = max(n + 64, int(n * 5 // 4))
+        vals, rows_a, rows_b = self.engine.pairwise_topk(c)
+        with self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                return _finalize_pairwise(
+                    tx, corpus, vals, rows_a, rows_b, n, self.engine.rescore
+                )
+
+    def __len__(self) -> int:
+        with self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                return tx.count_docs()

@@ -1,0 +1,123 @@
+"""Corpus-sharded exact retrieval over a device mesh.
+
+Design (net-new vs the reference; see SURVEY.md sections 2.3/5):
+
+- the packed corpus is sharded row-wise along the ``data`` mesh axis (and
+  optionally column-wise along a ``model`` axis for very wide embeddings);
+- under ``shard_map``, every chip scores **only its shard** (one local MXU
+  matmul, full local HBM bandwidth), masks padding by *global* row index,
+  and selects a local top-k;
+- only ``k`` candidates per chip leave the chip; the exact global top-k is
+  a merge over those ``D * k`` candidates.  Exactness: each global top-k hit
+  lives in some shard and is therefore in that shard's local top-k;
+- with a ``model`` axis, partial dot products are reduced with one
+  ``psum`` over ICI before selection.
+
+Per-shard winners are returned from ``shard_map`` stacked along the data
+axis and merged in plain jit-land, so the result needs no replication
+bookkeeping inside the mapped function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..ops.quant import quantize_rows_int8
+from ..ops.topk import NEG_INF, merge_topk, scores_matmul
+
+
+def sharded_score_topk(
+    docs: jax.Array,
+    row_scales: Optional[jax.Array],
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    *,
+    mesh: jax.sharding.Mesh,
+    data_axis: str = "data",
+    model_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-``k`` over a mesh-sharded corpus.
+
+    ``docs``: ``[N, d]`` sharded ``P(data_axis, model_axis)``;
+    ``row_scales``: ``[N]`` f32 for int8 corpora (data-axis sharded) or
+    ``None``; ``queries``: ``[B, d]``.  Returns replicated
+    ``(values f32 [B, k], global row indices int32 [B, k])``.
+    """
+    if row_scales is not None and model_axis is not None:
+        raise NotImplementedError(
+            "int8 corpora shard over the data axis only (per-query scales "
+            "must see the full query vector)"
+        )
+    fn = _build_sharded_topk(
+        mesh, data_axis, model_axis, int(k), row_scales is not None
+    )
+    if row_scales is not None:
+        return fn(docs, row_scales, queries, n_valid)
+    return fn(docs, queries, n_valid)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_topk(
+    mesh: jax.sharding.Mesh,
+    data_axis: str,
+    model_axis: Optional[str],
+    k: int,
+    has_scales: bool,
+):
+    def local_topk(docs, scales, q, n_valid):
+        n_local = docs.shape[0]
+        if has_scales:
+            q_int8, q_scales = quantize_rows_int8(q)
+            raw = jax.lax.dot_general(
+                q_int8,
+                docs,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scores = raw.astype(jnp.float32) * scales[None, :] * q_scales[:, None]
+        else:
+            scores = scores_matmul(docs, q)
+            if model_axis is not None:
+                scores = jax.lax.psum(scores, model_axis)
+        offset = jax.lax.axis_index(data_axis).astype(jnp.int32) * n_local
+        global_col = offset + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, scores.ndim - 1
+        )
+        masked = jnp.where(global_col < n_valid, scores, NEG_INF)
+        k_local = min(k, n_local)
+        vals, idx = jax.lax.top_k(masked, k_local)
+        gidx = idx.astype(jnp.int32) + offset
+        # Stack per-shard winners along a leading data-axis dim.
+        return vals[None], gidx[None]
+
+    if has_scales:
+        in_specs = (P(data_axis, model_axis), P(data_axis), P(None, model_axis), P())
+        def mapped(docs, scales, q, n_valid):
+            return local_topk(docs, scales, q, n_valid)
+    else:
+        in_specs = (P(data_axis, model_axis), P(None, model_axis), P())
+        def mapped(docs, q, n_valid):
+            return local_topk(docs, None, q, n_valid)
+
+    shard_fn = jax.shard_map(
+        mapped,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(data_axis, None, None), P(data_axis, None, None)),
+        check_vma=False,
+    )
+
+    def merged(*args):
+        vals, gidx = shard_fn(*args)  # [D, B, k_local]
+        b = vals.shape[1]
+        vals = jnp.moveaxis(vals, 0, 1).reshape(b, -1)
+        gidx = jnp.moveaxis(gidx, 0, 1).reshape(b, -1)
+        return merge_topk(vals, gidx, k)
+
+    return jax.jit(merged)

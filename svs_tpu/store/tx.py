@@ -1,0 +1,419 @@
+"""The transaction-scoped query handle: every SQL statement lives here.
+
+A :class:`Tx` is only ever obtained from ``Database.transaction()`` and is
+valid for the duration of that transaction.  Behavioral invariants carried
+over from the reference (``svs/kb.py:147-774``):
+
+- a document's ``level`` is derived, not chosen: root docs are level 0 and a
+  child is ``parent.level + 1``;
+- deleting a document that still has children is refused; deleting a
+  document cascades to every edge touching it (as endpoint *or* as the
+  relationship doc) and to its embedding row;
+- the ``(a, b, r)`` edge triplet is unique — violating it raises
+  ``RuntimeError``;
+- embedding BLOBs are little-endian float32 (see :mod:`svs_tpu.store.blob`).
+
+New in this framework: :meth:`bump_matrix_version` / :meth:`matrix_version`
+— a monotonic counter over embedding mutations that derived device state
+(packed HBM matrix, sidecar file) uses for precise staleness checks.
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..types import DocumentId, DocumentRecord, EdgeId, NetworkXGraphTypes
+from .blob import embedding_from_bytes, matrix_from_blob_rows
+
+_MATRIX_VERSION_KEY = "svs_tpu_matrix_version"
+
+
+class Tx:
+    """All queries for one open transaction."""
+
+    def __init__(self, conn: sqlite3.Connection):
+        self._conn = conn
+
+    # -- internal keyval ----------------------------------------------------
+
+    def get_key(self, key: str) -> Any:
+        row = self._conn.execute(
+            "SELECT val FROM keyval WHERE key = ?;", (key,)
+        ).fetchone()
+        if row is None:
+            raise KeyError(key)
+        return row[0]
+
+    def set_key(self, key: str, val: Any) -> None:
+        self._conn.execute(
+            "INSERT INTO keyval (key, val) VALUES (?, ?) "
+            "ON CONFLICT(key) DO UPDATE SET val = excluded.val;",
+            (key, val),
+        )
+
+    def del_key(self, key: str) -> None:
+        cur = self._conn.execute("DELETE FROM keyval WHERE key = ?;", (key,))
+        if cur.rowcount == 0:
+            raise KeyError(key)
+
+    # -- matrix version (engine staleness tracking) -------------------------
+
+    def matrix_version(self) -> int:
+        try:
+            return int(self.get_key(_MATRIX_VERSION_KEY))
+        except KeyError:
+            return 0
+
+    def bump_matrix_version(self) -> int:
+        version = self.matrix_version() + 1
+        self.set_key(_MATRIX_VERSION_KEY, version)
+        return version
+
+    # -- user keyval ---------------------------------------------------------
+
+    def get_key_user(self, key: str) -> Any:
+        row = self._conn.execute(
+            "SELECT val FROM keyval_user WHERE key = ?;", (key,)
+        ).fetchone()
+        if row is None:
+            raise KeyError(key)
+        return row[0]
+
+    def set_key_user(self, key: str, val: Any) -> None:
+        self._conn.execute(
+            "INSERT INTO keyval_user (key, val) VALUES (?, ?) "
+            "ON CONFLICT(key) DO UPDATE SET val = excluded.val;",
+            (key, val),
+        )
+
+    def del_key_user(self, key: str) -> None:
+        cur = self._conn.execute("DELETE FROM keyval_user WHERE key = ?;", (key,))
+        if cur.rowcount == 0:
+            raise KeyError(key)
+
+    def has_key_user(self, key: str) -> bool:
+        row = self._conn.execute(
+            "SELECT 1 FROM keyval_user WHERE key = ?;", (key,)
+        ).fetchone()
+        return row is not None
+
+    def count_keys_user(self) -> int:
+        (n,) = self._conn.execute("SELECT COUNT(*) FROM keyval_user;").fetchone()
+        return int(n)
+
+    def iter_keyval_user(self) -> Iterator[Tuple[str, Any]]:
+        yield from self._conn.execute("SELECT key, val FROM keyval_user;")
+
+    def iter_keys_user(self) -> Iterator[str]:
+        for (key,) in self._conn.execute("SELECT key FROM keyval_user;"):
+            yield key
+
+    # -- documents -----------------------------------------------------------
+
+    def count_docs(self) -> int:
+        (n,) = self._conn.execute("SELECT COUNT(*) FROM docs;").fetchone()
+        return int(n)
+
+    def add_doc(
+        self,
+        text: str,
+        parent_id: Optional[DocumentId],
+        meta: Optional[Dict[str, Any]],
+        embedding: Optional[bytes],
+    ) -> DocumentId:
+        level = 0
+        if parent_id is not None:
+            row = self._conn.execute(
+                "SELECT level FROM docs WHERE id = ?;", (parent_id,)
+            ).fetchone()
+            if row is None:
+                raise ValueError(f"invalid parent_id: {parent_id}")
+            level = int(row[0]) + 1
+        emb_id = self._insert_embedding(embedding) if embedding is not None else None
+        cur = self._conn.execute(
+            "INSERT INTO docs (parent_id, level, text, embedding, meta) "
+            "VALUES (?, ?, ?, ?, ?);",
+            (
+                parent_id,
+                level,
+                text,
+                emb_id,
+                json.dumps(meta) if meta is not None else None,
+            ),
+        )
+        assert cur.lastrowid is not None
+        return cur.lastrowid
+
+    def update_doc_meta(
+        self, doc_id: DocumentId, new_meta: Optional[Dict[str, Any]]
+    ) -> None:
+        cur = self._conn.execute(
+            "UPDATE docs SET meta = ? WHERE id = ?;",
+            (json.dumps(new_meta) if new_meta is not None else None, doc_id),
+        )
+        if cur.rowcount != 1:
+            raise KeyError(doc_id)
+
+    def del_doc(self, doc_id: DocumentId) -> None:
+        if self._conn.execute(
+            "SELECT 1 FROM docs WHERE parent_id = ? LIMIT 1;", (doc_id,)
+        ).fetchone() is not None:
+            raise RuntimeError("You cannot delete a document that is a parent.")
+        self._conn.execute(
+            "DELETE FROM edges WHERE a = ? OR b = ? OR r = ?;",
+            (doc_id, doc_id, doc_id),
+        )
+        row = self._conn.execute(
+            "SELECT embedding FROM docs WHERE id = ?;", (doc_id,)
+        ).fetchone()
+        if row is None:
+            raise KeyError(doc_id)
+        if row[0] is not None:
+            self._conn.execute("DELETE FROM embeddings WHERE id = ?;", (row[0],))
+        self._conn.execute("DELETE FROM docs WHERE id = ?;", (doc_id,))
+
+    def fetch_doc(self, doc_id: DocumentId, include_embedding: bool) -> DocumentRecord:
+        row = self._conn.execute(
+            "SELECT id, parent_id, level, text, embedding, meta "
+            "FROM docs WHERE id = ?;",
+            (doc_id,),
+        ).fetchone()
+        if row is None:
+            raise KeyError(doc_id)
+        rec_id, parent_id, level, text, emb_id, meta_str = row
+        embedding: Any
+        if include_embedding:
+            embedding = (
+                self._fetch_embedding_floats(emb_id) if emb_id is not None else None
+            )
+        else:
+            embedding = emb_id is not None
+        return {
+            "id": rec_id,
+            "parent_id": parent_id,
+            "level": level,
+            "text": text,
+            "embedding": embedding,
+            "meta": json.loads(meta_str) if meta_str is not None else None,
+        }
+
+    def fetch_doc_children(
+        self, doc_id: DocumentId, include_embedding: bool
+    ) -> List[DocumentRecord]:
+        ids = [
+            row[0]
+            for row in self._conn.execute(
+                "SELECT id FROM docs WHERE parent_id = ?;", (doc_id,)
+            )
+        ]
+        return [self.fetch_doc(i, include_embedding) for i in ids]
+
+    def fetch_docs_at_level(
+        self, level: int, include_embedding: bool
+    ) -> List[DocumentRecord]:
+        ids = [
+            row[0]
+            for row in self._conn.execute(
+                "SELECT id FROM docs WHERE level = ?;", (level,)
+            )
+        ]
+        return [self.fetch_doc(i, include_embedding) for i in ids]
+
+    def doc_id_for_emb_id(self, emb_id: int) -> DocumentId:
+        row = self._conn.execute(
+            "SELECT id FROM docs WHERE embedding = ?;", (emb_id,)
+        ).fetchone()
+        if row is None:
+            raise KeyError(emb_id)
+        return int(row[0])
+
+    # -- embeddings ----------------------------------------------------------
+
+    def _insert_embedding(self, blob: bytes) -> int:
+        cur = self._conn.execute(
+            "INSERT INTO embeddings (embedding) VALUES (?);", (blob,)
+        )
+        assert cur.lastrowid is not None
+        return cur.lastrowid
+
+    def _fetch_embedding_floats(self, emb_id: int) -> List[float]:
+        row = self._conn.execute(
+            "SELECT embedding FROM embeddings WHERE id = ?;", (emb_id,)
+        ).fetchone()
+        if row is None:
+            raise ValueError(f"invalid embedding id: {emb_id}")
+        return embedding_from_bytes(row[0])
+
+    def set_doc_embedding(
+        self,
+        doc_id: DocumentId,
+        embedding: Optional[bytes],
+        skip_check_old: bool = False,
+    ) -> None:
+        """Replace a doc's embedding.  ``skip_check_old=True`` skips looking
+        up (and deleting) a previous embedding row — the bulk-add fast path,
+        where docs were just inserted with no embedding."""
+        if not skip_check_old:
+            row = self._conn.execute(
+                "SELECT embedding FROM docs WHERE id = ?;", (doc_id,)
+            ).fetchone()
+            if row is None:
+                raise KeyError(doc_id)
+            if row[0] is not None:
+                self._conn.execute("DELETE FROM embeddings WHERE id = ?;", (row[0],))
+        emb_id = self._insert_embedding(embedding) if embedding is not None else None
+        cur = self._conn.execute(
+            "UPDATE docs SET embedding = ? WHERE id = ?;", (emb_id, doc_id)
+        )
+        if cur.rowcount != 1:
+            raise KeyError(doc_id)
+
+    def count_embeddings(self) -> int:
+        (n,) = self._conn.execute("SELECT COUNT(*) FROM embeddings;").fetchone()
+        return int(n)
+
+    def embeddings_fingerprint(self) -> Tuple[int, int]:
+        """Cheap change detector over the embeddings table: (count, max id).
+        Used with ``matrix_version`` to decide device-cache staleness even
+        for databases mutated by tools that don't bump the counter."""
+        count, max_id = self._conn.execute(
+            "SELECT COUNT(*), COALESCE(MAX(id), 0) FROM embeddings;"
+        ).fetchone()
+        return int(count), int(max_id)
+
+    def embedding_dim(self) -> int:
+        """Dimensionality of stored embeddings (0 if none stored yet)."""
+        row = self._conn.execute(
+            "SELECT embedding FROM embeddings LIMIT 1;"
+        ).fetchone()
+        return len(row[0]) // 4 if row is not None else 0
+
+    def build_embeddings_matrix(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Scan all embedding BLOBs into a float32 ``[n, dim]`` matrix plus
+        an int64 ``[n]`` array mapping matrix row -> embedding id.
+
+        Rows are vectorized through one buffer concatenation instead of the
+        reference's per-row struct unpack (``svs/kb.py:573-618``) — this is
+        the cold-start path the 1M-doc benchmark measures.
+        """
+        dim = self.embedding_dim()
+        emb_ids: List[int] = []
+        blobs: List[bytes] = []
+        for emb_id, blob in self._conn.execute(
+            "SELECT id, embedding FROM embeddings;"
+        ):
+            emb_ids.append(emb_id)
+            blobs.append(blob)
+        matrix = matrix_from_blob_rows(blobs, dim)
+        if dim == 0:
+            matrix = np.zeros((len(emb_ids), 0), dtype=np.float32)
+        assert matrix.shape[0] == len(emb_ids)
+        return matrix, np.asarray(emb_ids, dtype=np.int64)
+
+    def fetch_embedding_rows(self, emb_ids: Sequence[int]) -> np.ndarray:
+        """Fetch specific embeddings as a float32 matrix (rescore path)."""
+        blobs = []
+        for emb_id in emb_ids:
+            row = self._conn.execute(
+                "SELECT embedding FROM embeddings WHERE id = ?;", (int(emb_id),)
+            ).fetchone()
+            if row is None:
+                raise KeyError(int(emb_id))
+            blobs.append(row[0])
+        dim = len(blobs[0]) // 4 if blobs else self.embedding_dim()
+        return matrix_from_blob_rows(blobs, dim)
+
+    # -- edges ----------------------------------------------------------------
+
+    def count_edges(self) -> int:
+        (n,) = self._conn.execute("SELECT COUNT(*) FROM edges;").fetchone()
+        return int(n)
+
+    def _add_edge_row(
+        self,
+        a: DocumentId,
+        b: DocumentId,
+        r: DocumentId,
+        w: Optional[float],
+        directed: bool,
+    ) -> EdgeId:
+        try:
+            cur = self._conn.execute(
+                "INSERT INTO edges (a, b, r, w, d) VALUES (?, ?, ?, ?, ?);",
+                (a, b, r, w, 1 if directed else 0),
+            )
+        except sqlite3.IntegrityError:
+            raise RuntimeError("This edge triplet already exists!")
+        assert cur.lastrowid is not None
+        return cur.lastrowid
+
+    def add_directed_edge(
+        self,
+        from_doc: DocumentId,
+        to_doc: DocumentId,
+        relationship: DocumentId,
+        weight: Optional[float],
+    ) -> EdgeId:
+        return self._add_edge_row(from_doc, to_doc, relationship, weight, True)
+
+    def add_edge(
+        self,
+        doc1: DocumentId,
+        doc2: DocumentId,
+        relationship: DocumentId,
+        weight: Optional[float],
+    ) -> EdgeId:
+        return self._add_edge_row(doc1, doc2, relationship, weight, False)
+
+    def del_edge(self, edge_id: EdgeId) -> None:
+        cur = self._conn.execute("DELETE FROM edges WHERE id = ?;", (edge_id,))
+        if cur.rowcount != 1:
+            raise KeyError(edge_id)
+
+    def build_networkx_graph(self, multigraph: bool = True) -> NetworkXGraphTypes:
+        """Materialize the edge table as a NetworkX graph.
+
+        The graph is directed iff any directed edge exists; undirected edges
+        in a directed graph get an explicit back-edge.  Edge attributes:
+        ``edge_doc`` (the relationship doc id) and, when set, ``weight``.
+        """
+        import networkx as nx  # type: ignore[import-untyped]
+
+        any_directed = (
+            self._conn.execute(
+                "SELECT 1 FROM edges WHERE d = 1 LIMIT 1;"
+            ).fetchone()
+            is not None
+        )
+        if multigraph:
+            graph: NetworkXGraphTypes = (
+                nx.MultiDiGraph() if any_directed else nx.MultiGraph()
+            )
+        else:
+            graph = nx.DiGraph() if any_directed else nx.Graph()
+        for a, b, r, w, d in self._conn.execute("SELECT a, b, r, w, d FROM edges;"):
+            attrs: Dict[str, Any] = {"edge_doc": r}
+            if w is not None:
+                attrs["weight"] = w
+            graph.add_edge(a, b, **attrs)
+            if any_directed and d == 0:
+                graph.add_edge(b, a, **attrs)
+        return graph
+
+    # -- raw dumps (tests only) ------------------------------------------------
+
+    def _debug_keyval(self) -> Dict[str, Any]:
+        return dict(self._conn.execute("SELECT key, val FROM keyval;"))
+
+    def _debug_embeddings(self) -> List[Tuple[Any, ...]]:
+        return [tuple(r) for r in self._conn.execute("SELECT * FROM embeddings;")]
+
+    def _debug_docs(self) -> List[Tuple[Any, ...]]:
+        return [tuple(r) for r in self._conn.execute("SELECT * FROM docs;")]
+
+    def _debug_edges(self) -> List[Tuple[Any, ...]]:
+        return [tuple(r) for r in self._conn.execute("SELECT * FROM edges;")]
