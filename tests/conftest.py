@@ -17,8 +17,33 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The container's sitecustomize may have force-registered a TPU-tunnel
+# platform through jax.config before this conftest ran (it ignores the env
+# var).  Override the config directly — the backend only materializes on
+# first use, which happens after collection.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import asyncio
+import inspect
+
 import numpy as np
 import pytest
+
+
+def pytest_pyfunc_call(pyfuncitem):
+    """Minimal async-test support (pytest-asyncio is not in this image):
+    coroutine test functions run under ``asyncio.run``."""
+    func = pyfuncitem.obj
+    if inspect.iscoroutinefunction(func):
+        kwargs = {
+            name: pyfuncitem.funcargs[name]
+            for name in pyfuncitem._fixtureinfo.argnames
+        }
+        asyncio.run(func(**kwargs))
+        return True
+    return None
 
 
 @pytest.fixture

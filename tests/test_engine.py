@@ -1,0 +1,153 @@
+"""Engine tests: pack/freshness lifecycle, sidecar cold start, rescore
+exactness, and the empty-corpus edge cases."""
+
+import numpy as np
+import pytest
+
+from svs_tpu.engine import RetrievalEngine, sidecar_path_for
+from svs_tpu.engine.packing import pack_corpus
+from svs_tpu.engine.sidecar import load_sidecar, save_sidecar
+from svs_tpu.store import Database, embedding_to_bytes
+from svs_tpu.utils.topk_np import top_k_numpy
+
+
+def _fill(db_path, vectors):
+    db = Database(db_path)
+    with db.transaction() as tx:
+        for i, v in enumerate(vectors):
+            tx.add_doc(f"d{i}", None, None, embedding_to_bytes(list(map(float, v))))
+        tx.bump_matrix_version()
+    return db
+
+
+def test_ensure_fresh_packs_and_caches(db_path, unit_rows):
+    m = unit_rows(50, 16)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    c1 = eng.ensure_fresh(db)
+    assert c1.n_valid == 50 and c1.dim == 16
+    assert c1.n_padded % 256 == 0 and c1.dim_padded == 128
+    assert eng.ensure_fresh(db) is c1  # cached, no repack
+
+    # a mutation (bump + new row) invalidates
+    with db.transaction() as tx:
+        tx.add_doc("new", None, None, embedding_to_bytes([1.0] + [0.0] * 15))
+        tx.bump_matrix_version()
+    c2 = eng.ensure_fresh(db)
+    assert c2 is not c1 and c2.n_valid == 51
+    db.close()
+
+
+def test_fingerprint_catches_foreign_writes(db_path, unit_rows):
+    """Changes that don't bump matrix_version (e.g. made by the reference
+    implementation) are still detected via the embeddings fingerprint."""
+    m = unit_rows(10, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    c1 = eng.ensure_fresh(db)
+    with db.transaction() as tx:  # note: no bump_matrix_version
+        tx.add_doc("foreign", None, None, embedding_to_bytes([1.0] * 8))
+    c2 = eng.ensure_fresh(db)
+    assert c2.n_valid == 11
+    db.close()
+
+
+def test_topk_rescore_pipeline_is_exact(db_path, unit_rows):
+    m = unit_rows(300, 24)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")  # rescore defaults on
+    corpus = eng.ensure_fresh(db)
+    q = unit_rows(1, 24)[0]
+    c = eng.candidate_count(10)
+    vals, rows = eng.topk(q, c)
+    emb_ids = corpus.emb_ids[rows[0]]
+    with db.transaction() as tx:
+        exact = tx.fetch_embedding_rows(emb_ids) @ q
+    final = [int(emb_ids[i]) for _, i in top_k_numpy(exact, 10)]
+    oracle_rows = [i for _, i in top_k_numpy(m @ q, 10)]
+    oracle_ids = [int(corpus.emb_ids[i]) for i in oracle_rows]
+    assert final == oracle_ids
+    db.close()
+
+
+def test_topk_empty_corpus(db_path):
+    db = Database(db_path)
+    eng = RetrievalEngine()
+    corpus = eng.ensure_fresh(db)
+    assert corpus.n_valid == 0
+    vals, rows = eng.topk(np.zeros((1, 0), np.float32), 5)
+    assert vals.shape == (1, 0)
+    db.close()
+
+
+def test_pairwise_topk_via_engine(db_path, unit_rows):
+    m = unit_rows(120, 16)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    eng.ensure_fresh(db)
+    vals, ra, rb = eng.pairwise_topk(5)
+    from svs_tpu.utils.topk_np import top_pairs_numpy
+
+    oracle = top_pairs_numpy(m @ m.T, 5)
+    assert list(zip(ra, rb)) == [(r, c) for _, r, c in oracle]
+    db.close()
+
+
+@pytest.mark.parametrize("precision", ["f32", "bf16", "int8"])
+def test_sidecar_roundtrip(db_path, unit_rows, tmp_path, precision):
+    m = unit_rows(70, 12)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision=precision)
+    c1 = eng.ensure_fresh(db)
+    side = tmp_path / "s.svsx"
+    eng.write_sidecar(side)
+
+    # a fresh engine loads from the sidecar without touching BLOBs
+    eng2 = RetrievalEngine(precision=precision)
+    c2 = eng2.ensure_fresh(db, sidecar_path=side)
+    assert c2.n_valid == c1.n_valid and c2.version == c1.version
+    np.testing.assert_array_equal(c2.emb_ids, c1.emb_ids)
+    np.testing.assert_array_equal(np.asarray(c2.data), np.asarray(c1.data))
+    db.close()
+
+
+def test_sidecar_stale_is_ignored(db_path, unit_rows, tmp_path):
+    m = unit_rows(30, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    eng.ensure_fresh(db)
+    side = tmp_path / "s.svsx"
+    eng.write_sidecar(side)
+
+    with db.transaction() as tx:
+        tx.add_doc("new", None, None, embedding_to_bytes([1.0] * 8))
+        tx.bump_matrix_version()
+
+    eng2 = RetrievalEngine(precision="f32")
+    c2 = eng2.ensure_fresh(db, sidecar_path=side)  # stale -> rebuilt
+    assert c2.n_valid == 31
+    db.close()
+
+
+def test_sidecar_precision_mismatch_rebuilds(db_path, unit_rows, tmp_path):
+    m = unit_rows(30, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    eng.ensure_fresh(db)
+    side = tmp_path / "s.svsx"
+    eng.write_sidecar(side)
+    eng2 = RetrievalEngine(precision="int8")
+    c2 = eng2.ensure_fresh(db, sidecar_path=side)
+    assert c2.precision == "int8" and c2.row_scales is not None
+    db.close()
+
+
+def test_sidecar_corrupt_file_ignored(tmp_path):
+    bad = tmp_path / "bad.svsx"
+    bad.write_bytes(b"not a sidecar at all")
+    assert load_sidecar(bad) is None
+    assert load_sidecar(tmp_path / "missing.svsx") is None
+
+
+def test_sidecar_path_for():
+    assert str(sidecar_path_for("/x/y.sqlite")).endswith("y.sqlite.svsx")

@@ -1,0 +1,194 @@
+"""AsyncKB facade tests — the async mirror of test_kb_sync (the parity
+itself is the contract, as in the reference suite)."""
+
+import numpy as np
+import pytest
+
+from svs_tpu import AsyncKB, make_mock_embeddings_func
+
+from kb_helpers import make_angle_embedder, make_onehot_embedder
+
+
+async def test_lazy_init_and_reopen_from_params(db_path):
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    async with kb.bulk_add_docs() as add:
+        await add("hello")
+    await kb.close()
+    kb2 = AsyncKB(db_path)  # no func: restored from DB
+    hits = await kb2.retrieve("x", 1)
+    assert hits[0]["doc"]["text"] == "hello"
+    await kb2.close()
+
+
+async def test_no_func_anywhere_raises(db_path):
+    kb = AsyncKB(db_path)
+    with pytest.raises(RuntimeError, match="No embedding function"):
+        async with kb.bulk_add_docs() as add:
+            pass
+
+
+async def test_retrieve_ordering(db_path):
+    kb = AsyncKB(db_path, make_angle_embedder())
+    async with kb.bulk_add_docs() as add:
+        for deg in [0, 10, 20, 45, 90]:
+            await add(f"angle:{deg}")
+    hits = await kb.retrieve("angle:12", 3)
+    assert [h["doc"]["text"] for h in hits] == ["angle:10", "angle:20", "angle:0"]
+    assert hits[0]["score"] == pytest.approx(np.cos(np.radians(2)), abs=1e-6)
+    await kb.close()
+
+
+async def test_retrieve_batch(db_path):
+    kb = AsyncKB(db_path, make_onehot_embedder())
+    async with kb.bulk_add_docs() as add:
+        for i in range(6):
+            await add(f"vec:{i}")
+    res = await kb.retrieve_batch(["vec:1", "vec:4"], 2)
+    assert res[0][0]["doc"]["text"] == "vec:1"
+    assert res[1][0]["doc"]["text"] == "vec:4"
+    await kb.close()
+
+
+async def test_load_warms_engine(db_path):
+    kb = AsyncKB(db_path, make_onehot_embedder())
+    async with kb.bulk_add_docs() as add:
+        await add("vec:0")
+    await kb.load()
+    assert kb.engine.corpus is not None
+    assert kb.engine.corpus.n_valid == 1
+    await kb.close()
+
+
+async def test_bulk_add_rollback(db_path):
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    with pytest.raises(RuntimeError, match="boom"):
+        async with kb.bulk_add_docs() as add:
+            await add("doomed")
+            raise RuntimeError("boom")
+    async with kb.bulk_query_docs() as q:
+        assert await q.count() == 0
+    await kb.close()
+
+
+async def test_bulk_add_rollback_on_embedding_failure(db_path):
+    async def flaky(texts):
+        raise ConnectionError("down")
+
+    kb = AsyncKB(db_path, flaky)
+    with pytest.raises(ConnectionError):
+        async with kb.bulk_add_docs() as add:
+            await add("doomed")
+    async with kb.bulk_query_docs() as q:
+        assert await q.count() == 0
+    await kb.close()
+
+
+async def test_escape_guard(db_path):
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    async with kb.bulk_add_docs() as add:
+        await add("x")
+    with pytest.raises(AssertionError):
+        await add("outside")
+    await kb.close()
+
+
+async def test_hierarchy_and_dfs(db_path):
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    async with kb.bulk_add_docs() as add:
+        root = await add("root")
+        kid = await add("kid", parent_id=root)
+        grand = await add("grand", parent_id=kid)
+        other = await add("other-root")
+    async with kb.bulk_query_docs() as q:
+        assert await q.count() == 4
+        assert (await q.query_doc(grand))["level"] == 2
+        order = [d["id"] async for d in q.dfs_traversal()]
+        assert order == [root, kid, grand, other]
+        await q.update_doc_meta(root, {"m": 1})
+        assert (await q.query_doc(root))["meta"] == {"m": 1}
+    await kb.close()
+
+
+async def test_bulk_del(db_path):
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    async with kb.bulk_add_docs() as add:
+        a = await add("a")
+        b = await add("b")
+    async with kb.bulk_del_docs() as dd:
+        await dd(b)
+    async with kb.bulk_query_docs() as q:
+        assert await q.count() == 1
+    await kb.close()
+
+
+async def test_keyval_interface(db_path):
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    async with kb.bulk_keyval_update() as kv:
+        assert not await kv.has("a")
+        await kv.set("a", 42)
+        await kv.set("b", b"raw-bytes")
+        assert await kv.get("a") == 42
+        assert await kv.get("missing", "fallback") == "fallback"
+        with pytest.raises(KeyError):
+            await kv.get("missing")
+        assert await kv.count() == 2
+        items = [i async for i in kv.items()]
+        assert sorted(items) == [("a", 42), ("b", b"raw-bytes")]
+        await kv.remove("a")
+        with pytest.raises(KeyError):
+            await kv.remove("a")
+    await kb.close()
+
+
+async def test_graph_interface(db_path):
+    import networkx as nx
+
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    async with kb.bulk_add_docs() as add:
+        a, b, r = await add("a"), await add("b"), await add("r")
+    async with kb.bulk_graph_update() as g:
+        e = await g.add_edge(a, b, r, weight=1.5)
+        with pytest.raises(RuntimeError, match="already exists"):
+            await g.add_edge(a, b, r)
+        assert await g.count_edges() == 1
+        graph = await g.build_networkx_graph()
+        assert isinstance(graph, nx.MultiGraph)
+        assert graph[a][b][0]["weight"] == 1.5
+        await g.del_edge(e)
+        assert await g.count_edges() == 0
+    await kb.close()
+
+
+async def test_pairwise_scores(db_path):
+    kb = AsyncKB(db_path, make_angle_embedder())
+    async with kb.bulk_add_docs() as add:
+        for deg in [0, 5, 90, 180]:
+            await add(f"angle:{deg}")
+    pairs = await kb.document_top_pairwise_scores(1)
+    score, d1, d2 = pairs[0]
+    assert {d1["text"], d2["text"]} == {"angle:0", "angle:5"}
+    await kb.close()
+
+
+async def test_close_gzip(db_path):
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    async with kb.bulk_add_docs() as add:
+        await add("z")
+    await kb.close(vacuum=True, also_gzip=True)
+    kb2 = AsyncKB(f"{db_path}.gz")
+    async with kb2.bulk_query_docs() as q:
+        assert await q.count() == 1
+    await kb2.close()
+
+
+async def test_concurrent_retrieves(db_path):
+    """Multiple in-flight retrieves serialize safely on one KB."""
+    import asyncio
+
+    kb = AsyncKB(db_path, make_onehot_embedder())
+    async with kb.bulk_add_docs() as add:
+        for i in range(10):
+            await add(f"vec:{i}")
+    results = await asyncio.gather(*(kb.retrieve(f"vec:{i}", 1) for i in range(5)))
+    assert [r[0]["doc"]["text"] for r in results] == [f"vec:{i}" for i in range(5)]
+    await kb.close()

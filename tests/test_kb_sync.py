@@ -1,0 +1,244 @@
+"""Sync KB facade tests (mirrors the reference's KB suite,
+``tests/test_kb.py:1464-2011``): lifecycle, bulk ops, retrieval ordering
+with deterministic embedders, KV dunders, graph, rollback, escape guards."""
+
+import numpy as np
+import pytest
+
+from svs_tpu import KB, make_mock_embeddings_func
+from svs_tpu.store import Database
+
+from kb_helpers import make_angle_embedder, make_onehot_embedder
+
+
+def test_init_creates_db_and_stores_params(db_path):
+    kb = KB(db_path, make_mock_embeddings_func())
+    kb.close()
+    # reopen with no func: rebuilt from stored params
+    kb2 = KB(db_path)
+    with kb2.bulk_add_docs() as add:
+        add("hello")
+    assert len(kb2) == 1
+    kb2.close()
+
+
+def test_init_no_func_anywhere_raises(db_path):
+    with pytest.raises(RuntimeError, match="No embedding function"):
+        KB(db_path)
+    assert not db_path.exists() or True  # ctor cleanup must not crash
+
+
+def test_force_fresh_db(db_path):
+    kb = KB(db_path, make_mock_embeddings_func())
+    with kb.bulk_add_docs() as add:
+        add("old")
+    kb.close()
+    kb2 = KB(db_path, make_mock_embeddings_func(), force_fresh_db=True)
+    assert len(kb2) == 0
+    kb2.close()
+
+
+def test_retrieve_ordering_deterministic(db_path):
+    kb = KB(db_path, make_angle_embedder(), rescore=True)
+    with kb.bulk_add_docs() as add:
+        for deg in [0, 10, 20, 45, 90, 180]:
+            add(f"angle:{deg}")
+    hits = kb.retrieve("angle:12", 3)
+    assert [h["doc"]["text"] for h in hits] == ["angle:10", "angle:20", "angle:0"]
+    assert hits[0]["score"] > hits[1]["score"] > hits[2]["score"]
+    # scores are exact f32 cosines (rescored)
+    assert hits[0]["score"] == pytest.approx(np.cos(np.radians(2)), abs=1e-6)
+    kb.close()
+
+
+@pytest.mark.parametrize("precision", ["f32", "bf16", "int8"])
+def test_retrieve_precisions_agree(db_path, precision):
+    kb = KB(db_path, make_onehot_embedder(), precision=precision)
+    with kb.bulk_add_docs() as add:
+        for i in range(12):
+            add(f"vec:{i}")
+    hits = kb.retrieve("vec:7", 1)
+    assert hits[0]["doc"]["text"] == "vec:7"
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-6)
+    kb.close()
+
+
+def test_retrieve_batch(db_path):
+    kb = KB(db_path, make_onehot_embedder())
+    with kb.bulk_add_docs() as add:
+        for i in range(8):
+            add(f"vec:{i}")
+    results = kb.retrieve_batch(["vec:2", "vec:5"], 1)
+    assert [r[0]["doc"]["text"] for r in results] == ["vec:2", "vec:5"]
+    kb.close()
+
+
+def test_retrieve_n_larger_than_corpus(db_path):
+    kb = KB(db_path, make_onehot_embedder())
+    with kb.bulk_add_docs() as add:
+        add("vec:1"), add("vec:2")
+    assert len(kb.retrieve("vec:1", 50)) == 2
+    kb.close()
+
+
+def test_retrieve_empty_corpus(db_path):
+    kb = KB(db_path, make_onehot_embedder())
+    assert kb.retrieve("vec:1", 5) == []
+    kb.close()
+
+
+def test_no_embedding_docs_excluded_from_retrieval(db_path):
+    kb = KB(db_path, make_onehot_embedder())
+    with kb.bulk_add_docs() as add:
+        add("vec:1")
+        add("vec:2", no_embedding=True)
+    hits = kb.retrieve("vec:2", 5)
+    assert [h["doc"]["text"] for h in hits] == ["vec:1"]
+    kb.close()
+
+
+def test_bulk_add_rollback_on_exception(db_path):
+    kb = KB(db_path, make_mock_embeddings_func())
+    with pytest.raises(RuntimeError, match="boom"):
+        with kb.bulk_add_docs() as add:
+            add("doomed")
+            raise RuntimeError("boom")
+    assert len(kb) == 0
+    kb.close()
+
+
+def test_bulk_add_rollback_on_embedding_failure(db_path):
+    async def flaky(texts):
+        raise ConnectionError("provider down")
+
+    kb = KB(db_path, flaky)
+    with pytest.raises(ConnectionError):
+        with kb.bulk_add_docs() as add:
+            add("doomed")
+    assert len(kb) == 0
+    kb.close()
+
+
+def test_escape_guard(db_path):
+    kb = KB(db_path, make_mock_embeddings_func())
+    with kb.bulk_add_docs() as add:
+        add("x")
+    with pytest.raises(AssertionError):
+        add("outside")
+    with kb.bulk_query_docs() as q:
+        pass
+    with pytest.raises(AssertionError):
+        q.count()
+    kb.close()
+
+
+def test_bulk_del_and_hierarchy(db_path):
+    kb = KB(db_path, make_mock_embeddings_func())
+    with kb.bulk_add_docs() as add:
+        root = add("root")
+        kid = add("kid", parent_id=root, meta={"tag": "t"})
+    with kb.bulk_query_docs() as q:
+        assert q.count() == 2
+        assert q.query_doc(kid)["level"] == 1
+        assert [d["id"] for d in q.query_children(root)] == [kid]
+        assert [d["id"] for d in q.query_level(0)] == [root]
+        assert [d["id"] for d in q.dfs_traversal()] == [root, kid]
+        q.update_doc_meta(kid, {"tag": "u"})
+        assert q.query_doc(kid)["meta"] == {"tag": "u"}
+    with pytest.raises(RuntimeError):
+        with kb.bulk_del_docs() as dd:
+            dd(root)  # still has a child
+    with kb.bulk_del_docs() as dd:
+        dd(kid)
+        dd(root)
+    assert len(kb) == 0
+    kb.close()
+
+
+def test_keyval_dunder_protocol(db_path):
+    kb = KB(db_path, make_mock_embeddings_func())
+    with kb.bulk_keyval_update() as kv:
+        assert len(kv) == 0
+        kv["a"] = 1
+        kv.set("b", "two")
+        assert kv["a"] == 1 and kv.get("b") == "two"
+        assert "a" in kv and "z" not in kv
+        assert kv.get("z", None) is None
+        with pytest.raises(KeyError):
+            kv["z"]
+        assert sorted(kv) == ["a", "b"]
+        assert sorted(kv.items()) == [("a", 1), ("b", "two")]
+        del kv["a"]
+        with pytest.raises(KeyError):
+            kv.remove("a")
+        assert kv.count() == 1
+    # persists across transactions
+    with kb.bulk_keyval_update() as kv:
+        assert kv["b"] == "two"
+    kb.close()
+
+
+def test_graph_update_and_networkx(db_path):
+    import networkx as nx
+
+    kb = KB(db_path, make_mock_embeddings_func())
+    with kb.bulk_add_docs() as add:
+        a, b, r = add("a"), add("b"), add("rel")
+    with kb.bulk_graph_update() as g:
+        assert g.count_edges() == 0
+        e1 = g.add_edge(a, b, r, weight=0.5)
+        e2 = g.add_directed_edge(b, a, r)
+        assert g.count_edges() == 2
+        graph = g.build_networkx_graph(multigraph=False)
+        assert isinstance(graph, nx.DiGraph)
+        g.del_edge(e2)
+        assert g.count_edges() == 1
+    kb.close()
+
+
+def test_pairwise_scores(db_path):
+    kb = KB(db_path, make_angle_embedder())
+    with kb.bulk_add_docs() as add:
+        for deg in [0, 5, 90]:
+            add(f"angle:{deg}")
+    pairs = kb.document_top_pairwise_scores(2)
+    assert len(pairs) == 2
+    score, d1, d2 = pairs[0]
+    assert {d1["text"], d2["text"]} == {"angle:0", "angle:5"}
+    assert score == pytest.approx(np.cos(np.radians(5)), abs=1e-6)
+    kb.close()
+
+
+def test_close_gzip_and_reopen(db_path):
+    kb = KB(db_path, make_mock_embeddings_func())
+    with kb.bulk_add_docs() as add:
+        add("persisted")
+    kb.close(vacuum=True, also_gzip=True)
+    gz = f"{db_path}.gz"
+    kb2 = KB(gz)
+    assert len(kb2) == 1
+    kb2.close()
+
+
+def test_len(db_path):
+    kb = KB(db_path, make_mock_embeddings_func())
+    assert len(kb) == 0
+    with kb.bulk_add_docs() as add:
+        add("1"), add("2")
+    assert len(kb) == 2
+    kb.close()
+
+
+def test_retrieval_reflects_mutations(db_path):
+    """The device corpus must refresh after adds and deletes."""
+    kb = KB(db_path, make_onehot_embedder())
+    with kb.bulk_add_docs() as add:
+        add("vec:1")
+    assert kb.retrieve("vec:3", 1)[0]["doc"]["text"] == "vec:1"
+    with kb.bulk_add_docs() as add:
+        v3 = add("vec:3")
+    assert kb.retrieve("vec:3", 1)[0]["doc"]["text"] == "vec:3"
+    with kb.bulk_del_docs() as dd:
+        dd(v3)
+    assert kb.retrieve("vec:3", 1)[0]["doc"]["text"] == "vec:1"
+    kb.close()

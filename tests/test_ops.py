@@ -1,0 +1,119 @@
+"""Device-op equivalence tests: every accelerated path must reproduce the
+NumPy oracle (SURVEY.md section 4's kernel-vs-oracle mandate)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svs_tpu.engine.packing import pad_matrix, pad_queries
+from svs_tpu.ops.pairwise import pairwise_topk_blocked
+from svs_tpu.ops.quant import quantize_rows_int8, score_topk_int8
+from svs_tpu.ops.topk import masked_topk, merge_topk, score_topk
+from svs_tpu.utils.topk_np import top_k_numpy, top_pairs_numpy
+
+
+def _setup(unit_rows, n=777, d=48, b=3):
+    m = unit_rows(n, d)
+    q = unit_rows(b, d)
+    mp = pad_matrix(m)
+    qp = pad_queries(q, mp.shape[1])
+    return m, q, mp, qp
+
+
+def test_score_topk_matches_oracle_f32(unit_rows):
+    m, q, mp, qp = _setup(unit_rows)
+    k = 17
+    vals, idx = score_topk(jnp.asarray(mp), jnp.asarray(qp), jnp.int32(len(m)), k)
+    for b in range(q.shape[0]):
+        oracle = top_k_numpy(m @ q[b], k)
+        assert list(np.asarray(idx)[b]) == [i for _, i in oracle]
+        np.testing.assert_allclose(
+            np.asarray(vals)[b], [s for s, _ in oracle], rtol=1e-5
+        )
+
+
+def test_score_topk_bf16_candidates_cover_true_topk(unit_rows):
+    m, q, mp, qp = _setup(unit_rows, n=500)
+    k, c = 10, 40  # engine over-provisions candidates for rescore
+    vals, idx = score_topk(
+        jnp.asarray(mp, dtype=jnp.bfloat16), jnp.asarray(qp), jnp.int32(len(m)), c
+    )
+    for b in range(q.shape[0]):
+        true = {i for _, i in top_k_numpy(m @ q[b], k)}
+        assert true <= set(np.asarray(idx)[b].tolist())
+
+
+def test_masked_topk_never_returns_padding(unit_rows):
+    m, q, mp, qp = _setup(unit_rows, n=10)
+    scores = jnp.asarray(mp) @ jnp.asarray(qp).T
+    vals, idx = masked_topk(scores.T, 10, jnp.int32(10))
+    assert np.asarray(idx).max() < 10
+    # every padded position would otherwise win on ties with score 0
+    assert np.isfinite(np.asarray(vals)).all()
+
+
+def test_score_topk_k_equals_n(unit_rows):
+    m, q, mp, qp = _setup(unit_rows, n=100)
+    vals, idx = score_topk(jnp.asarray(mp), jnp.asarray(qp), jnp.int32(100), 100)
+    assert sorted(np.asarray(idx)[0].tolist()) == list(range(100))
+
+
+def test_merge_topk_exact():
+    vals = jnp.asarray([[0.1, 0.9, 0.5, 0.7]])
+    idx = jnp.asarray([[10, 20, 30, 40]])
+    v, i = merge_topk(vals, idx, 2)
+    assert np.asarray(i)[0].tolist() == [20, 40]
+    np.testing.assert_allclose(np.asarray(v)[0], [0.9, 0.7])
+
+
+def test_quantize_rows_int8_roundtrip(unit_rows):
+    m = unit_rows(64, 32)
+    q, scales = quantize_rows_int8(jnp.asarray(m))
+    recon = np.asarray(q, dtype=np.float32) * np.asarray(scales)[:, None]
+    np.testing.assert_allclose(recon, m, atol=1 / 127)
+
+
+def test_score_topk_int8_candidates_cover_true_topk(unit_rows):
+    m, q, mp, qp = _setup(unit_rows, n=600)
+    qd, scales = quantize_rows_int8(jnp.asarray(mp))
+    k, c = 10, 60
+    vals, idx = score_topk_int8(qd, scales, jnp.asarray(qp), jnp.int32(len(m)), c)
+    for b in range(q.shape[0]):
+        true = {i for _, i in top_k_numpy(m @ q[b], k)}
+        assert true <= set(np.asarray(idx)[b].tolist())
+
+
+@pytest.mark.parametrize("n,k", [(100, 5), (500, 50), (300, 1)])
+def test_pairwise_blocked_matches_oracle(unit_rows, n, k):
+    m = unit_rows(n, 32)
+    mp = pad_matrix(m)
+    vals, rows, cols = pairwise_topk_blocked(
+        jnp.asarray(mp), jnp.int32(n), k, block_rows=256
+    )
+    oracle = top_pairs_numpy(m @ m.T, k)
+    assert list(zip(np.asarray(rows), np.asarray(cols))) == [
+        (r, c) for _, r, c in oracle
+    ]
+    np.testing.assert_allclose(
+        np.asarray(vals), [s for s, _, _ in oracle], rtol=1e-4
+    )
+
+
+def test_pairwise_blocked_ignores_padding_and_diagonal(unit_rows):
+    # with only 2 real docs there is exactly one pair
+    m = unit_rows(2, 16)
+    mp = pad_matrix(m)
+    vals, rows, cols = pairwise_topk_blocked(jnp.asarray(mp), jnp.int32(2), 1,
+                                             block_rows=256)
+    assert (int(np.asarray(rows)[0]), int(np.asarray(cols)[0])) == (0, 1)
+
+
+def test_pad_matrix_shapes(unit_rows):
+    m = unit_rows(10, 3)
+    p = pad_matrix(m)
+    assert p.shape == (256, 128)
+    np.testing.assert_array_equal(p[:10, :3], m)
+    assert p[10:].sum() == 0 and p[:, 3:].sum() == 0
+    # already aligned: no copy semantics change
+    m2 = unit_rows(256, 128)
+    assert pad_matrix(m2).shape == (256, 128)

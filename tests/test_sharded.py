@@ -1,0 +1,99 @@
+"""Multi-device property tests on the virtual 8-CPU-device mesh: sharded
+retrieval must be *indistinguishable* from single-device retrieval."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from svs_tpu.engine.packing import pad_matrix, pad_queries
+from svs_tpu.ops.quant import quantize_rows_int8
+from svs_tpu.parallel import default_mesh, mesh_2d, sharded_score_topk
+from svs_tpu.utils.topk_np import top_k_numpy
+
+
+@pytest.fixture(scope="module")
+def devices_available():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (see conftest)")
+
+
+def _corpus(unit_rows, n=1000, d=64, b=4):
+    m = unit_rows(n, d)
+    q = unit_rows(b, d)
+    mp = pad_matrix(m, row_multiple=256 * 8)  # divisible across 8 shards
+    qp = pad_queries(q, mp.shape[1])
+    return m, q, mp, qp
+
+
+def test_sharded_1d_matches_oracle(devices_available, unit_rows):
+    m, q, mp, qp = _corpus(unit_rows)
+    mesh = default_mesh()
+    docs = jax.device_put(jnp.asarray(mp), NamedSharding(mesh, P("data", None)))
+    vals, idx = sharded_score_topk(
+        docs, None, jnp.asarray(qp), jnp.int32(len(m)), 13, mesh=mesh
+    )
+    for b in range(q.shape[0]):
+        oracle = top_k_numpy(m @ q[b], 13)
+        assert list(np.asarray(idx)[b]) == [i for _, i in oracle]
+        np.testing.assert_allclose(
+            np.asarray(vals)[b], [s for s, _ in oracle], rtol=1e-5
+        )
+
+
+def test_sharded_2d_matches_oracle(devices_available, unit_rows):
+    m, q, mp, qp = _corpus(unit_rows, d=100)  # pads to 128 = 2 x 64 cols
+    mesh = mesh_2d(4, 2)
+    docs = jax.device_put(jnp.asarray(mp), NamedSharding(mesh, P("data", "model")))
+    vals, idx = sharded_score_topk(
+        docs,
+        None,
+        jnp.asarray(qp),
+        jnp.int32(len(m)),
+        7,
+        mesh=mesh,
+        model_axis="model",
+    )
+    for b in range(q.shape[0]):
+        oracle = top_k_numpy(m @ q[b], 7)
+        assert list(np.asarray(idx)[b]) == [i for _, i in oracle]
+
+
+def test_sharded_int8_covers_true_topk(devices_available, unit_rows):
+    m, q, mp, qp = _corpus(unit_rows)
+    mesh = default_mesh()
+    qd, scales = quantize_rows_int8(jnp.asarray(mp))
+    docs = jax.device_put(qd, NamedSharding(mesh, P("data", None)))
+    sc = jax.device_put(scales, NamedSharding(mesh, P("data")))
+    vals, idx = sharded_score_topk(
+        docs, sc, jnp.asarray(qp), jnp.int32(len(m)), 50, mesh=mesh
+    )
+    for b in range(q.shape[0]):
+        true = {i for _, i in top_k_numpy(m @ q[b], 10)}
+        assert true <= set(np.asarray(idx)[b].tolist())
+
+
+def test_sharded_int8_model_axis_rejected(devices_available, unit_rows):
+    m, q, mp, qp = _corpus(unit_rows)
+    mesh = mesh_2d(4, 2)
+    qd, scales = quantize_rows_int8(jnp.asarray(mp))
+    with pytest.raises(NotImplementedError):
+        sharded_score_topk(
+            qd, scales, jnp.asarray(qp), jnp.int32(len(m)), 5,
+            mesh=mesh, model_axis="model",
+        )
+
+
+def test_sharded_k_larger_than_shard(devices_available, unit_rows):
+    """k bigger than any single shard's row count still returns the exact
+    global top-k (the per-shard k clamps to local rows)."""
+    m, q, mp, qp = _corpus(unit_rows, n=900)
+    mesh = default_mesh()
+    docs = jax.device_put(jnp.asarray(mp), NamedSharding(mesh, P("data", None)))
+    k = 400  # > 2048/8 = 256 rows per shard
+    vals, idx = sharded_score_topk(
+        docs, None, jnp.asarray(qp), jnp.int32(len(m)), k, mesh=mesh
+    )
+    oracle = [i for _, i in top_k_numpy(m @ q[0], k)]
+    assert list(np.asarray(idx)[0]) == oracle

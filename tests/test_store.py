@@ -1,0 +1,232 @@
+"""Storage-engine tests: real SQLite files, raw-table golden assertions.
+
+Mirrors the reference's layer-1 strategy (``tests/test_kb.py:42-918``):
+drive the transaction/query layer directly and assert on raw table dumps,
+persistence across close/reopen cycles, exact BLOB bytes, and transactional
+rollback.
+"""
+
+import numpy as np
+import pytest
+
+from svs_tpu.store import Database, embedding_to_bytes
+from svs_tpu.store.db import SCHEMA_VERSION
+
+
+def test_keyval_roundtrip_and_persistence(db_path):
+    db = Database(db_path)
+    with db.transaction() as tx:
+        with pytest.raises(KeyError):
+            tx.get_key("a")
+        tx.set_key("a", 1)
+        tx.set_key("b", "x")
+        assert tx.get_key("a") == 1
+        tx.set_key("a", 2)  # upsert
+        assert tx.get_key("a") == 2
+    db.close()
+
+    db = Database(db_path)
+    with db.transaction() as tx:
+        assert tx.get_key("a") == 2
+        assert tx.get_key("b") == "x"
+        tx.del_key("a")
+        with pytest.raises(KeyError):
+            tx.del_key("a")
+    db.close()
+
+
+def test_user_keyval_independent_of_internal(db_path):
+    db = Database(db_path)
+    with db.transaction() as tx:
+        tx.set_key("k", "internal")
+        tx.set_key_user("k", "user")
+        assert tx.get_key("k") == "internal"
+        assert tx.get_key_user("k") == "user"
+        assert tx.has_key_user("k")
+        assert not tx.has_key_user("nope")
+        assert tx.count_keys_user() == 1
+        assert list(tx.iter_keyval_user()) == [("k", "user")]
+        assert list(tx.iter_keys_user()) == ["k"]
+    db.close()
+
+
+def test_add_doc_levels_and_blob_bytes(db_path):
+    db = Database(db_path)
+    emb = embedding_to_bytes([1.0, 0.0, 0.0])
+    with db.transaction() as tx:
+        root = tx.add_doc("root", None, None, emb)
+        child = tx.add_doc("child", root, {"k": 1}, emb)
+        grand = tx.add_doc("grand", child, None, None)
+        assert tx.fetch_doc(root, False)["level"] == 0
+        assert tx.fetch_doc(child, False)["level"] == 1
+        assert tx.fetch_doc(grand, False)["level"] == 2
+        with pytest.raises(ValueError):
+            tx.add_doc("orphan", 999, None, None)
+        # exact on-disk BLOB bytes: little-endian f32
+        rows = tx._debug_embeddings()
+        assert rows[0][1] == b"\x00\x00\x80?\x00\x00\x00\x00\x00\x00\x00\x00"
+        # raw docs table shape
+        docs = tx._debug_docs()
+        assert docs[0] == (root, None, 0, "root", 1, None)
+        assert docs[1][5] == '{"k": 1}'
+    db.close()
+
+
+def test_fetch_doc_embedding_flag_semantics(db_path):
+    db = Database(db_path)
+    with db.transaction() as tx:
+        with_emb = tx.add_doc("a", None, None, embedding_to_bytes([0.0, 1.0]))
+        without = tx.add_doc("b", None, None, None)
+        assert tx.fetch_doc(with_emb, False)["embedding"] is True
+        assert tx.fetch_doc(without, False)["embedding"] is False
+        assert tx.fetch_doc(with_emb, True)["embedding"] == [0.0, 1.0]
+        assert tx.fetch_doc(without, True)["embedding"] is None
+        with pytest.raises(KeyError):
+            tx.fetch_doc(999, False)
+    db.close()
+
+
+def test_del_doc_rules_and_cascade(db_path):
+    db = Database(db_path)
+    emb = embedding_to_bytes([1.0])
+    with db.transaction() as tx:
+        a = tx.add_doc("a", None, None, emb)
+        b = tx.add_doc("b", a, None, emb)
+        r = tx.add_doc("r", None, None, None)
+        tx.add_edge(a, b, r, 0.5)
+        with pytest.raises(RuntimeError):
+            tx.del_doc(a)  # has a child
+        tx.del_doc(b)  # cascades: edge gone, embedding row gone
+        assert tx.count_edges() == 0
+        assert tx.count_embeddings() == 1
+        with pytest.raises(KeyError):
+            tx.del_doc(999)
+    db.close()
+
+
+def test_update_doc_meta(db_path):
+    db = Database(db_path)
+    with db.transaction() as tx:
+        d = tx.add_doc("a", None, {"x": 1}, None)
+        tx.update_doc_meta(d, {"y": [1, 2]})
+        assert tx.fetch_doc(d, False)["meta"] == {"y": [1, 2]}
+        tx.update_doc_meta(d, None)
+        assert tx.fetch_doc(d, False)["meta"] is None
+        with pytest.raises(KeyError):
+            tx.update_doc_meta(999, {})
+    db.close()
+
+
+def test_set_doc_embedding_replaces_old_row(db_path):
+    db = Database(db_path)
+    with db.transaction() as tx:
+        d = tx.add_doc("a", None, None, embedding_to_bytes([1.0]))
+        tx.set_doc_embedding(d, embedding_to_bytes([2.0]))
+        assert tx.count_embeddings() == 1
+        assert tx.fetch_doc(d, True)["embedding"] == [2.0]
+        tx.set_doc_embedding(d, None)
+        assert tx.count_embeddings() == 0
+        assert tx.fetch_doc(d, True)["embedding"] is None
+    db.close()
+
+
+def test_build_embeddings_matrix(db_path):
+    db = Database(db_path)
+    with db.transaction() as tx:
+        ids = []
+        for i in range(5):
+            vec = [float(i), float(i + 1), 0.0]
+            ids.append(tx.add_doc(f"d{i}", None, None, embedding_to_bytes(vec)))
+        tx.add_doc("no-emb", None, None, None)
+        matrix, emb_ids = tx.build_embeddings_matrix()
+        assert matrix.shape == (5, 3)
+        assert matrix.dtype == np.float32
+        np.testing.assert_array_equal(matrix[:, 0], np.arange(5, dtype=np.float32))
+        assert len(emb_ids) == 5
+        # row -> emb id -> doc id round trip
+        for row, emb_id in enumerate(emb_ids):
+            doc = tx.fetch_doc(tx.doc_id_for_emb_id(int(emb_id)), False)
+            assert doc["text"] == f"d{row}"
+    db.close()
+
+
+def test_build_embeddings_matrix_empty(db_path):
+    db = Database(db_path)
+    with db.transaction() as tx:
+        matrix, emb_ids = tx.build_embeddings_matrix()
+        assert matrix.shape[0] == 0
+        assert len(emb_ids) == 0
+    db.close()
+
+
+def test_edges_uniqueness_and_networkx(db_path):
+    import networkx as nx
+
+    db = Database(db_path)
+    with db.transaction() as tx:
+        a = tx.add_doc("a", None, None, None)
+        b = tx.add_doc("b", None, None, None)
+        r = tx.add_doc("r", None, None, None)
+        e1 = tx.add_edge(a, b, r, None)
+        with pytest.raises(RuntimeError):
+            tx.add_edge(a, b, r, 1.0)  # duplicate triplet
+        assert tx.count_edges() == 1
+
+        # undirected-only graph
+        g = tx.build_networkx_graph()
+        assert isinstance(g, nx.MultiGraph)
+        g = tx.build_networkx_graph(multigraph=False)
+        assert isinstance(g, nx.Graph)
+
+        # adding a directed edge flips the graph directed, and the
+        # undirected edge gets an explicit back-edge
+        tx.add_directed_edge(b, a, r, 2.0)
+        g = tx.build_networkx_graph(multigraph=False)
+        assert isinstance(g, nx.DiGraph)
+        assert g.has_edge(a, b) and g.has_edge(b, a)
+        assert g[b][a]["weight"] == 2.0
+        assert g[a][b]["edge_doc"] == r
+
+        tx.del_edge(e1)
+        assert tx.count_edges() == 1
+        with pytest.raises(KeyError):
+            tx.del_edge(e1)
+    db.close()
+
+
+def test_transaction_rollback(db_path):
+    db = Database(db_path)
+    with pytest.raises(RuntimeError, match="boom"):
+        with db.transaction() as tx:
+            tx.add_doc("doomed", None, None, None)
+            raise RuntimeError("boom")
+    with db.transaction() as tx:
+        assert tx.count_docs() == 0
+    db.close()
+
+
+def test_schema_version_checked(db_path):
+    db = Database(db_path)
+    db.check_or_set_schema_version()
+    with db.transaction() as tx:
+        assert tx.get_key("schema_version") == SCHEMA_VERSION
+        assert "created_datetime" in tx._debug_keyval()
+        tx.set_key("schema_version", 999)
+    db.close()
+    db = Database(db_path)
+    with pytest.raises(RuntimeError, match="schema version"):
+        db.check_or_set_schema_version()
+    db.close()
+
+
+def test_matrix_version_and_fingerprint(db_path):
+    db = Database(db_path)
+    with db.transaction() as tx:
+        assert tx.matrix_version() == 0
+        assert tx.bump_matrix_version() == 1
+        assert tx.bump_matrix_version() == 2
+        assert tx.embeddings_fingerprint() == (0, 0)
+        tx.add_doc("a", None, None, embedding_to_bytes([1.0]))
+        count, max_id = tx.embeddings_fingerprint()
+        assert (count, max_id) == (1, 1)
+    db.close()
