@@ -1,0 +1,158 @@
+"""Benchmark harness: reproduces the reference's headline configuration
+(1M docs x 1536 dims, exact cosine top-100; BASELINE.md) on the current
+JAX device and prints ONE JSON line to stdout:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+``vs_baseline`` is the speedup over the reference's published warm-query
+number on the same configuration (0.24 s at 1M x 1536,
+``/root/reference/README.md:129``); >1 means faster than the reference.
+
+Details and secondary metrics go to stderr.  Timing is fetch-based
+(``np.asarray`` of the result) — on tunneled TPU setups
+``block_until_ready`` can return before execution completes, so only a
+host round trip is trustworthy.
+
+Usage:
+    python bench.py                  # headline: 1M x 1536 bf16 top-100
+    python bench.py --preset smoke   # tiny CPU-safe sanity run
+    python bench.py --batch 256      # batched-throughput variant
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args) -> None:
+    print(*args, file=sys.stderr, flush=True)
+
+
+# Reference warm-query latencies (seconds) for the two corpus sizes it
+# published (BASELINE.md).
+REF_WARM_1M_S = 0.240
+REF_WARM_10K_S = 0.011
+
+PRESETS = {
+    # name: (n_docs, dim, k, ref_seconds)
+    "headline": (1_000_000, 1536, 100, REF_WARM_1M_S),
+    "dadjokes": (10_548, 1536, 100, REF_WARM_10K_S),
+    "smoke": (10_000, 256, 10, None),
+}
+
+
+def _percentile(values, q):
+    values = sorted(values)
+    idx = min(len(values) - 1, int(round(q * (len(values) - 1))))
+    return values[idx]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--preset", choices=PRESETS, default="headline")
+    parser.add_argument("--precision", choices=["f32", "bf16", "int8"],
+                        default="bf16")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="queries per retrieval step")
+    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--k", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from svs_tpu.ops.quant import quantize_rows_int8, score_topk_int8
+    from svs_tpu.ops.topk import score_topk
+
+    n, dim, k_default, ref_s = PRESETS[args.preset]
+    k = args.k or k_default
+    dev = jax.devices()[0]
+    log(f"device: {dev} | corpus {n}x{dim} {args.precision} | "
+        f"top-{k} | batch {args.batch}")
+
+    # --- build the packed corpus on device (synthetic, matches the
+    # reference's 1M-doc notebook which also used synthetic vectors) ------
+    dtype = jnp.bfloat16 if args.precision != "f32" else jnp.float32
+    t0 = time.perf_counter()
+
+    def synth(_):
+        # Deterministic pseudo-random corpus without PRNG machinery (RNG
+        # kernels can be pathologically slow on tunneled devices; timing is
+        # value-independent for a dense matmul anyway).
+        r = jax.lax.broadcasted_iota(jnp.float32, (n, dim), 0)
+        c = jax.lax.broadcasted_iota(jnp.float32, (n, dim), 1)
+        return jnp.sin(r * 0.9301 + c * 1.7113).astype(dtype)
+
+    docs = jax.jit(synth)(0)
+    row_scales = None
+    if args.precision == "int8":
+        docs, row_scales = jax.jit(quantize_rows_int8)(docs)
+    _ = np.asarray(docs[0, :1])  # force materialization
+    log(f"corpus generation+pack: {time.perf_counter() - t0:.2f}s "
+        f"({docs.size * docs.dtype.itemsize / 1e9:.2f} GB on device)")
+
+    n_valid = jnp.int32(n)
+    queries = [
+        jax.random.normal(jax.random.PRNGKey(100 + i), (args.batch, dim),
+                          dtype=jnp.float32)
+        for i in range(8)
+    ]
+
+    @jax.jit
+    def step(q):
+        if args.precision == "int8":
+            vals, idx = score_topk_int8(docs, row_scales, q, n_valid, k)
+        else:
+            vals, idx = score_topk(docs, q, n_valid, k)
+        # pack scores + indices into one array so the host round trip is a
+        # single fetch (indices bitcast losslessly to f32)
+        return jnp.concatenate(
+            [vals, jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=1
+        )
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    _ = np.asarray(step(queries[0]))
+    log(f"compile+first query: {time.perf_counter() - t0:.2f}s")
+
+    # timed: each iteration is one full query -> host-visible result
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        packed = np.asarray(step(queries[i % len(queries)]))
+        times.append(time.perf_counter() - t0)
+    vals = packed[:, :k]
+    idx = packed[:, k:].view(np.int32)
+    assert (idx >= 0).all() and (idx < n).all(), "padding leaked into top-k"
+
+    p50 = _percentile(times, 0.50)
+    p99 = _percentile(times, 0.99)
+    per_query = p50 / args.batch
+    log(f"p50 {p50 * 1e3:.3f} ms | p99 {p99 * 1e3:.3f} ms | "
+        f"per-query {per_query * 1e3:.4f} ms | "
+        f"QPS {args.batch / p50:,.0f}")
+
+    result = {
+        "metric": (
+            f"p50 exact cosine top-{k} over {n}x{dim} "
+            f"({args.precision}, batch={args.batch}, end-to-end incl. "
+            f"host round-trip)"
+        ),
+        "value": round(p50 * 1e3, 4),
+        "unit": "ms",
+        "vs_baseline": round(ref_s / per_query, 1) if ref_s else None,
+        "per_query_ms": round(per_query * 1e3, 4),
+        "qps": round(args.batch / p50, 1),
+        "p99_ms": round(p99 * 1e3, 4),
+        "device": str(dev),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Command-line interface: ``svs-tpu <command>`` (or ``python -m svs_tpu``).
+
+Commands:
+    info   <db>             - describe a knowledge base
+    pack   <db>             - pre-pack the corpus and write the sidecar
+    query  <db> <text>      - retrieve top-n documents for a query
+    pairs  <db>             - top pairwise-similar documents
+    gzip   <db>             - publish the shareable .gz artifact
+    bench  [...]            - run the benchmark harness (see bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+
+def _open_kb(args, **kw):
+    from .kb import KB
+
+    kw.setdefault("precision", getattr(args, "precision", "bf16"))
+    kw.setdefault("sidecar", "auto")
+    return KB(args.db, **kw)
+
+
+def cmd_info(args) -> int:
+    from .store.db import Database, SCHEMA_VERSION
+    import asyncio
+
+    from .utils import resolve_to_local_uncompressed_file
+
+    path = asyncio.run(resolve_to_local_uncompressed_file(args.db))
+    db = Database(path)
+    try:
+        with db.transaction() as tx:
+            info = {
+                "path": str(path),
+                "schema_version": tx._debug_keyval().get(
+                    "schema_version", SCHEMA_VERSION
+                ),
+                "docs": tx.count_docs(),
+                "embeddings": tx.count_embeddings(),
+                "embedding_dim": tx.embedding_dim(),
+                "edges": tx.count_edges(),
+                "user_keys": tx.count_keys_user(),
+                "matrix_version": tx.matrix_version(),
+            }
+            try:
+                info["embedding_func_params"] = json.loads(
+                    tx.get_key("embedding_func_params")
+                )
+            except KeyError:
+                info["embedding_func_params"] = None
+        print(json.dumps(info, indent=2))
+        return 0
+    finally:
+        db.close()
+
+
+def cmd_pack(args) -> int:
+    kb = _open_kb(args, sidecar=True)
+    try:
+        kb.load()
+        corpus = kb.engine.corpus
+        assert corpus is not None
+        print(
+            f"packed {corpus.n_valid} docs x {corpus.dim} dims "
+            f"({corpus.precision}, {corpus.nbytes_device() / 1e6:.1f} MB "
+            f"on device); sidecar written"
+        )
+        return 0
+    finally:
+        kb.close()
+
+
+def cmd_query(args) -> int:
+    kb = _open_kb(args)
+    try:
+        hits = kb.retrieve(args.text, args.n)
+        for hit in hits:
+            doc = hit["doc"]
+            print(f"{hit['score']:+.6f}  #{doc['id']}  {doc['text'][:120]}")
+        return 0
+    finally:
+        kb.close()
+
+
+def cmd_pairs(args) -> int:
+    kb = _open_kb(args)
+    try:
+        for score, d1, d2 in kb.document_top_pairwise_scores(args.n):
+            print(
+                f"{score:+.6f}  #{d1['id']} ~ #{d2['id']}  "
+                f"{d1['text'][:50]!r} ~ {d2['text'][:50]!r}"
+            )
+        return 0
+    finally:
+        kb.close()
+
+
+def cmd_gzip(args) -> int:
+    kb = _open_kb(args)
+    kb.close(vacuum=True, also_gzip=True)
+    print(f"wrote {args.db}.gz")
+    return 0
+
+
+def cmd_bench(argv) -> int:
+    import runpy
+    from pathlib import Path
+
+    bench = Path(__file__).parent.parent / "bench.py"
+    sys.argv = [str(bench)] + argv
+    runpy.run_path(str(bench), run_name="__main__")
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "bench":
+        return cmd_bench(argv[1:])
+
+    parser = argparse.ArgumentParser(prog="svs-tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("info", help="describe a knowledge base")
+    p.add_argument("db")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("pack", help="pre-pack the corpus + write sidecar")
+    p.add_argument("db")
+    p.add_argument("--precision", choices=["f32", "bf16", "int8"],
+                   default="bf16")
+    p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("query", help="retrieve top-n documents")
+    p.add_argument("db")
+    p.add_argument("text")
+    p.add_argument("-n", type=int, default=10)
+    p.add_argument("--precision", choices=["f32", "bf16", "int8"],
+                   default="bf16")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("pairs", help="top pairwise-similar documents")
+    p.add_argument("db")
+    p.add_argument("-n", type=int, default=10)
+    p.set_defaults(fn=cmd_pairs)
+
+    p = sub.add_parser("gzip", help="publish the .gz artifact")
+    p.add_argument("db")
+    p.set_defaults(fn=cmd_gzip)
+
+    sub.add_parser("bench", help="run the benchmark harness (see bench.py)")
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

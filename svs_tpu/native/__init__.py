@@ -1,0 +1,175 @@
+"""ctypes loader for the native fastpack library, with NumPy fallbacks.
+
+The shared object is compiled lazily on first use (``g++ -O3 -shared``)
+and cached next to the source; environments without a toolchain silently
+fall back to the NumPy implementations, so the native layer accelerates
+but never gates.  Disable entirely with ``SVS_TPU_NO_NATIVE=1``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "fastpack.cpp"
+_SO = _HERE / "_fastpack.so"
+_ABI = 1
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+_N_THREADS = min(16, os.cpu_count() or 1)
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-o", str(_SO), str(_SRC),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return ctypes.CDLL(str(_SO))
+    except (OSError, subprocess.SubprocessError) as exc:
+        log.info("fastpack native build unavailable (%s); using NumPy paths", exc)
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if os.environ.get("SVS_TPU_NO_NATIVE") == "1" or _build_failed:
+        return None
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        lib = None
+        if _SO.exists():
+            try:
+                lib = ctypes.CDLL(str(_SO))
+            except OSError:
+                lib = None
+        if lib is None:
+            lib = _build()
+        if lib is None or lib.fastpack_abi_version() != _ABI:
+            if lib is not None:
+                log.warning("fastpack ABI mismatch; rebuilding")
+                try:
+                    _SO.unlink()
+                except OSError:
+                    pass
+                lib = _build()
+        if lib is None:
+            _build_failed = True
+            return None
+        _configure(lib)
+        _lib = lib
+        return _lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    c = ctypes
+    lib.fastpack_f32_to_bf16.argtypes = [
+        c.POINTER(c.c_float), c.POINTER(c.c_uint16), c.c_size_t, c.c_int
+    ]
+    lib.fastpack_quantize_int8.argtypes = [
+        c.POINTER(c.c_float), c.POINTER(c.c_int8), c.POINTER(c.c_float),
+        c.c_size_t, c.c_size_t, c.c_int,
+    ]
+    lib.fastpack_normalize_rows.argtypes = [
+        c.POINTER(c.c_float), c.c_size_t, c.c_size_t, c.c_int
+    ]
+    lib.fastpack_topk_f32.argtypes = [
+        c.POINTER(c.c_float), c.c_size_t, c.c_int,
+        c.POINTER(c.c_float), c.POINTER(c.c_int32),
+    ]
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def _fptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def f32_to_bf16(matrix: np.ndarray) -> np.ndarray:
+    """Round-to-nearest-even f32 -> bf16 (multithreaded when native)."""
+    import ml_dtypes
+
+    matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+    lib = _get_lib()
+    if lib is None:
+        return matrix.astype(ml_dtypes.bfloat16)
+    out = np.empty(matrix.shape, dtype=np.uint16)
+    lib.fastpack_f32_to_bf16(
+        _fptr(matrix, ctypes.c_float), _fptr(out, ctypes.c_uint16),
+        matrix.size, _N_THREADS,
+    )
+    return out.view(ml_dtypes.bfloat16)
+
+
+def quantize_int8(matrix: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8 quantization on the host."""
+    matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+    rows, cols = matrix.shape
+    lib = _get_lib()
+    if lib is None:
+        absmax = np.abs(matrix).max(axis=1)
+        scales = np.maximum(absmax, 1e-30) / 127.0
+        q = np.clip(np.rint(matrix / scales[:, None]), -127, 127).astype(np.int8)
+        return q, scales.astype(np.float32)
+    q = np.empty((rows, cols), dtype=np.int8)
+    scales = np.empty((rows,), dtype=np.float32)
+    lib.fastpack_quantize_int8(
+        _fptr(matrix, ctypes.c_float), _fptr(q, ctypes.c_int8),
+        _fptr(scales, ctypes.c_float), rows, cols, _N_THREADS,
+    )
+    return q, scales
+
+
+def normalize_rows(matrix: np.ndarray) -> np.ndarray:
+    """L2-normalize rows in a copy of ``matrix``."""
+    matrix = np.array(matrix, dtype=np.float32, copy=True, order="C")
+    lib = _get_lib()
+    if lib is None:
+        norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+        np.divide(matrix, norms, out=matrix, where=norms > 1e-15)
+        return matrix
+    lib.fastpack_normalize_rows(
+        _fptr(matrix, ctypes.c_float), matrix.shape[0], matrix.shape[1],
+        _N_THREADS,
+    )
+    return matrix
+
+
+def topk_f32(scores: np.ndarray, k: int) -> List[Tuple[float, int]]:
+    """Exact top-k over a score vector — native CPU fallback mirroring the
+    device kernel and the Python oracle's tie semantics."""
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    kk = min(int(k), scores.size)
+    if kk <= 0:
+        return []
+    lib = _get_lib()
+    if lib is None:
+        from ..utils.topk_np import top_k_numpy
+
+        return top_k_numpy(scores, kk)
+    vals = np.empty((kk,), dtype=np.float32)
+    idx = np.empty((kk,), dtype=np.int32)
+    lib.fastpack_topk_f32(
+        _fptr(scores, ctypes.c_float), scores.size, kk,
+        _fptr(vals, ctypes.c_float), _fptr(idx, ctypes.c_int32),
+    )
+    return [(float(v), int(i)) for v, i in zip(vals, idx)]
