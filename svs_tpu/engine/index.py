@@ -239,9 +239,13 @@ class RetrievalEngine:
                 corpus.data, corpus.row_scales, q, n_valid, k_eff
             )
         else:
-            from ..ops.topk import score_topk
+            from ..ops.topk import score_topk, score_topk_fast
 
-            vals, idx = score_topk(corpus.data, q, n_valid, k_eff)
+            # Large corpora: verified-exact approx_max_k path (the full
+            # lax.top_k sort is the bottleneck at 1M rows); small ones:
+            # plain fused top-k.
+            search = score_topk_fast if corpus.n_padded >= 16384 else score_topk
+            vals, idx = search(corpus.data, q, n_valid, k_eff)
 
         return (
             np.asarray(vals, dtype=np.float32),

@@ -68,6 +68,58 @@ def score_topk(
     return masked_topk(scores, k, n_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def score_topk_fast(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused scoring + **verified-exact** fast top-k.
+
+    ``lax.top_k`` on TPU is far from memory-bound for large score vectors
+    (hundreds of microseconds per 1M-row query).  This path instead uses the
+    TPU-optimized ``lax.approx_max_k`` (PartialReduce) to pull an
+    over-provisioned candidate set, then *proves* exactness with one cheap
+    counting pass:
+
+      let v = the k-th largest candidate value, c = |candidates >= v|,
+      m = |all scores >= v|.  If m == c, no element >= v was missed, and
+      since the true k-th value t_k >= v, every true top-k element is in
+      the candidate set -> selecting top-k among candidates is exact.
+
+    If the check fails for any query in the batch (probability ~0 at 4x
+    over-provisioning), fall back to full ``lax.top_k`` inside ``lax.cond``
+    — so the result is always exact, and the fast path is just a fast path.
+    """
+    n = docs.shape[0]
+    scores = scores_matmul(docs, queries)
+    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    scores = jnp.where(live < n_valid, scores, NEG_INF)
+
+    c_width = min(n, max(4 * k, k + 128))
+    if c_width >= n:  # tiny corpus: nothing to accelerate
+        return jax.lax.top_k(scores, k)
+
+    cand_v, cand_i = jax.lax.approx_max_k(
+        scores, c_width, recall_target=0.95, aggregate_to_topk=True
+    )
+    kth = cand_v[:, k - 1 : k]  # [B, 1] (sorted desc by aggregate_to_topk)
+    in_cand = jnp.sum((cand_v >= kth).astype(jnp.int32), axis=1)
+    in_all = jnp.sum((scores >= kth).astype(jnp.int32), axis=1)
+    all_covered = jnp.all(in_cand == in_all)
+
+    def from_candidates(_):
+        vals, pos = jax.lax.top_k(cand_v, k)
+        return vals, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    def full_fallback(_):
+        vals, idx = jax.lax.top_k(scores, k)
+        return vals, idx
+
+    return jax.lax.cond(all_covered, from_candidates, full_fallback, None)
+
+
 def merge_topk(
     values: jax.Array, indices: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:

@@ -8,7 +8,12 @@ import pytest
 from svs_tpu.engine.packing import pad_matrix, pad_queries
 from svs_tpu.ops.pairwise import pairwise_topk_blocked
 from svs_tpu.ops.quant import quantize_rows_int8, score_topk_int8
-from svs_tpu.ops.topk import masked_topk, merge_topk, score_topk
+from svs_tpu.ops.topk import (
+    masked_topk,
+    merge_topk,
+    score_topk,
+    score_topk_fast,
+)
 from svs_tpu.utils.topk_np import top_k_numpy, top_pairs_numpy
 
 
@@ -56,6 +61,50 @@ def test_score_topk_k_equals_n(unit_rows):
     m, q, mp, qp = _setup(unit_rows, n=100)
     vals, idx = score_topk(jnp.asarray(mp), jnp.asarray(qp), jnp.int32(100), 100)
     assert sorted(np.asarray(idx)[0].tolist()) == list(range(100))
+
+
+@pytest.mark.parametrize("n,k", [(5000, 100), (2048, 10), (300, 100), (5000, 1)])
+def test_score_topk_fast_is_exact(unit_rows, n, k):
+    m = unit_rows(n, 48)
+    q = unit_rows(2, 48)
+    mp = pad_matrix(m)
+    qp = pad_queries(q, mp.shape[1])
+    nv = n - 7
+    kk = min(k, nv)
+    vals, idx = score_topk_fast(
+        jnp.asarray(mp), jnp.asarray(qp), jnp.int32(nv), kk
+    )
+    for b in range(2):
+        oracle = top_k_numpy(m[:nv] @ q[b], kk)
+        assert list(np.asarray(idx)[b]) == [i for _, i in oracle]
+        np.testing.assert_allclose(
+            np.asarray(vals)[b], [s for s, _ in oracle], rtol=1e-5
+        )
+
+
+def test_score_topk_fast_clustered_scores(unit_rows):
+    """Near-duplicate corpus: many candidates tie near the k-th boundary —
+    the verification counting must still guarantee exactness."""
+    base = unit_rows(1, 64)
+    noise = unit_rows(4096, 64) * 0.001
+    m = base + noise
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = base
+    mp = pad_matrix(m.astype(np.float32))
+    qp = pad_queries(q.astype(np.float32), mp.shape[1])
+    vals, idx = score_topk_fast(
+        jnp.asarray(mp), jnp.asarray(qp), jnp.int32(len(m)), 50
+    )
+    exact = m @ q[0]
+    oracle = top_k_numpy(exact, 50)
+    np.testing.assert_allclose(
+        np.asarray(vals)[0], [s for s, _ in oracle], rtol=1e-5
+    )
+    # XLA and NumPy matmuls differ in the last ulp, so among near-ties the
+    # exact index sets can legitimately differ; every selected doc must
+    # still score at least the oracle's k-th value (minus float slack).
+    kth = oracle[-1][0]
+    assert (exact[np.asarray(idx)[0]] >= kth - 1e-5).all()
 
 
 def test_merge_topk_exact():
