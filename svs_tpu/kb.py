@@ -87,6 +87,7 @@ from .utils import (
     resolve_to_local_uncompressed_file,
 )
 from .utils.topk_np import top_k_numpy
+from .utils.trace import QueryStats, phase, profiler_trace
 
 log = logging.getLogger(__name__)
 
@@ -314,6 +315,11 @@ class AsyncKB:
             precision=precision, rescore=rescore, mesh=mesh, device=device
         )
         self.sidecar = sidecar
+        self._stats = QueryStats()
+
+    def stats(self) -> Dict[str, Dict[str, float]]:
+        """Rolling per-phase timing stats (pack/embed/search/finalize)."""
+        return self._stats.snapshot()
 
     # -- plumbing -----------------------------------------------------------
 
@@ -750,34 +756,38 @@ class AsyncKB:
         batch (new capability; the reference is one-query-at-a-time)."""
         log.info("retrieving top %d for %d queries", n, len(queries))
         loop = asyncio.get_running_loop()
-        async with self._get_lock():
-            corpus = await self._ensure_engine_fresh()
+        with phase("pack", self._stats):
+            async with self._get_lock():
+                corpus = await self._ensure_engine_fresh()
         if corpus.n_valid == 0 or n <= 0:
             return [[] for _ in queries]
-        vectors = np.asarray(await self._embed(queries), dtype=np.float32)
+        with phase("embed", self._stats):
+            vectors = np.asarray(await self._embed(queries), dtype=np.float32)
         c = self.engine.candidate_count(n)
-        pre_vals, pre_rows = await loop.run_in_executor(
-            None, self.engine.topk, vectors, c
-        )
-        async with self._get_lock():
-            db = await self._ensure_db()
+        with phase("device_search", self._stats), profiler_trace("retrieve"):
+            pre_vals, pre_rows = await loop.run_in_executor(
+                None, self.engine.topk, vectors, c
+            )
+        with phase("finalize", self._stats):
+            async with self._get_lock():
+                db = await self._ensure_db()
 
-            def heavy() -> List[List[Retrieval]]:
-                with db.transaction() as tx:
-                    return [
-                        _finalize_retrieval(
-                            tx,
-                            corpus,
-                            vectors[b],
-                            pre_vals[b],
-                            pre_rows[b],
-                            n,
-                            self.engine.rescore,
-                        )
-                        for b in range(len(queries))
-                    ]
+                def heavy() -> List[List[Retrieval]]:
+                    with db.transaction() as tx:
+                        return [
+                            _finalize_retrieval(
+                                tx,
+                                corpus,
+                                vectors[b],
+                                pre_vals[b],
+                                pre_rows[b],
+                                n,
+                                self.engine.rescore,
+                            )
+                            for b in range(len(queries))
+                        ]
 
-            return await loop.run_in_executor(None, heavy)
+                return await loop.run_in_executor(None, heavy)
 
     async def document_top_pairwise_scores(
         self, n: int
@@ -840,6 +850,7 @@ class KB:
             precision=precision, rescore=rescore, mesh=mesh, device=device
         )
         self.sidecar = sidecar
+        self._stats = QueryStats()
         self._lock = threading.Lock()
         self._loop = EventLoopThread()
         self.db: Optional[Database] = None
@@ -853,6 +864,10 @@ class KB:
         except BaseException:
             self._loop.stop()
             raise
+
+    def stats(self) -> Dict[str, Dict[str, float]]:
+        """Rolling per-phase timing stats (pack/embed/search/finalize)."""
+        return self._stats.snapshot()
 
     # -- plumbing ------------------------------------------------------------
 
@@ -1130,15 +1145,17 @@ class KB:
 
     def retrieve_batch(self, queries: List[str], n: int) -> List[List[Retrieval]]:
         log.info("retrieving top %d for %d queries", n, len(queries))
-        with self._lock:
+        with phase("pack", self._stats), self._lock:
             corpus = self._ensure_engine_fresh()
         if corpus.n_valid == 0 or n <= 0:
             return [[] for _ in queries]
-        vectors = np.asarray(self._embed(queries), dtype=np.float32)
-        pre_vals, pre_rows = self.engine.topk(
-            vectors, self.engine.candidate_count(n)
-        )
-        with self._lock:
+        with phase("embed", self._stats):
+            vectors = np.asarray(self._embed(queries), dtype=np.float32)
+        with phase("device_search", self._stats), profiler_trace("retrieve"):
+            pre_vals, pre_rows = self.engine.topk(
+                vectors, self.engine.candidate_count(n)
+            )
+        with phase("finalize", self._stats), self._lock:
             db = self._require_db()
             with db.transaction() as tx:
                 return [
