@@ -65,6 +65,13 @@ class RetrievalEngine:
         #: for reduced-precision storage, off for f32.
         self.rescore = rescore if rescore is not None else precision != "f32"
         self.mesh = mesh
+        if mesh is not None:
+            assert data_axis in mesh.axis_names, (
+                f"mesh has axes {mesh.axis_names}, expected a {data_axis!r} axis"
+            )
+            # Convention: a mesh axis named 'model' shards the embedding dim.
+            if model_axis is None and "model" in mesh.axis_names:
+                model_axis = "model"
         self.data_axis = data_axis
         self.model_axis = model_axis
         self.device = device

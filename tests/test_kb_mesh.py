@@ -1,0 +1,84 @@
+"""KB facade with a device mesh: full retrieval pipeline (pack with
+sharded placement -> shard_map search -> merge -> rescore -> hydrate) on
+the 8-virtual-device CPU mesh, compared against an unsharded KB."""
+
+import jax
+import pytest
+
+from svs_tpu import KB
+from svs_tpu.parallel import default_mesh, mesh_2d
+
+from kb_helpers import make_angle_embedder
+
+
+@pytest.fixture(scope="module")
+def need_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def _populate(kb, n=40):
+    with kb.bulk_add_docs() as add:
+        for i in range(n):
+            add(f"angle:{(i * 7) % 360}")
+
+
+def test_kb_retrieve_on_1d_mesh_matches_unsharded(need_devices, tmp_path):
+    plain = KB(tmp_path / "plain.sqlite", make_angle_embedder())
+    _populate(plain)
+    expected = plain.retrieve("angle:33", 5)
+    plain.close()
+
+    sharded = KB(
+        tmp_path / "sharded.sqlite",
+        make_angle_embedder(),
+        mesh=default_mesh(),
+    )
+    _populate(sharded)
+    got = sharded.retrieve("angle:33", 5)
+    assert [h["doc"]["text"] for h in got] == [
+        h["doc"]["text"] for h in expected
+    ]
+    assert [h["score"] for h in got] == pytest.approx(
+        [h["score"] for h in expected], abs=1e-6
+    )
+    sharded.close()
+
+
+def test_kb_retrieve_on_2d_mesh(need_devices, tmp_path):
+    kb = KB(
+        tmp_path / "m2.sqlite",
+        make_angle_embedder(),
+        mesh=mesh_2d(4, 2),  # 'model' axis auto-shards the embedding dim
+        precision="f32",
+    )
+    _populate(kb, n=30)
+    hits = kb.retrieve("angle:0", 3)
+    assert hits[0]["doc"]["text"] == "angle:0"
+    kb.close()
+
+
+def test_kb_int8_on_mesh(need_devices, tmp_path):
+    kb = KB(
+        tmp_path / "m8.sqlite",
+        make_angle_embedder(),
+        mesh=default_mesh(),
+        precision="int8",
+    )
+    _populate(kb)
+    hits = kb.retrieve("angle:77", 3)
+    assert hits[0]["doc"]["text"] == "angle:77"  # exact via f32 rescore
+    kb.close()
+
+
+def test_kb_pairwise_on_mesh(need_devices, tmp_path):
+    kb = KB(
+        tmp_path / "mp.sqlite", make_angle_embedder(), mesh=default_mesh()
+    )
+    with kb.bulk_add_docs() as add:
+        for deg in [0, 4, 90, 180]:
+            add(f"angle:{deg}")
+    pairs = kb.document_top_pairwise_scores(1)
+    score, d1, d2 = pairs[0]
+    assert {d1["text"], d2["text"]} == {"angle:0", "angle:4"}
+    kb.close()
