@@ -281,12 +281,23 @@ class RetrievalEngine:
                 data.astype(jnp.float32) * corpus.row_scales[:, None]
             ).astype(jnp.bfloat16)
 
-        from ..ops.pairwise import pairwise_topk_blocked
+        if self.mesh is not None:
+            from ..parallel.pairwise_sharded import sharded_pairwise_topk
 
-        block_rows = min(256, corpus.n_padded)
-        vals, rows, cols = pairwise_topk_blocked(
-            data, jnp.int32(n), k_eff, block_rows=block_rows
-        )
+            vals, rows, cols = sharded_pairwise_topk(
+                data,
+                jnp.int32(n),
+                k_eff,
+                mesh=self.mesh,
+                data_axis=self.data_axis,
+            )
+        else:
+            from ..ops.pairwise import pairwise_topk_blocked
+
+            block_rows = min(256, corpus.n_padded)
+            vals, rows, cols = pairwise_topk_blocked(
+                data, jnp.int32(n), k_eff, block_rows=block_rows
+            )
         return (
             np.asarray(vals, dtype=np.float32),
             np.asarray(rows, dtype=np.int64),

@@ -85,6 +85,27 @@ def test_sharded_int8_model_axis_rejected(devices_available, unit_rows):
         )
 
 
+@pytest.mark.parametrize("n,k", [(500, 20), (1000, 7)])
+def test_sharded_pairwise_matches_oracle(devices_available, unit_rows, n, k):
+    from svs_tpu.parallel.pairwise_sharded import sharded_pairwise_topk
+    from svs_tpu.utils.topk_np import top_pairs_numpy
+
+    m = unit_rows(n, 32)
+    mp = pad_matrix(m, row_multiple=8 * 8)
+    mesh = default_mesh()
+    docs = jax.device_put(jnp.asarray(mp), NamedSharding(mesh, P("data", None)))
+    vals, rows, cols = sharded_pairwise_topk(
+        docs, jnp.int32(n), k, mesh=mesh
+    )
+    oracle = top_pairs_numpy(m @ m.T, k)
+    assert list(zip(np.asarray(rows), np.asarray(cols))) == [
+        (r, c) for _, r, c in oracle
+    ]
+    np.testing.assert_allclose(
+        np.asarray(vals), [s for s, _, _ in oracle], rtol=1e-4
+    )
+
+
 def test_sharded_k_larger_than_shard(devices_available, unit_rows):
     """k bigger than any single shard's row count still returns the exact
     global top-k (the per-shard k clamps to local rows)."""
