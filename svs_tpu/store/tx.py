@@ -301,18 +301,17 @@ class Tx:
         the cold-start path the 1M-doc benchmark measures.
         """
         dim = self.embedding_dim()
-        emb_ids: List[int] = []
-        blobs: List[bytes] = []
-        for emb_id, blob in self._conn.execute(
+        rows = self._conn.execute(
             "SELECT id, embedding FROM embeddings;"
-        ):
-            emb_ids.append(emb_id)
-            blobs.append(blob)
-        matrix = matrix_from_blob_rows(blobs, dim)
+        ).fetchall()
+        emb_ids = np.fromiter(
+            (r[0] for r in rows), dtype=np.int64, count=len(rows)
+        )
+        matrix = matrix_from_blob_rows([r[1] for r in rows], dim)
         if dim == 0:
             matrix = np.zeros((len(emb_ids), 0), dtype=np.float32)
         assert matrix.shape[0] == len(emb_ids)
-        return matrix, np.asarray(emb_ids, dtype=np.int64)
+        return matrix, emb_ids
 
     def fetch_embedding_rows(self, emb_ids: Sequence[int]) -> np.ndarray:
         """Fetch specific embeddings as a float32 matrix (rescore path)."""
