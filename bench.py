@@ -61,13 +61,25 @@ def main() -> None:
                         help="queries per retrieval step")
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--k", type=int, default=None)
+    parser.add_argument(
+        "--kernel",
+        choices=["topk", "fast", "pallas"],
+        default="fast",
+        help="selection kernel: full lax.top_k, verified-exact "
+        "approx_max_k, or the Pallas streaming kernel",
+    )
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from svs_tpu.ops.quant import quantize_rows_int8, score_topk_int8
-    from svs_tpu.ops.topk import score_topk
+    from svs_tpu.ops.pallas_topk import pallas_score_topk, pallas_supported
+    from svs_tpu.ops.quant import (
+        quantize_rows_int8,
+        score_topk_int8,
+        score_topk_int8_fast,
+    )
+    from svs_tpu.ops.topk import score_topk, score_topk_fast
 
     n, dim, k_default, ref_s = PRESETS[args.preset]
     k = args.k or k_default
@@ -77,6 +89,7 @@ def main() -> None:
 
     # --- build the packed corpus on device (synthetic, matches the
     # reference's 1M-doc notebook which also used synthetic vectors) ------
+    n_pad = ((n + 255) // 256) * 256  # tile-aligned, like engine packing
     dtype = jnp.bfloat16 if args.precision != "f32" else jnp.float32
     t0 = time.perf_counter()
 
@@ -84,8 +97,8 @@ def main() -> None:
         # Deterministic pseudo-random corpus without PRNG machinery (RNG
         # kernels can be pathologically slow on tunneled devices; timing is
         # value-independent for a dense matmul anyway).
-        r = jax.lax.broadcasted_iota(jnp.float32, (n, dim), 0)
-        c = jax.lax.broadcasted_iota(jnp.float32, (n, dim), 1)
+        r = jax.lax.broadcasted_iota(jnp.float32, (n_pad, dim), 0)
+        c = jax.lax.broadcasted_iota(jnp.float32, (n_pad, dim), 1)
         return jnp.sin(r * 0.9301 + c * 1.7113).astype(dtype)
 
     docs = jax.jit(synth)(0)
@@ -103,10 +116,19 @@ def main() -> None:
         for i in range(8)
     ]
 
+    if args.kernel == "pallas":
+        assert args.precision != "int8", "pallas kernel is float-only for now"
+        assert pallas_supported(n_pad, dim, k), "pallas unsupported for this shape"
+
     @jax.jit
     def step(q):
         if args.precision == "int8":
-            vals, idx = score_topk_int8(docs, row_scales, q, n_valid, k)
+            search8 = score_topk_int8 if args.kernel == "topk" else score_topk_int8_fast
+            vals, idx = search8(docs, row_scales, q, n_valid, k)
+        elif args.kernel == "pallas":
+            vals, idx = pallas_score_topk(docs, q, n_valid, k)
+        elif args.kernel == "fast":
+            vals, idx = score_topk_fast(docs, q, n_valid, k)
         else:
             vals, idx = score_topk(docs, q, n_valid, k)
         # pack scores + indices into one array so the host round trip is a
@@ -149,6 +171,7 @@ def main() -> None:
         "per_query_ms": round(per_query * 1e3, 4),
         "qps": round(args.batch / p50, 1),
         "p99_ms": round(p99 * 1e3, 4),
+        "kernel": args.kernel,
         "device": str(dev),
     }
     print(json.dumps(result), flush=True)

@@ -57,9 +57,15 @@ class RetrievalEngine:
         data_axis: str = "data",
         model_axis: Optional[str] = None,
         device: Optional[jax.Device] = None,
+        kernel: str = "auto",
     ) -> None:
         if precision not in ("f32", "bf16", "int8"):
             raise ValueError(f"unknown precision: {precision!r}")
+        if kernel not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown kernel: {kernel!r}")
+        #: 'xla' = fused matmul + (verified-fast) top-k; 'pallas' = the
+        #: streaming VMEM top-k kernel; 'auto' currently selects XLA.
+        self.kernel = kernel
         self.precision = precision
         #: Exact f32 re-ranking of the device candidate set.  Defaults on
         #: for reduced-precision storage, off for f32.
@@ -240,19 +246,34 @@ class RetrievalEngine:
                 model_axis=self.model_axis,
             )
         elif corpus.precision == "int8":
-            from ..ops.quant import score_topk_int8
+            from ..ops.quant import score_topk_int8, score_topk_int8_fast
 
-            vals, idx = score_topk_int8(
+            search8 = (
+                score_topk_int8_fast
+                if corpus.n_padded >= 16384
+                else score_topk_int8
+            )
+            vals, idx = search8(
                 corpus.data, corpus.row_scales, q, n_valid, k_eff
             )
         else:
+            from ..ops.pallas_topk import pallas_score_topk, pallas_supported
             from ..ops.topk import score_topk, score_topk_fast
 
-            # Large corpora: verified-exact approx_max_k path (the full
-            # lax.top_k sort is the bottleneck at 1M rows); small ones:
-            # plain fused top-k.
-            search = score_topk_fast if corpus.n_padded >= 16384 else score_topk
-            vals, idx = search(corpus.data, q, n_valid, k_eff)
+            if self.kernel == "pallas" and pallas_supported(
+                corpus.n_padded, corpus.dim_padded, k_eff
+            ):
+                vals, idx = pallas_score_topk(
+                    corpus.data, q, corpus.n_valid, k_eff
+                )
+            else:
+                # Large corpora: verified-exact approx_max_k path (the full
+                # lax.top_k sort is the bottleneck at 1M rows); small ones:
+                # plain fused top-k.
+                search = (
+                    score_topk_fast if corpus.n_padded >= 16384 else score_topk
+                )
+                vals, idx = search(corpus.data, q, n_valid, k_eff)
 
         return (
             np.asarray(vals, dtype=np.float32),

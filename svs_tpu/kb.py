@@ -304,6 +304,7 @@ class AsyncKB:
         mesh: Optional[Any] = None,
         device: Optional[Any] = None,
         sidecar: Union[bool, str] = "auto",
+        kernel: str = "auto",
     ):
         self.local_path_or_remote_url = local_path_or_remote_url
         self.db: Optional[Database] = None
@@ -312,7 +313,11 @@ class AsyncKB:
         self.embedding_func_orig = embedding_func
         self.force_fresh_db = force_fresh_db
         self.engine = RetrievalEngine(
-            precision=precision, rescore=rescore, mesh=mesh, device=device
+            precision=precision,
+            rescore=rescore,
+            mesh=mesh,
+            device=device,
+            kernel=kernel,
         )
         self.sidecar = sidecar
         self._stats = QueryStats()
@@ -842,12 +847,17 @@ class KB:
         mesh: Optional[Any] = None,
         device: Optional[Any] = None,
         sidecar: Union[bool, str] = "auto",
+        kernel: str = "auto",
     ):
         self.local_path_or_remote_url = local_path_or_remote_url
         self.embedding_func = embedding_func
         self.embedding_func_orig = embedding_func
         self.engine = RetrievalEngine(
-            precision=precision, rescore=rescore, mesh=mesh, device=device
+            precision=precision,
+            rescore=rescore,
+            mesh=mesh,
+            device=device,
+            kernel=kernel,
         )
         self.sidecar = sidecar
         self._stats = QueryStats()

@@ -233,15 +233,18 @@ def pallas_score_topk(
     queries: jax.Array,
     n_valid,
     k: int,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused streaming exact top-k.  Returns ``([B, k] f32, [B, k] int32)``.
 
     Requires ``pallas_supported(...)``; callers fall back to the XLA path
     otherwise.  ``queries`` rows are padded to a multiple of 8 internally.
+    On the CPU backend the kernel runs in interpreter mode automatically.
     """
     n, d = docs.shape
     assert pallas_supported(n, d, k), "caller must check pallas_supported"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     b = queries.shape[0]
     b_pad = max(8, ((b + 7) // 8) * 8)
     if b_pad != b:

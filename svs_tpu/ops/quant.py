@@ -34,6 +34,21 @@ def quantize_rows_int8(matrix: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scales
 
 
+def _int8_scores(q_docs, row_scales, queries):
+    q_queries, query_scales = quantize_rows_int8(queries)
+    raw = jax.lax.dot_general(
+        q_queries,
+        q_docs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [B, N] int32
+    return (
+        raw.astype(jnp.float32)
+        * row_scales[None, :]
+        * query_scales[:, None]
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def score_topk_int8(
     q_docs: jax.Array,
@@ -43,16 +58,22 @@ def score_topk_int8(
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Quantized scoring + top-k: ``[B, k]`` f32 values and int32 indices."""
-    q_queries, query_scales = quantize_rows_int8(queries)
-    raw = jax.lax.dot_general(
-        q_queries,
-        q_docs,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [B, N] int32
-    scores = (
-        raw.astype(jnp.float32)
-        * row_scales[None, :]
-        * query_scales[:, None]
-    )
-    return masked_topk(scores, k, n_valid)
+    return masked_topk(_int8_scores(q_docs, row_scales, queries), k, n_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def score_topk_int8_fast(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantized scoring + the verified-exact approx_max_k selection (see
+    ``ops.topk.score_topk_fast`` for the counting-proof argument)."""
+    from .topk import NEG_INF, verified_topk
+
+    scores = _int8_scores(q_docs, row_scales, queries)
+    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    scores = jnp.where(live < n_valid, scores, NEG_INF)
+    return verified_topk(scores, k)

@@ -68,14 +68,10 @@ def score_topk(
     return masked_topk(scores, k, n_valid)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def score_topk_fast(
-    docs: jax.Array,
-    queries: jax.Array,
-    n_valid: jax.Array,
-    k: int,
+def verified_topk(
+    scores: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused scoring + **verified-exact** fast top-k.
+    """**Verified-exact** fast top-k over pre-masked ``[B, N]`` scores.
 
     ``lax.top_k`` on TPU is far from memory-bound for large score vectors
     (hundreds of microseconds per 1M-row query).  This path instead uses the
@@ -92,14 +88,11 @@ def score_topk_fast(
     over-provisioning), fall back to full ``lax.top_k`` inside ``lax.cond``
     — so the result is always exact, and the fast path is just a fast path.
     """
-    n = docs.shape[0]
-    scores = scores_matmul(docs, queries)
-    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
-    scores = jnp.where(live < n_valid, scores, NEG_INF)
-
+    n = scores.shape[-1]
     c_width = min(n, max(4 * k, k + 128))
     if c_width >= n:  # tiny corpus: nothing to accelerate
-        return jax.lax.top_k(scores, k)
+        vals, idx = jax.lax.top_k(scores, k)
+        return vals, idx
 
     cand_v, cand_i = jax.lax.approx_max_k(
         scores, c_width, recall_target=0.95, aggregate_to_topk=True
@@ -118,6 +111,20 @@ def score_topk_fast(
         return vals, idx
 
     return jax.lax.cond(all_covered, from_candidates, full_fallback, None)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def score_topk_fast(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused scoring + :func:`verified_topk` selection."""
+    scores = scores_matmul(docs, queries)
+    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    scores = jnp.where(live < n_valid, scores, NEG_INF)
+    return verified_topk(scores, k)
 
 
 def merge_topk(

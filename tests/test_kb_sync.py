@@ -63,6 +63,22 @@ def test_retrieve_precisions_agree(db_path, precision):
     kb.close()
 
 
+def test_retrieve_via_pallas_kernel(db_path):
+    """kernel='pallas' routes retrieval through the streaming VMEM kernel
+    (interpreter mode on the CPU backend) — same exact results."""
+    kb = KB(db_path, make_angle_embedder(), kernel="pallas")
+    with kb.bulk_add_docs() as add:
+        for deg in range(0, 360, 6):
+            add(f"angle:{deg}")
+    # corpus pads to 256 rows (>= 2 tiles is required) -> add more docs
+    with kb.bulk_add_docs() as add:
+        for deg in range(0, 360, 1):
+            add(f"angle:{deg}.5")
+    hits = kb.retrieve("angle:12", 3)
+    assert hits[0]["doc"]["text"] in ("angle:12", "angle:11.5", "angle:12.5")
+    kb.close()
+
+
 def test_retrieve_batch(db_path):
     kb = KB(db_path, make_onehot_embedder())
     with kb.bulk_add_docs() as add:
