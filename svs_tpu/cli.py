@@ -100,6 +100,17 @@ def cmd_pairs(args) -> int:
         kb.close()
 
 
+def cmd_reembed(args) -> int:
+    from .embeddings import make_embeddings_func
+    from .tools import reembed
+    import json as _json
+
+    params = _json.loads(args.provider_params)
+    count = reembed(args.db, args.out, make_embeddings_func(params))
+    print(f"re-embedded {count} documents -> {args.out}")
+    return 0
+
+
 def cmd_gzip(args) -> int:
     kb = _open_kb(args)
     kb.close(vacuum=True, also_gzip=True)
@@ -147,6 +158,18 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("db")
     p.add_argument("-n", type=int, default=10)
     p.set_defaults(fn=cmd_pairs)
+
+    p = sub.add_parser(
+        "reembed", help="rebuild a KB with a different embedding provider"
+    )
+    p.add_argument("db")
+    p.add_argument("out")
+    p.add_argument(
+        "--provider-params",
+        required=True,
+        help='JSON, e.g. \'{"provider": "ollama", "model": "nomic-embed-text"}\'',
+    )
+    p.set_defaults(fn=cmd_reembed)
 
     p = sub.add_parser("gzip", help="publish the .gz artifact")
     p.add_argument("db")

@@ -1,0 +1,102 @@
+"""Maintenance workflows: re-embedding and near-duplicate discovery."""
+
+import math
+
+import pytest
+
+from svs_tpu import KB, make_mock_embeddings_func
+from svs_tpu.cli import main
+from svs_tpu.tools import find_near_duplicates, reembed
+
+from kb_helpers import make_angle_embedder, make_onehot_embedder
+
+
+def _angle16(deg_dim=16):
+    """A second, distinguishable deterministic provider (2-D rotations
+    padded to 16 dims) tagged as storable."""
+
+    async def embed(texts):
+        out = []
+        for t in texts:
+            deg = float(t.split(":")[1]) if t.startswith("angle:") else 0.0
+            rad = math.radians(deg)
+            v = [math.cos(rad), math.sin(rad)] + [0.0] * (deg_dim - 2)
+            out.append(v)
+        return out
+
+    embed.__embedding_func_params__ = {"provider": "mock"}
+    return embed
+
+
+def test_reembed_preserves_everything(tmp_path):
+    src_path = tmp_path / "src.sqlite"
+    src = KB(src_path, make_angle_embedder())
+    with src.bulk_add_docs() as add:
+        root = add("angle:0", meta={"kind": "root"})
+        kid = add("angle:10", parent_id=root)
+        bare = add("angle:20", no_embedding=True)
+    with src.bulk_graph_update() as g:
+        g.add_edge(root, kid, root, weight=1.25)
+    with src.bulk_keyval_update() as kv:
+        kv["source"] = "unit-test"
+    src.close()
+
+    dest_path = tmp_path / "dest.sqlite"
+    count = reembed(src_path, dest_path, _angle16())
+    assert count == 3
+
+    # reopen with the new provider passed explicitly (the tag we faked for
+    # storage points at the real 3-dim mock, which would mismatch)
+    dest = KB(dest_path, _angle16())
+    with dest.bulk_query_docs() as q:
+        assert q.count() == 3
+        docs = list(q.dfs_traversal(include_embedding=True))
+        by_text = {d["text"]: d for d in docs}
+        assert by_text["angle:10"]["parent_id"] == by_text["angle:0"]["id"]
+        assert by_text["angle:0"]["meta"] == {"kind": "root"}
+        assert len(by_text["angle:0"]["embedding"]) == 16  # new provider dim
+        assert by_text["angle:20"]["embedding"] is None  # stayed bare
+    with dest.bulk_graph_update() as g:
+        assert g.count_edges() == 1
+    with dest.bulk_keyval_update() as kv:
+        assert kv["source"] == "unit-test"
+    hits = dest.retrieve("angle:9", 1)
+    assert hits[0]["doc"]["text"] == "angle:10"
+    dest.close()
+
+
+def test_find_near_duplicates(db_path):
+    kb = KB(db_path, make_angle_embedder())
+    with kb.bulk_add_docs() as add:
+        for deg in [0, 1, 90, 180]:
+            add(f"angle:{deg}")
+    dups = find_near_duplicates(kb, threshold=0.999)
+    assert len(dups) == 1  # only the 0/1-degree pair
+    score, d1, d2 = dups[0]
+    assert score == pytest.approx(math.cos(math.radians(1)), abs=1e-6)
+    kb.close()
+
+
+def test_cli_reembed(tmp_path, capsys):
+    src = tmp_path / "s.sqlite"
+    kb = KB(src, make_onehot_embedder())
+    with kb.bulk_add_docs() as add:
+        add("vec:1"), add("vec:2")
+    kb.close()
+    out = tmp_path / "d.sqlite"
+    assert (
+        main(
+            [
+                "reembed",
+                str(src),
+                str(out),
+                "--provider-params",
+                '{"provider": "mock"}',
+            ]
+        )
+        == 0
+    )
+    assert "re-embedded 2 documents" in capsys.readouterr().out
+    dest = KB(out)
+    assert len(dest) == 2
+    dest.close()
