@@ -109,12 +109,15 @@ def pack_corpus(
     padded = pad_matrix(matrix, row_multiple=row_multiple, dim_multiple=dim_multiple)
 
     if precision == "int8":
-        from ..ops.quant import quantize_rows_int8
+        from ..native import quantize_int8
 
-        q, scales = quantize_rows_int8(jnp.asarray(padded))
-        data = jax.device_put(q, placement)
+        # Host-side quantization (bit-identical to the device quantizer,
+        # covered by tests) so only int8 bytes cross host->device, and
+        # sharded placements never bounce through a single device.
+        q, scales = quantize_int8(padded)
+        data = jax.device_put(jnp.asarray(q), placement)
         row_scales = jax.device_put(
-            scales, _scales_placement(placement)
+            jnp.asarray(scales), _scales_placement(placement)
         )
     elif precision == "bf16":
         from ..native import f32_to_bf16
