@@ -46,6 +46,14 @@ CANDIDATE_MULTIPLIER = 4
 CANDIDATE_MIN_EXTRA = 32
 
 
+@jax.jit
+def _pack_results(vals: jax.Array, idx: jax.Array) -> jax.Array:
+    """[B,k] f32 scores ++ bitcast int32 indices -> one [B, 2k] array."""
+    return jnp.concatenate(
+        [vals, jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=1
+    )
+
+
 class RetrievalEngine:
     """Packs the corpus onto device(s) and runs exact cosine top-k."""
 
@@ -231,6 +239,7 @@ class RetrievalEngine:
             )
         q = jnp.asarray(pad_queries(queries, corpus.dim_padded))
         n_valid = jnp.int32(corpus.n_valid)
+        b, k_pack = queries.shape[0], k_eff
 
         if self.mesh is not None:
             from ..parallel.sharded import sharded_score_topk
@@ -275,9 +284,15 @@ class RetrievalEngine:
                 )
                 vals, idx = search(corpus.data, q, n_valid, k_eff)
 
+        # One host round trip instead of two: indices bitcast losslessly
+        # into the score array's dtype and split host-side (each fetch is a
+        # full RPC on tunneled devices).
+        packed = np.asarray(
+            _pack_results(vals, idx.astype(jnp.int32))
+        )
         return (
-            np.asarray(vals, dtype=np.float32),
-            np.asarray(idx, dtype=np.int64),
+            packed[:, :k_pack].astype(np.float32, copy=False),
+            packed[:, k_pack:].view(np.int32).astype(np.int64),
         )
 
     def pairwise_topk(self, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
