@@ -109,15 +109,19 @@ def main():
         )
         log(f"  -> p50 {ms:.2f} ms  ({time.perf_counter() - t0:.0f}s total)")
 
-    pack = lambda v, i: jnp.concatenate(
-        [v, jax.lax.bitcast_convert_type(i, jnp.float32)], axis=1
+    # NOTE: the corpus must flow through as an ARGUMENT to the jitted
+    # search functions (they are jitted themselves) — wrapping them in an
+    # outer jit that closes over `docs` would embed 3 GB of constants into
+    # the lowered program and stall remote compilation for tens of minutes.
+    pack = jax.jit(
+        lambda v, i: jnp.concatenate(
+            [v, jax.lax.bitcast_convert_type(i, jnp.float32)], axis=1
+        )
     )
 
-    @jax.jit
     def xla_topk_b(q):
         return pack(*score_topk(docs, q, n_valid, k))
 
-    @jax.jit
     def xla_fast_b(q):
         return pack(*score_topk_fast(docs, q, n_valid, k))
 
@@ -130,7 +134,6 @@ def main():
         qd, scales = jax.jit(quantize_rows_int8)(docs)
         _ = np.asarray(scales[:1])
 
-        @jax.jit
         def int8_fast_b(q):
             return pack(*score_topk_int8_fast(qd, scales, q, n_valid, k))
 
@@ -139,7 +142,6 @@ def main():
 
     if "pallas" not in skip and pallas_supported(n_pad, dim, k):
 
-        @jax.jit
         def pallas_b(q):
             return pack(*pallas_score_topk(docs, q, n_valid, k))
 

@@ -47,6 +47,25 @@ CANDIDATE_MIN_EXTRA = 32
 
 
 @jax.jit
+def _write_rows(buf: jax.Array, new: jax.Array, n0) -> jax.Array:
+    start = (n0,) + (0,) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, new, start)
+
+
+def _grow_rows(
+    old: jax.Array, new: jax.Array, n0: int, row_multiple: int
+) -> jax.Array:
+    """Write ``new`` rows at offset ``n0`` of ``old`` (leading axis),
+    growing the zero-padded buffer to the next row multiple if needed."""
+    needed = n0 + new.shape[0]
+    if needed > old.shape[0]:
+        grown_rows = ((needed + row_multiple - 1) // row_multiple) * row_multiple
+        grown = jnp.zeros((grown_rows,) + old.shape[1:], old.dtype)
+        old = _write_rows(grown, old, 0)
+    return _write_rows(old, new, jnp.int32(n0))
+
+
+@jax.jit
 def _pack_results(vals: jax.Array, idx: jax.Array) -> jax.Array:
     """[B,k] f32 scores ++ bitcast int32 indices -> one [B, 2k] array."""
     return jnp.concatenate(
@@ -146,8 +165,8 @@ class RetrievalEngine:
             if self._corpus is not None and self._fingerprint == fingerprint:
                 return self._corpus
 
-            corpus = None
-            if sidecar_path is not None:
+            corpus = self._try_incremental_append(db, fingerprint)
+            if corpus is None and sidecar_path is not None:
                 corpus = self._try_sidecar(sidecar_path, fingerprint)
             if corpus is None:
                 log.info("packing corpus from store (fingerprint %s)", fingerprint)
@@ -165,6 +184,72 @@ class RetrievalEngine:
             self._corpus = corpus
             self._fingerprint = fingerprint
             return corpus
+
+    def _try_incremental_append(
+        self, db: Database, fingerprint: Tuple[int, int, int]
+    ) -> Optional[PackedCorpus]:
+        """Append-only fast path: when the only change since the last pack
+        is newly added embeddings (public bulk ops can only append new
+        embedding rows or delete; count/max-id deltas distinguish the two),
+        fetch just the new rows and write them into the padding region of
+        the device matrix instead of rescanning every BLOB.
+
+        Skipped under a mesh (appending to a sharded array would reshard
+        everything anyway).
+        """
+        old = self._corpus
+        if old is None or self._fingerprint is None or self.mesh is not None:
+            return None
+        _, old_count, old_max = self._fingerprint
+        _, new_count, new_max = fingerprint
+        added = new_count - old_count
+        if added <= 0 or added != new_max - old_max or old.n_valid != old_count:
+            return None
+        with db.transaction() as tx:
+            new_rows, new_ids = tx.fetch_embeddings_after(old_max)
+        if new_rows.shape[0] != added or (
+            old.n_valid and new_rows.shape[1] != old.dim
+        ):
+            return None
+        log.info("incremental append: +%d docs (no full repack)", added)
+
+        from .packing import pad_matrix as _pad
+
+        padded_new = np.zeros((added, old.dim_padded), dtype=np.float32)
+        padded_new[:, : new_rows.shape[1]] = new_rows
+        n0, n1 = old.n_valid, old.n_valid + added
+
+        if old.precision == "int8":
+            from ..native import quantize_int8
+
+            q_new, s_new = quantize_int8(padded_new)
+            data_new, scales_new = _grow_rows(
+                old.data, jnp.asarray(q_new), n0, self._row_multiple()
+            ), _grow_rows(
+                old.row_scales, jnp.asarray(s_new), n0, self._row_multiple()
+            )
+        else:
+            if old.precision == "bf16":
+                from ..native import f32_to_bf16
+
+                padded_new = f32_to_bf16(padded_new)
+            data_new = _grow_rows(
+                old.data,
+                jnp.asarray(padded_new, dtype=old.data.dtype),
+                n0,
+                self._row_multiple(),
+            )
+            scales_new = None
+
+        return PackedCorpus(
+            data=data_new,
+            row_scales=scales_new,
+            emb_ids=np.concatenate([old.emb_ids, new_ids]),
+            n_valid=n1,
+            dim=old.dim,
+            version=fingerprint[0],
+            precision=old.precision,
+        )
 
     def _try_sidecar(
         self, path: Union[str, Path], fingerprint: Tuple[int, int, int]

@@ -313,6 +313,20 @@ class Tx:
         assert matrix.shape[0] == len(emb_ids)
         return matrix, emb_ids
 
+    def fetch_embeddings_after(
+        self, after_emb_id: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """All embeddings with id > ``after_emb_id`` in id order — the
+        incremental-append packing path (bulk adds only ever append new
+        embedding rows with increasing ids)."""
+        rows = self._conn.execute(
+            "SELECT id, embedding FROM embeddings WHERE id > ? ORDER BY id;",
+            (after_emb_id,),
+        ).fetchall()
+        ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        dim = len(rows[0][1]) // 4 if rows else self.embedding_dim()
+        return matrix_from_blob_rows([r[1] for r in rows], dim), ids
+
     def fetch_embedding_rows(self, emb_ids: Sequence[int]) -> np.ndarray:
         """Fetch specific embeddings as a float32 matrix (rescore path)."""
         blobs = []

@@ -94,6 +94,61 @@ def test_pairwise_topk_via_engine(db_path, unit_rows):
 
 
 @pytest.mark.parametrize("precision", ["f32", "bf16", "int8"])
+def test_incremental_append_no_full_repack(db_path, unit_rows, precision, monkeypatch):
+    """Adding docs after a pack appends to the device matrix instead of
+    rescanning every BLOB (full rebuild is sabotaged to prove it)."""
+    from svs_tpu.store.tx import Tx
+    from svs_tpu.utils.topk_np import top_k_numpy
+
+    m1 = unit_rows(40, 8)
+    db = _fill(db_path, m1)
+    eng = RetrievalEngine(precision=precision)
+    c1 = eng.ensure_fresh(db)
+
+    m2 = unit_rows(300, 8)  # forces buffer growth past 256-row padding
+    with db.transaction() as tx:
+        for i, v in enumerate(m2):
+            tx.add_doc(f"x{i}", None, None,
+                       embedding_to_bytes(list(map(float, v))))
+        tx.bump_matrix_version()
+
+    def boom(self):
+        raise AssertionError("full repack should not happen")
+
+    monkeypatch.setattr(Tx, "build_embeddings_matrix", boom)
+    c2 = eng.ensure_fresh(db)
+    assert c2.n_valid == 340
+    assert c2.n_padded % 256 == 0 and c2.n_padded >= 340
+
+    full = np.concatenate([m1, m2])
+    q = unit_rows(1, 8)[0]
+    vals, rows = eng.topk(q, 5)
+    emb_ids = c2.emb_ids[rows[0]]
+    with db.transaction() as tx:
+        exact = tx.fetch_embedding_rows(emb_ids) @ q
+    got = [int(emb_ids[i]) for _, i in top_k_numpy(exact, 5)]
+    oracle_rows = [i for _, i in top_k_numpy(full @ q, 5)]
+    assert got == [int(c2.emb_ids[i]) for i in oracle_rows]
+    db.close()
+
+
+def test_incremental_append_not_used_after_delete(db_path, unit_rows):
+    """A delete breaks append-only detection -> full repack, still correct."""
+    m = unit_rows(20, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    eng.ensure_fresh(db)
+    with db.transaction() as tx:
+        doc_id = tx.doc_id_for_emb_id(int(eng.corpus.emb_ids[0]))
+        tx.del_doc(doc_id)
+        tx.add_doc("new", None, None, embedding_to_bytes([1.0] * 8))
+        tx.bump_matrix_version()
+    c2 = eng.ensure_fresh(db)
+    assert c2.n_valid == 20  # 20 - 1 + 1
+    db.close()
+
+
+@pytest.mark.parametrize("precision", ["f32", "bf16", "int8"])
 def test_sidecar_roundtrip(db_path, unit_rows, tmp_path, precision):
     m = unit_rows(70, 12)
     db = _fill(db_path, m)
