@@ -344,7 +344,7 @@ class RetrievalEngine:
 
             search8 = (
                 score_topk_int8_fast
-                if corpus.n_padded >= 16384
+                if corpus.n_padded >= 16384 and queries.shape[0] <= 16
                 else score_topk_int8
             )
             vals, idx = search8(
@@ -361,12 +361,13 @@ class RetrievalEngine:
                     corpus.data, q, corpus.n_valid, k_eff
                 )
             else:
-                # Large corpora: verified-exact approx_max_k path (the full
-                # lax.top_k sort is the bottleneck at 1M rows); small ones:
-                # plain fused top-k.
-                search = (
-                    score_topk_fast if corpus.n_padded >= 16384 else score_topk
-                )
+                # Large corpora at small batch: verified-exact approx_max_k
+                # path (the full lax.top_k sort dominates at 1M rows).  At
+                # large batch the verification's whole-batch fallback fires
+                # too often to pay for itself (any one query's approx miss
+                # reruns the full sort), so plain fused top-k wins there.
+                use_fast = corpus.n_padded >= 16384 and queries.shape[0] <= 16
+                search = score_topk_fast if use_fast else score_topk
                 vals, idx = search(corpus.data, q, n_valid, k_eff)
 
         # One host round trip instead of two: indices bitcast losslessly

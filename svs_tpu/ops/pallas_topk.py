@@ -39,7 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 #: Docs per grid step: the tile (TILE_ROWS x d_pad bf16) must fit VMEM with
-#: double buffering (0.75 MB at d_pad=1536).
+#: double buffering (0.75 MB at d_pad=1536).  Measured on v5e: wider tiles
+#: don't help B=1 and hurt batched queries (pruning fires less often when
+#: any query in the batch keeps a tile alive).
 TILE_ROWS = 256
 
 #: Carry width = top-k capacity (one 128-lane register row).
@@ -143,26 +145,36 @@ def _topk_kernel(nv_ref, q_ref, sort_masks_ref, merge_masks_ref, docs_ref,
     ).astype(jnp.float32)
     scores = jnp.where(gcol < nv_ref[0], scores, NEG_INF)
 
-    # VPU: sort the tile ASCENDING so its top-K occupies the last lanes in
-    # ascending order; carry(desc) ++ tile-top(asc) is bitonic, so one
-    # descending merge finishes the fold.
-    tile_vals, tile_idx = scores, gcol
-    for i, stride in enumerate(_TILE_SORT_STRIDES):
-        tile_vals, tile_idx = _compare_exchange(
-            tile_vals, tile_idx, stride, sort_masks_ref[i : i + 1, :]
+    # Threshold pruning: a tile whose best score (per query) cannot beat
+    # the current k-th best contributes nothing — skip the whole sort
+    # network.  After the carry warms up, almost every tile is skipped and
+    # the kernel runs at matmul speed (the HBM floor).
+    tile_best = jnp.max(scores, axis=1, keepdims=True)  # [B, 1]
+    carry_worst = carry_vals[:, CARRY_K - 1 : CARRY_K]
+    useful = jnp.any(tile_best > carry_worst)
+
+    @pl.when(useful)
+    def _fold():
+        # VPU: sort the tile ASCENDING so its top-K occupies the last lanes
+        # in ascending order; carry(desc) ++ tile-top(asc) is bitonic, so
+        # one descending merge finishes the fold.
+        tile_vals, tile_idx = scores, gcol
+        for i, stride in enumerate(_TILE_SORT_STRIDES):
+            tile_vals, tile_idx = _compare_exchange(
+                tile_vals, tile_idx, stride, sort_masks_ref[i : i + 1, :]
+            )
+        merged_v = jnp.concatenate(
+            [carry_vals[:], tile_vals[:, -CARRY_K:]], axis=1
         )
-    merged_v = jnp.concatenate(
-        [carry_vals[:], tile_vals[:, -CARRY_K:]], axis=1
-    )
-    merged_i = jnp.concatenate(
-        [carry_idx[:], tile_idx[:, -CARRY_K:]], axis=1
-    )
-    for i, stride in enumerate(_MERGE_STRIDES):
-        merged_v, merged_i = _compare_exchange(
-            merged_v, merged_i, stride, merge_masks_ref[i : i + 1, :]
+        merged_i = jnp.concatenate(
+            [carry_idx[:], tile_idx[:, -CARRY_K:]], axis=1
         )
-    carry_vals[:] = merged_v[:, :CARRY_K]
-    carry_idx[:] = merged_i[:, :CARRY_K]
+        for i, stride in enumerate(_MERGE_STRIDES):
+            merged_v, merged_i = _compare_exchange(
+                merged_v, merged_i, stride, merge_masks_ref[i : i + 1, :]
+            )
+        carry_vals[:] = merged_v[:, :CARRY_K]
+        carry_idx[:] = merged_i[:, :CARRY_K]
 
     @pl.when(step == n_steps - 1)
     def _emit():

@@ -79,10 +79,13 @@ def verified_topk(
     over-provisioned candidate set, then *proves* exactness with one cheap
     counting pass:
 
-      let v = the k-th largest candidate value, c = |candidates >= v|,
-      m = |all scores >= v|.  If m == c, no element >= v was missed, and
-      since the true k-th value t_k >= v, every true top-k element is in
-      the candidate set -> selecting top-k among candidates is exact.
+      let v = the k-th largest candidate value.  If the number of elements
+      STRICTLY greater than v matches between the candidate set and the
+      full array, then no element above v was missed; the candidate top-k
+      (all elements > v, padded to k with v-valued ties) has exactly the
+      true top-k score multiset.  Ties at v itself are interchangeable, so
+      the strict comparison keeps the proof robust on tie-heavy corpora
+      (an ``>=`` version falls back almost always when scores repeat).
 
     If the check fails for any query in the batch (probability ~0 at 4x
     over-provisioning), fall back to full ``lax.top_k`` inside ``lax.cond``
@@ -94,12 +97,17 @@ def verified_topk(
         vals, idx = jax.lax.top_k(scores, k)
         return vals, idx
 
+    # High recall target: at 0.95 the expected misses land above the k-th
+    # candidate often enough that the proof fails (and the fallback runs)
+    # for ~half of realistic queries, making the "fast" path pay for both
+    # stages.  0.999 keeps PartialReduce cheap and the proof almost always
+    # passing.
     cand_v, cand_i = jax.lax.approx_max_k(
-        scores, c_width, recall_target=0.95, aggregate_to_topk=True
+        scores, c_width, recall_target=0.999, aggregate_to_topk=True
     )
     kth = cand_v[:, k - 1 : k]  # [B, 1] (sorted desc by aggregate_to_topk)
-    in_cand = jnp.sum((cand_v >= kth).astype(jnp.int32), axis=1)
-    in_all = jnp.sum((scores >= kth).astype(jnp.int32), axis=1)
+    in_cand = jnp.sum((cand_v > kth).astype(jnp.int32), axis=1)
+    in_all = jnp.sum((scores > kth).astype(jnp.int32), axis=1)
     all_covered = jnp.all(in_cand == in_all)
 
     def from_candidates(_):
