@@ -20,6 +20,36 @@ async def test_lazy_init_and_reopen_from_params(db_path):
     await kb2.close()
 
 
+async def test_close_on_new_db_without_func_raises(db_path):
+    """Even close() forces open-time reconciliation on a brand-new DB
+    (reference parity: ``tests/test_kb.py:922-928``)."""
+    kb = AsyncKB(db_path)
+    with pytest.raises(RuntimeError, match="No embedding function"):
+        await kb.close()
+
+
+async def test_embedding_func_reset_on_close(db_path):
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    await kb.load()
+    await kb.close()
+    kb2 = AsyncKB(db_path)  # restored from DB...
+    await kb2.load()
+    assert kb2.embedding_func is not None
+    await kb2.close()
+    assert kb2.embedding_func is None  # ...and reset to the ctor value
+
+
+async def test_gzip_artifact_bytes_match_db(db_path):
+    import gzip as gz
+
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    async with kb.bulk_add_docs() as add:
+        await add("content")
+    await kb.close(also_gzip=True)
+    with gz.open(f"{db_path}.gz", "rb") as f:
+        assert f.read() == db_path.read_bytes()
+
+
 async def test_no_func_anywhere_raises(db_path):
     kb = AsyncKB(db_path)
     with pytest.raises(RuntimeError, match="No embedding function"):
@@ -179,6 +209,51 @@ async def test_close_gzip(db_path):
     async with kb2.bulk_query_docs() as q:
         assert await q.count() == 1
     await kb2.close()
+
+
+async def test_reference_retrieval_scenario(db_path):
+    """The reference suite's canonical retrieve scenario (substring-keyed
+    embedder, exact orderings, freshness across add/delete —
+    ``tests/test_kb.py:1205-1318``), replayed verbatim against this
+    implementation."""
+
+    async def embed(texts):
+        table = {
+            "first": [1.0, 0.001, 0.0],
+            "second": [0.0, 1.0, 0.0001],
+            "third": [0.01, 0.0, 1.0],
+            "forth": [0.707, 0.707, 0.0],
+        }
+        return [next(v for key, v in table.items() if key in t) for t in texts]
+
+    kb = AsyncKB(db_path, embed)
+    async with kb.bulk_add_docs() as add_doc:
+        assert await add_doc("third doc") == 1
+        assert await add_doc("first doc") == 2
+        assert await add_doc("second doc") == 3
+
+    for query, order in [
+        ("... first ...", ["first doc", "third doc", "second doc"]),
+        ("... second ...", ["second doc", "first doc", "third doc"]),
+        ("... third ...", ["third doc", "first doc", "second doc"]),
+    ]:
+        docs = await kb.retrieve(query, n=3)
+        assert [d["doc"]["text"] for d in docs] == order
+
+    records = await kb.document_top_pairwise_scores(n=2)
+    assert [(a["id"], b["id"]) for _, a, b in records] == [(1, 2), (2, 3)]
+
+    # freshness across an add...
+    assert (await kb.retrieve("... forth ...", 1))[0]["doc"]["text"] == "first doc"
+    async with kb.bulk_add_docs() as add_doc:
+        assert await add_doc("forth doc") == 4
+    assert (await kb.retrieve("... forth ...", 1))[0]["doc"]["text"] == "forth doc"
+
+    # ...and across deletes
+    async with kb.bulk_del_docs() as del_doc:
+        await del_doc(1), await del_doc(2), await del_doc(4)
+    assert (await kb.retrieve("... forth ...", 1))[0]["doc"]["text"] == "second doc"
+    await kb.close()
 
 
 async def test_concurrent_retrieves(db_path):
