@@ -64,9 +64,10 @@ def main() -> None:
     parser.add_argument(
         "--kernel",
         choices=["topk", "fast", "pallas"],
-        default="fast",
-        help="selection kernel: full lax.top_k, verified-exact "
-        "approx_max_k, or the Pallas streaming kernel",
+        default="topk",
+        help="selection kernel: fused lax.top_k (measured fastest at all "
+        "batch sizes on v5e), verified-exact approx_max_k, or the Pallas "
+        "streaming kernel",
     )
     args = parser.parse_args()
 

@@ -340,19 +340,17 @@ class RetrievalEngine:
                 model_axis=self.model_axis,
             )
         elif corpus.precision == "int8":
-            from ..ops.quant import score_topk_int8, score_topk_int8_fast
+            from ..ops.quant import score_topk_int8
 
-            search8 = (
-                score_topk_int8_fast
-                if corpus.n_padded >= 16384 and queries.shape[0] <= 16
-                else score_topk_int8
-            )
-            vals, idx = search8(
+            # Measured on v5e: XLA's fused matmul+top_k beats the
+            # approx_max_k-verified variant at every batch size (see
+            # BENCHMARKS.md), so the plain path is the default everywhere.
+            vals, idx = score_topk_int8(
                 corpus.data, corpus.row_scales, q, n_valid, k_eff
             )
         else:
             from ..ops.pallas_topk import pallas_score_topk, pallas_supported
-            from ..ops.topk import score_topk, score_topk_fast
+            from ..ops.topk import score_topk
 
             if self.kernel == "pallas" and pallas_supported(
                 corpus.n_padded, corpus.dim_padded, k_eff
@@ -361,14 +359,7 @@ class RetrievalEngine:
                     corpus.data, q, corpus.n_valid, k_eff
                 )
             else:
-                # Large corpora at small batch: verified-exact approx_max_k
-                # path (the full lax.top_k sort dominates at 1M rows).  At
-                # large batch the verification's whole-batch fallback fires
-                # too often to pay for itself (any one query's approx miss
-                # reruns the full sort), so plain fused top-k wins there.
-                use_fast = corpus.n_padded >= 16384 and queries.shape[0] <= 16
-                search = score_topk_fast if use_fast else score_topk
-                vals, idx = search(corpus.data, q, n_valid, k_eff)
+                vals, idx = score_topk(corpus.data, q, n_valid, k_eff)
 
         # One host round trip instead of two: indices bitcast losslessly
         # into the score array's dtype and split host-side (each fetch is a
