@@ -90,8 +90,8 @@ class RetrievalEngine:
             raise ValueError(f"unknown precision: {precision!r}")
         if kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown kernel: {kernel!r}")
-        #: 'xla' = fused matmul + (verified-fast) top-k; 'pallas' = the
-        #: streaming VMEM top-k kernel; 'auto' currently selects XLA.
+        #: 'xla' = fused matmul + top-k (measured fastest; 'auto' selects
+        #: it); 'pallas' = the streaming VMEM top-k kernel.
         self.kernel = kernel
         self.precision = precision
         #: Exact f32 re-ranking of the device candidate set.  Defaults on
@@ -213,8 +213,6 @@ class RetrievalEngine:
             return None
         log.info("incremental append: +%d docs (no full repack)", added)
 
-        from .packing import pad_matrix as _pad
-
         padded_new = np.zeros((added, old.dim_padded), dtype=np.float32)
         padded_new[:, : new_rows.shape[1]] = new_rows
         n0, n1 = old.n_valid, old.n_valid + added
@@ -254,7 +252,7 @@ class RetrievalEngine:
     def _try_sidecar(
         self, path: Union[str, Path], fingerprint: Tuple[int, int, int]
     ) -> Optional[PackedCorpus]:
-        loaded = load_sidecar(path, expected_version=fingerprint[0])
+        loaded = load_sidecar(path, expected_version=fingerprint)
         if loaded is None:
             return None
         data, row_scales, emb_ids, header = loaded
@@ -290,7 +288,7 @@ class RetrievalEngine:
 
     def write_sidecar(self, path: Union[str, Path]) -> None:
         assert self._corpus is not None, "nothing packed yet"
-        save_sidecar(path, self._corpus)
+        save_sidecar(path, self._corpus, fingerprint=self._fingerprint)
 
     # -- search ---------------------------------------------------------------
 

@@ -49,8 +49,14 @@ def sidecar_path_for(db_path: Union[str, Path]) -> Path:
     return Path(f"{db_path}.svsx")
 
 
-def save_sidecar(path: Union[str, Path], corpus) -> None:
-    """Persist a :class:`~svs_tpu.engine.packing.PackedCorpus` to ``path``."""
+def save_sidecar(path: Union[str, Path], corpus, fingerprint=None) -> None:
+    """Persist a :class:`~svs_tpu.engine.packing.PackedCorpus` to ``path``.
+
+    ``fingerprint`` is the store's full ``(matrix_version, count, max_id)``
+    at pack time; staleness is checked against all three so even databases
+    mutated by tools that don't bump the version counter (e.g. the
+    reference implementation) can never serve a stale sidecar.
+    """
     header = {
         "format": _FORMAT,
         "n_valid": corpus.n_valid,
@@ -59,6 +65,7 @@ def save_sidecar(path: Union[str, Path], corpus) -> None:
         "dim_padded": corpus.dim_padded,
         "precision": corpus.precision,
         "matrix_version": corpus.version,
+        "fingerprint": list(fingerprint) if fingerprint is not None else None,
     }
     header_bytes = json.dumps(header).encode()
     data_np = np.asarray(corpus.data)  # device -> host, stays packed dtype
@@ -98,17 +105,22 @@ def load_sidecar(
     if header.get("format") != _FORMAT:
         log.warning("sidecar %s: unsupported format; ignoring", path)
         return None
-    if (
-        expected_version is not None
-        and header["matrix_version"] != expected_version
-    ):
-        log.info(
-            "sidecar %s is stale (has v%s, store at v%s); rebuilding",
-            path,
-            header["matrix_version"],
-            expected_version,
+    stored = header.get("fingerprint")
+    if expected_version is not None:
+        expected = (
+            list(expected_version)
+            if isinstance(expected_version, (tuple, list))
+            else [expected_version]
         )
-        return None
+        have = stored if stored is not None else [header["matrix_version"]]
+        if have[: len(expected)] != expected:
+            log.info(
+                "sidecar %s is stale (has %s, store at %s); rebuilding",
+                path,
+                have,
+                expected,
+            )
+            return None
 
     dtype = _NP_DTYPES[header["precision"]]
     n_valid = header["n_valid"]

@@ -184,6 +184,26 @@ def test_sidecar_stale_is_ignored(db_path, unit_rows, tmp_path):
     db.close()
 
 
+def test_sidecar_stale_even_without_version_bump(db_path, unit_rows, tmp_path):
+    """A foreign writer (e.g. the reference impl) mutates embeddings WITHOUT
+    bumping matrix_version — the sidecar must still be recognized as stale
+    via the count/max-id fingerprint."""
+    m = unit_rows(30, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    eng.ensure_fresh(db)
+    side = tmp_path / "s.svsx"
+    eng.write_sidecar(side)
+
+    with db.transaction() as tx:  # no bump_matrix_version (foreign writer)
+        tx.add_doc("foreign", None, None, embedding_to_bytes([1.0] * 8))
+
+    eng2 = RetrievalEngine(precision="f32")
+    c2 = eng2.ensure_fresh(db, sidecar_path=side)
+    assert c2.n_valid == 31  # rebuilt, not served stale from the sidecar
+    db.close()
+
+
 def test_sidecar_precision_mismatch_rebuilds(db_path, unit_rows, tmp_path):
     m = unit_rows(30, 8)
     db = _fill(db_path, m)
