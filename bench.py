@@ -136,10 +136,9 @@ def main() -> None:
         else:
             vals, idx = score_topk(corpus, q, n_valid, k)
         # pack scores + indices into one array so the host round trip is a
-        # single fetch (indices bitcast losslessly to f32)
-        return jnp.concatenate(
-            [vals, jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=1
-        )
+        # single fetch (indices as f32 VALUES — exact below 2^24; bitcasts
+        # produce denormals that some transports flush to zero)
+        return jnp.concatenate([vals, idx.astype(jnp.float32)], axis=1)
 
     # warmup / compile
     t0 = time.perf_counter()
@@ -153,8 +152,9 @@ def main() -> None:
         packed = np.asarray(step(docs, row_scales, queries[i % len(queries)]))
         times.append(time.perf_counter() - t0)
     vals = packed[:, :k]
-    idx = packed[:, k:].view(np.int32)
+    idx = packed[:, k:].astype(np.int64)
     assert (idx >= 0).all() and (idx < n).all(), "padding leaked into top-k"
+    assert len(np.unique(idx[0])) == k, "duplicate/corrupted indices"
 
     p50 = _percentile(times, 0.50)
     p99 = _percentile(times, 0.99)

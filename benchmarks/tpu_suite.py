@@ -113,10 +113,9 @@ def main():
     # search functions (they are jitted themselves) — wrapping them in an
     # outer jit that closes over `docs` would embed 3 GB of constants into
     # the lowered program and stall remote compilation for tens of minutes.
+    # indices as f32 values (bitcast denormals get flushed by the tunnel)
     pack = jax.jit(
-        lambda v, i: jnp.concatenate(
-            [v, jax.lax.bitcast_convert_type(i, jnp.float32)], axis=1
-        )
+        lambda v, i: jnp.concatenate([v, i.astype(jnp.float32)], axis=1)
     )
 
     def xla_topk_b(q):

@@ -67,10 +67,14 @@ def _grow_rows(
 
 @jax.jit
 def _pack_results(vals: jax.Array, idx: jax.Array) -> jax.Array:
-    """[B,k] f32 scores ++ bitcast int32 indices -> one [B, 2k] array."""
-    return jnp.concatenate(
-        [vals, jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=1
-    )
+    """[B,k] f32 scores ++ f32-VALUED indices -> one [B, 2k] array.
+
+    Indices ride as float *values* (exact below 2^24 rows), NOT bitcasts:
+    small ints bitcast to denormal floats, and at least one transport
+    (the axon TPU tunnel) flushes denormals to zero in transit, silently
+    zeroing every index.
+    """
+    return jnp.concatenate([vals, idx.astype(jnp.float32)], axis=1)
 
 
 class RetrievalEngine:
@@ -359,15 +363,15 @@ class RetrievalEngine:
             else:
                 vals, idx = score_topk(corpus.data, q, n_valid, k_eff)
 
-        # One host round trip instead of two: indices bitcast losslessly
-        # into the score array's dtype and split host-side (each fetch is a
-        # full RPC on tunneled devices).
+        # One host round trip instead of two (each fetch is a full RPC on
+        # tunneled devices); indices come back as exact f32 values.
+        assert corpus.n_padded < (1 << 24), "f32-packed indices need n < 2^24"
         packed = np.asarray(
             _pack_results(vals, idx.astype(jnp.int32))
         )
         return (
             packed[:, :k_pack].astype(np.float32, copy=False),
-            packed[:, k_pack:].view(np.int32).astype(np.int64),
+            packed[:, k_pack:].astype(np.int64),
         )
 
     def pairwise_topk(self, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

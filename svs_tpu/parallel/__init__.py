@@ -10,5 +10,13 @@ not scores".
 
 from .mesh import default_mesh, mesh_2d
 from .sharded import sharded_score_topk
+from .pairwise_sharded import sharded_pairwise_topk
+from . import multihost
 
-__all__ = ["default_mesh", "mesh_2d", "sharded_score_topk"]
+__all__ = [
+    "default_mesh",
+    "mesh_2d",
+    "sharded_score_topk",
+    "sharded_pairwise_topk",
+    "multihost",
+]
