@@ -67,14 +67,11 @@ def _grow_rows(
 
 @jax.jit
 def _pack_results(vals: jax.Array, idx: jax.Array) -> jax.Array:
-    """[B,k] f32 scores ++ f32-VALUED indices -> one [B, 2k] array.
+    """One-dispatch packing for paths that return (vals, idx) pairs; see
+    ``ops.topk.pack_vals_idx`` for why indices travel as f32 values."""
+    from ..ops.topk import pack_vals_idx
 
-    Indices ride as float *values* (exact below 2^24 rows), NOT bitcasts:
-    small ints bitcast to denormal floats, and at least one transport
-    (the axon TPU tunnel) flushes denormals to zero in transit, silently
-    zeroing every index.
-    """
-    return jnp.concatenate([vals, idx.astype(jnp.float32)], axis=1)
+    return pack_vals_idx(vals, idx)
 
 
 class RetrievalEngine:
@@ -328,7 +325,14 @@ class RetrievalEngine:
         n_valid = jnp.int32(corpus.n_valid)
         b, k_pack = queries.shape[0], k_eff
 
+        # Every path returns ONE packed array ([B, k] scores ++ indices as
+        # exact f32 values) from as few device dispatches as possible —
+        # each dispatch/fetch is a full RPC round trip on tunneled devices.
+        # (Measured on v5e: XLA's fused matmul+top_k beats the
+        # approx_max_k-verified variant at every batch size; BENCHMARKS.md.)
+        assert corpus.n_padded < (1 << 24), "f32-packed indices need n < 2^24"
         if self.mesh is not None:
+            from ..ops.topk import pack_vals_idx
             from ..parallel.sharded import sharded_score_topk
 
             vals, idx = sharded_score_topk(
@@ -341,18 +345,16 @@ class RetrievalEngine:
                 data_axis=self.data_axis,
                 model_axis=self.model_axis,
             )
+            packed_dev = _pack_results(vals, idx)
         elif corpus.precision == "int8":
-            from ..ops.quant import score_topk_int8
+            from ..ops.quant import score_topk_int8_packed
 
-            # Measured on v5e: XLA's fused matmul+top_k beats the
-            # approx_max_k-verified variant at every batch size (see
-            # BENCHMARKS.md), so the plain path is the default everywhere.
-            vals, idx = score_topk_int8(
+            packed_dev = score_topk_int8_packed(
                 corpus.data, corpus.row_scales, q, n_valid, k_eff
             )
         else:
             from ..ops.pallas_topk import pallas_score_topk, pallas_supported
-            from ..ops.topk import score_topk
+            from ..ops.topk import score_topk_packed
 
             if self.kernel == "pallas" and pallas_supported(
                 corpus.n_padded, corpus.dim_padded, k_eff
@@ -360,15 +362,11 @@ class RetrievalEngine:
                 vals, idx = pallas_score_topk(
                     corpus.data, q, corpus.n_valid, k_eff
                 )
+                packed_dev = _pack_results(vals, idx)
             else:
-                vals, idx = score_topk(corpus.data, q, n_valid, k_eff)
+                packed_dev = score_topk_packed(corpus.data, q, n_valid, k_eff)
 
-        # One host round trip instead of two (each fetch is a full RPC on
-        # tunneled devices); indices come back as exact f32 values.
-        assert corpus.n_padded < (1 << 24), "f32-packed indices need n < 2^24"
-        packed = np.asarray(
-            _pack_results(vals, idx.astype(jnp.int32))
-        )
+        packed = np.asarray(packed_dev)
         return (
             packed[:, :k_pack].astype(np.float32, copy=False),
             packed[:, k_pack:].astype(np.int64),

@@ -9,19 +9,37 @@ the NumPy oracle in :mod:`svs_tpu.utils.topk_np`.
 
 from .topk import (
     masked_topk,
-    score_topk,
-    scores_matmul,
     merge_topk,
+    pack_vals_idx,
+    score_topk,
+    score_topk_fast,
+    score_topk_packed,
+    scores_matmul,
+    verified_topk,
 )
 from .pairwise import pairwise_topk_blocked
-from .quant import quantize_rows_int8, score_topk_int8
+from .quant import (
+    quantize_rows_int8,
+    score_topk_int8,
+    score_topk_int8_fast,
+    score_topk_int8_packed,
+)
+from .pallas_topk import pallas_score_topk, pallas_supported
 
 __all__ = [
     "masked_topk",
-    "score_topk",
-    "scores_matmul",
     "merge_topk",
+    "pack_vals_idx",
+    "score_topk",
+    "score_topk_fast",
+    "score_topk_packed",
+    "scores_matmul",
+    "verified_topk",
     "pairwise_topk_blocked",
     "quantize_rows_int8",
     "score_topk_int8",
+    "score_topk_int8_fast",
+    "score_topk_int8_packed",
+    "pallas_score_topk",
+    "pallas_supported",
 ]

@@ -62,6 +62,20 @@ def score_topk_int8(
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def score_topk_int8_packed(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+) -> jax.Array:
+    """:func:`score_topk_int8` + result packing in one device dispatch."""
+    from .topk import pack_vals_idx
+
+    return pack_vals_idx(*score_topk_int8(q_docs, row_scales, queries, n_valid, k))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def score_topk_int8_fast(
     q_docs: jax.Array,
     row_scales: jax.Array,

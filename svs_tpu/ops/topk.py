@@ -135,6 +135,23 @@ def score_topk_fast(
     return verified_topk(scores, k)
 
 
+def pack_vals_idx(vals: jax.Array, idx: jax.Array) -> jax.Array:
+    """Scores ++ indices-as-f32-values in one array: a single host fetch
+    retrieves both (indices exact below 2^24; bitcasting instead would
+    produce denormals, which some transports flush to zero)."""
+    return jnp.concatenate([vals, idx.astype(jnp.float32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def score_topk_packed(
+    docs: jax.Array, queries: jax.Array, n_valid: jax.Array, k: int
+) -> jax.Array:
+    """:func:`score_topk` + result packing in ONE device dispatch —
+    the engine's hot path (every separate dispatch is a full RPC round
+    trip on tunneled devices)."""
+    return pack_vals_idx(*score_topk(docs, queries, n_valid, k))
+
+
 def merge_topk(
     values: jax.Array, indices: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
