@@ -111,6 +111,9 @@ class RetrievalEngine:
         self.device = device
         self._corpus: Optional[PackedCorpus] = None
         self._fingerprint: Optional[Tuple[int, int, int]] = None
+        # n_valid as a device scalar, uploaded once per pack: on tunneled
+        # devices every per-query host->device transfer is an RPC.
+        self._n_valid_dev: Optional[jax.Array] = None
         self._lock = threading.Lock()
 
     # -- freshness ----------------------------------------------------------
@@ -119,6 +122,7 @@ class RetrievalEngine:
         with self._lock:
             self._corpus = None
             self._fingerprint = None
+            self._n_valid_dev = None
 
     @property
     def corpus(self) -> Optional[PackedCorpus]:
@@ -184,6 +188,7 @@ class RetrievalEngine:
                 )
             self._corpus = corpus
             self._fingerprint = fingerprint
+            self._n_valid_dev = jnp.int32(corpus.n_valid)
             return corpus
 
     def _try_incremental_append(
@@ -322,7 +327,11 @@ class RetrievalEngine:
                 np.zeros((b, 0), dtype=np.int64),
             )
         q = jnp.asarray(pad_queries(queries, corpus.dim_padded))
-        n_valid = jnp.int32(corpus.n_valid)
+        n_valid = (
+            self._n_valid_dev
+            if self._n_valid_dev is not None
+            else jnp.int32(corpus.n_valid)
+        )
         b, k_pack = queries.shape[0], k_eff
 
         # Every path returns ONE packed array ([B, k] scores ++ indices as
