@@ -111,6 +111,7 @@ class RetrievalEngine:
         self.device = device
         self._corpus: Optional[PackedCorpus] = None
         self._fingerprint: Optional[Tuple[int, int, int]] = None
+        self._quick_token: Optional[Tuple[int, int]] = None
         # n_valid as a device scalar, uploaded once per pack: on tunneled
         # devices every per-query host->device transfer is an RPC.
         self._n_valid_dev: Optional[jax.Array] = None
@@ -122,6 +123,7 @@ class RetrievalEngine:
         with self._lock:
             self._corpus = None
             self._fingerprint = None
+            self._quick_token = None
             self._n_valid_dev = None
 
     @property
@@ -162,12 +164,27 @@ class RetrievalEngine:
         """Return a corpus reflecting the store's current embeddings,
         re-packing (from sidecar when possible, else from BLOBs) if stale.
 
+        Staleness checking is two-tier: per query, an O(1) token
+        (``matrix_version`` for our own writes + SQLite's ``data_version``
+        for foreign writers).  Only when the token moves does the O(n)
+        count/max fingerprint (needed for append detection and sidecar
+        keying) get recomputed — COUNT(*) at 1M rows costs ~1 s, far too
+        much to pay per retrieval.
+
         Caller is responsible for serializing store access (the KB facade
         holds its per-instance lock around this).
         """
+        with db.transaction() as tx:
+            quick = (tx.matrix_version(), tx.data_version())
+        with self._lock:
+            if self._corpus is not None and self._quick_token == quick:
+                return self._corpus
         fingerprint = self._store_fingerprint(db)
         with self._lock:
             if self._corpus is not None and self._fingerprint == fingerprint:
+                # A foreign write happened, but not to the embeddings
+                # (e.g. doc meta or KV) — keep the pack, refresh the token.
+                self._quick_token = quick
                 return self._corpus
 
             corpus = self._try_incremental_append(db, fingerprint)
@@ -188,6 +205,7 @@ class RetrievalEngine:
                 )
             self._corpus = corpus
             self._fingerprint = fingerprint
+            self._quick_token = quick
             self._n_valid_dev = jnp.int32(corpus.n_valid)
             return corpus
 

@@ -277,13 +277,22 @@ class Tx:
         return int(n)
 
     def embeddings_fingerprint(self) -> Tuple[int, int]:
-        """Cheap change detector over the embeddings table: (count, max id).
+        """Change detector over the embeddings table: (count, max id).
         Used with ``matrix_version`` to decide device-cache staleness even
-        for databases mutated by tools that don't bump the counter."""
+        for databases mutated by tools that don't bump the counter.
+        COUNT(*) walks the table b-tree — O(n); callers gate it behind the
+        O(1) :meth:`data_version` check."""
         count, max_id = self._conn.execute(
             "SELECT COUNT(*), COALESCE(MAX(id), 0) FROM embeddings;"
         ).fetchone()
         return int(count), int(max_id)
+
+    def data_version(self) -> int:
+        """SQLite's per-connection file-change counter: increments whenever
+        ANOTHER connection modified the database file — an O(1) foreign-
+        writer detector (our own writes are tracked by matrix_version)."""
+        (v,) = self._conn.execute("PRAGMA data_version;").fetchone()
+        return int(v)
 
     def embedding_dim(self) -> int:
         """Dimensionality of stored embeddings (0 if none stored yet)."""

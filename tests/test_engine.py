@@ -39,14 +39,17 @@ def test_ensure_fresh_packs_and_caches(db_path, unit_rows):
 
 
 def test_fingerprint_catches_foreign_writes(db_path, unit_rows):
-    """Changes that don't bump matrix_version (e.g. made by the reference
-    implementation) are still detected via the embeddings fingerprint."""
+    """Writes from ANOTHER connection that don't bump matrix_version (e.g.
+    the reference implementation on a shared file) are detected via
+    SQLite's data_version pragma."""
     m = unit_rows(10, 8)
     db = _fill(db_path, m)
     eng = RetrievalEngine(precision="f32")
     c1 = eng.ensure_fresh(db)
-    with db.transaction() as tx:  # note: no bump_matrix_version
+    foreign = Database(db_path)  # separate connection, like the reference
+    with foreign.transaction() as tx:  # note: no bump_matrix_version
         tx.add_doc("foreign", None, None, embedding_to_bytes([1.0] * 8))
+    foreign.close()
     c2 = eng.ensure_fresh(db)
     assert c2.n_valid == 11
     db.close()
@@ -195,8 +198,10 @@ def test_sidecar_stale_even_without_version_bump(db_path, unit_rows, tmp_path):
     side = tmp_path / "s.svsx"
     eng.write_sidecar(side)
 
-    with db.transaction() as tx:  # no bump_matrix_version (foreign writer)
+    foreign = Database(db_path)  # separate connection (the realistic case)
+    with foreign.transaction() as tx:  # no bump_matrix_version
         tx.add_doc("foreign", None, None, embedding_to_bytes([1.0] * 8))
+    foreign.close()
 
     eng2 = RetrievalEngine(precision="f32")
     c2 = eng2.ensure_fresh(db, sidecar_path=side)
