@@ -195,37 +195,64 @@ def _hydrate_hits(
     return out
 
 
-def _finalize_retrieval(
+def _finalize_batch(
     tx: Tx,
     corpus: PackedCorpus,
-    query_vec: np.ndarray,
+    vectors: np.ndarray,
     pre_vals: np.ndarray,
     pre_rows: np.ndarray,
     k: int,
     rescore: bool,
-) -> List[Retrieval]:
-    """Turn device candidates for ONE query into hydrated results.
+) -> List[List[Retrieval]]:
+    """Turn device candidates for a query batch into hydrated results.
 
     With ``rescore``, candidate embeddings are re-read from the store and
     re-scored with a float32 dot product, so scores (and their ordering)
     are bit-identical to the reference's CPU math regardless of the device
-    storage precision.
+    storage precision.  Store work is batched across the whole query batch:
+    one IN-query fetch for the union of candidate embeddings, and shared
+    doc hydration (deep-copied per hit so results never alias).
     """
-    emb_ids = corpus.emb_ids[pre_rows]
-    if len(emb_ids) == 0:
-        return []
+    import copy
+
+    n_queries = vectors.shape[0]
+    if pre_rows.size == 0:
+        return [[] for _ in range(n_queries)]
+
+    sub_matrix = pos = None
     if rescore:
-        rows = tx.fetch_embedding_rows(emb_ids)
-        exact = rows @ query_vec.astype(np.float32)
-        hits = [
-            (score, int(emb_ids[i])) for score, i in top_k_numpy(exact, k)
-        ]
-    else:
-        hits = [
-            (float(pre_vals[i]), int(emb_ids[i]))
-            for i in range(min(k, len(emb_ids)))
-        ]
-    return _hydrate_hits(tx, hits)
+        unique_rows = np.unique(pre_rows)
+        sub_matrix = tx.fetch_embedding_rows(corpus.emb_ids[unique_rows])
+        pos = {int(r): i for i, r in enumerate(unique_rows)}
+
+    emb_to_doc: Dict[int, DocumentId] = {}
+    doc_cache: Dict[DocumentId, DocumentRecord] = {}
+    results: List[List[Retrieval]] = []
+    for b in range(n_queries):
+        rows_b = pre_rows[b]
+        if rescore:
+            cand = sub_matrix[[pos[int(r)] for r in rows_b]]
+            exact = cand @ vectors[b].astype(np.float32)
+            hits = [
+                (score, int(corpus.emb_ids[rows_b[i]]))
+                for score, i in top_k_numpy(exact, k)
+            ]
+        else:
+            hits = [
+                (float(pre_vals[b][i]), int(corpus.emb_ids[rows_b[i]]))
+                for i in range(min(k, len(rows_b)))
+            ]
+        out: List[Retrieval] = []
+        for score, emb_id in hits:
+            doc_id = emb_to_doc.get(emb_id)
+            if doc_id is None:
+                doc_id = emb_to_doc[emb_id] = tx.doc_id_for_emb_id(emb_id)
+                doc_cache[doc_id] = tx.fetch_doc(doc_id, False)
+            out.append(
+                {"score": float(score), "doc": copy.deepcopy(doc_cache[doc_id])}
+            )
+        results.append(out)
+    return results
 
 
 def _finalize_pairwise(
@@ -779,18 +806,15 @@ class AsyncKB:
 
                 def heavy() -> List[List[Retrieval]]:
                     with db.transaction() as tx:
-                        return [
-                            _finalize_retrieval(
-                                tx,
-                                corpus,
-                                vectors[b],
-                                pre_vals[b],
-                                pre_rows[b],
-                                n,
-                                self.engine.rescore,
-                            )
-                            for b in range(len(queries))
-                        ]
+                        return _finalize_batch(
+                            tx,
+                            corpus,
+                            vectors,
+                            pre_vals,
+                            pre_rows,
+                            n,
+                            self.engine.rescore,
+                        )
 
                 return await loop.run_in_executor(None, heavy)
 
@@ -1168,18 +1192,10 @@ class KB:
         with phase("finalize", self._stats), self._lock:
             db = self._require_db()
             with db.transaction() as tx:
-                return [
-                    _finalize_retrieval(
-                        tx,
-                        corpus,
-                        vectors[b],
-                        pre_vals[b],
-                        pre_rows[b],
-                        n,
-                        self.engine.rescore,
-                    )
-                    for b in range(len(queries))
-                ]
+                return _finalize_batch(
+                    tx, corpus, vectors, pre_vals, pre_rows, n,
+                    self.engine.rescore,
+                )
 
     def document_top_pairwise_scores(
         self, n: int
