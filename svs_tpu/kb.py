@@ -182,19 +182,6 @@ def _open_database(
         raise
 
 
-def _hydrate_hits(
-    tx: Tx, hits: Sequence[Tuple[float, int]]
-) -> List[Retrieval]:
-    """(score, emb_id) -> {'score', 'doc'} via two point queries per hit."""
-    out: List[Retrieval] = []
-    for score, emb_id in hits:
-        doc_id = tx.doc_id_for_emb_id(int(emb_id))
-        out.append(
-            {"score": float(score), "doc": tx.fetch_doc(doc_id, False)}
-        )
-    return out
-
-
 def _finalize_batch(
     tx: Tx,
     corpus: PackedCorpus,
