@@ -17,8 +17,7 @@ import time
 import numpy as np
 
 from svs_tpu import KB
-from svs_tpu.store import Database, embedding_to_bytes
-from svs_tpu.store.blob import embedding_to_bytes as to_bytes
+from svs_tpu.store import Database, embedding_to_bytes as to_bytes
 
 
 def synth_unit_rows(n, dim, seed=0, chunk=50_000):
