@@ -1,0 +1,61 @@
+"""Examples must keep running (they are the de-facto tutorials)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(script, *args, cwd):
+    env = dict(
+        os.environ,
+        PYTHONPATH=str(REPO),
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+    )
+    return subprocess.run(
+        [sys.executable, str(REPO / "examples" / script), *args],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+
+
+def test_quickstart(tmp_path):
+    result = _run("quickstart.py", cwd=tmp_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "TPU" in result.stdout or "+" in result.stdout
+    assert (tmp_path / "quickstart.sqlite.gz").exists()
+
+
+def test_graph(tmp_path):
+    result = _run("graph.py", cwd=tmp_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "directed: True" in result.stdout
+
+
+def test_million_docs_scaled_down(tmp_path):
+    result = _run(
+        "million_docs_benchmark.py",
+        "--n", "2000", "--dim", "32", "--db", str(tmp_path / "m.sqlite"),
+        cwd=tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "warm top-100 query p50" in result.stdout
+
+
+def test_dad_jokes_with_mock(tmp_path):
+    csv = tmp_path / "jokes.csv"
+    csv.write_text("joke\nwhy did X\nknock knock\n\n")
+    result = _run(
+        "dad_jokes.py", str(csv), "--db", str(tmp_path / "j.sqlite"),
+        "--mock", cwd=tmp_path,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert (tmp_path / "j.sqlite.gz").exists()
