@@ -222,6 +222,36 @@ def test_sidecar_precision_mismatch_rebuilds(db_path, unit_rows, tmp_path):
     db.close()
 
 
+def test_incremental_append_on_sidecar_loaded_corpus(db_path, unit_rows, tmp_path):
+    """Open from sidecar, then bulk-add: the append fast path must work on
+    a sidecar-loaded corpus too (fingerprint carried through the load)."""
+    m = unit_rows(40, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    eng.ensure_fresh(db)
+    side = tmp_path / "s.svsx"
+    eng.write_sidecar(side)
+
+    eng2 = RetrievalEngine(precision="bf16")
+    c1 = eng2.ensure_fresh(db, sidecar_path=side)  # loaded via mmap
+    with db.transaction() as tx:
+        tx.add_doc("new", None, None, embedding_to_bytes([1.0] + [0.0] * 7))
+        tx.bump_matrix_version()
+
+    from svs_tpu.store.tx import Tx
+
+    original = Tx.build_embeddings_matrix
+    calls = []
+    Tx.build_embeddings_matrix = lambda self: calls.append(1) or original(self)
+    try:
+        c2 = eng2.ensure_fresh(db, sidecar_path=side)
+    finally:
+        Tx.build_embeddings_matrix = original
+    assert c2.n_valid == 41
+    assert calls == []  # appended incrementally, no rescan
+    db.close()
+
+
 def test_sidecar_corrupt_file_ignored(tmp_path):
     bad = tmp_path / "bad.svsx"
     bad.write_bytes(b"not a sidecar at all")

@@ -71,6 +71,21 @@ def test_kb_int8_on_mesh(need_devices, tmp_path):
     kb.close()
 
 
+async def test_async_kb_batch_on_mesh(need_devices, tmp_path):
+    from svs_tpu import AsyncKB
+
+    kb = AsyncKB(
+        tmp_path / "am.sqlite", make_angle_embedder(), mesh=default_mesh()
+    )
+    async with kb.bulk_add_docs() as add:
+        for deg in range(0, 360, 9):
+            await add(f"angle:{deg}")
+    res = await kb.retrieve_batch(["angle:45", "angle:180"], 2)
+    assert res[0][0]["doc"]["text"] == "angle:45"
+    assert res[1][0]["doc"]["text"] == "angle:180"
+    await kb.close()
+
+
 def test_kb_pairwise_on_mesh(need_devices, tmp_path):
     kb = KB(
         tmp_path / "mp.sqlite", make_angle_embedder(), mesh=default_mesh()
