@@ -773,6 +773,8 @@ class AsyncKB:
         """Exact cosine top-``n`` for a batch of queries: one provider call
         for the embeddings and one fused device matmul+top-k for the whole
         batch (new capability; the reference is one-query-at-a-time)."""
+        if not queries:
+            return []
         log.info("retrieving top %d for %d queries", n, len(queries))
         loop = asyncio.get_running_loop()
         with phase("pack", self._stats):
@@ -1165,6 +1167,8 @@ class KB:
         return self.retrieve_batch([query], n)[0]
 
     def retrieve_batch(self, queries: List[str], n: int) -> List[List[Retrieval]]:
+        if not queries:
+            return []
         log.info("retrieving top %d for %d queries", n, len(queries))
         with phase("pack", self._stats), self._lock:
             corpus = self._ensure_engine_fresh()

@@ -97,6 +97,14 @@ def test_retrieve_n_larger_than_corpus(db_path):
     kb.close()
 
 
+def test_retrieve_batch_empty_list(db_path):
+    kb = KB(db_path, make_onehot_embedder())
+    with kb.bulk_add_docs() as add:
+        add("vec:1")
+    assert kb.retrieve_batch([], 5) == []
+    kb.close()
+
+
 def test_retrieve_empty_corpus(db_path):
     kb = KB(db_path, make_onehot_embedder())
     assert kb.retrieve("vec:1", 5) == []
