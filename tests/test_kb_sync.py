@@ -253,6 +253,45 @@ def test_len(db_path):
     kb.close()
 
 
+def test_concurrent_threads_share_one_kb(db_path):
+    """Multiple threads retrieving while another adds docs: the per-KB lock
+    and engine freshness tracking must keep every result coherent."""
+    import threading
+
+    kb = KB(db_path, make_onehot_embedder())
+    with kb.bulk_add_docs() as add:
+        for i in range(8):
+            add(f"vec:{i}")
+
+    errors = []
+
+    def reader(tid):
+        try:
+            for i in range(10):
+                q = f"vec:{(tid + i) % 8}"
+                hits = kb.retrieve(q, 1)
+                assert hits[0]["doc"]["text"] == q, (tid, i, hits)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def writer():
+        try:
+            for i in range(3):
+                with kb.bulk_add_docs() as add:
+                    add(f"extra {i}", no_embedding=True)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=reader, args=(t,)) for t in range(4)]
+    threads.append(threading.Thread(target=writer))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    kb.close()
+
+
 def test_retrieval_reflects_mutations(db_path):
     """The device corpus must refresh after adds and deletes."""
     kb = KB(db_path, make_onehot_embedder())
