@@ -380,16 +380,19 @@ class RetrievalEngine:
                 corpus.data, corpus.row_scales, q, n_valid, k_eff
             )
         else:
-            from ..ops.pallas_topk import pallas_score_topk, pallas_supported
+            from ..ops.pallas_topk import (
+                pallas_score_topk_packed,
+                pallas_supported,
+            )
             from ..ops.topk import score_topk_packed
 
             if self.kernel == "pallas" and pallas_supported(
                 corpus.n_padded, corpus.dim_padded, k_eff
             ):
-                vals, idx = pallas_score_topk(
-                    corpus.data, q, corpus.n_valid, k_eff
+                interp = jax.default_backend() == "cpu"
+                packed_dev = pallas_score_topk_packed(
+                    corpus.data, q, n_valid, k_eff, interpret=interp
                 )
-                packed_dev = _pack_results(vals, idx)
             else:
                 packed_dev = score_topk_packed(corpus.data, q, n_valid, k_eff)
 

@@ -266,3 +266,19 @@ def pallas_score_topk(
         )
     vals, idx = _pallas_topk128(docs, queries, n_valid, interpret=interpret)
     return vals[:b, :k], idx[:b, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def pallas_score_topk_packed(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid,
+    k: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`pallas_score_topk` + result packing in one device dispatch
+    (see ``ops.topk.pack_vals_idx``)."""
+    from .topk import pack_vals_idx
+
+    vals, idx = pallas_score_topk(docs, queries, n_valid, k, interpret=interpret)
+    return pack_vals_idx(vals, idx)
