@@ -112,6 +112,7 @@ class RetrievalEngine:
         self._corpus: Optional[PackedCorpus] = None
         self._fingerprint: Optional[Tuple[int, int, int]] = None
         self._quick_token: Optional[Tuple[int, int]] = None
+        self._host_pack = None  # host bytes of the last full pack
         # n_valid as a device scalar, uploaded once per pack: on tunneled
         # devices every per-query host->device transfer is an RPC.
         self._n_valid_dev: Optional[jax.Array] = None
@@ -125,6 +126,7 @@ class RetrievalEngine:
             self._fingerprint = None
             self._quick_token = None
             self._n_valid_dev = None
+            self._host_pack = None
 
     @property
     def corpus(self) -> Optional[PackedCorpus]:
@@ -187,6 +189,10 @@ class RetrievalEngine:
                 self._quick_token = quick
                 return self._corpus
 
+            # Host bytes are only valid for a fresh full pack; incremental
+            # appends mutate the device copy in place (same shape!) and
+            # sidecar loads never materialize host bytes.
+            self._host_pack = None
             corpus = self._try_incremental_append(db, fingerprint)
             if corpus is None and sidecar_path is not None:
                 corpus = self._try_sidecar(sidecar_path, fingerprint)
@@ -194,7 +200,7 @@ class RetrievalEngine:
                 log.info("packing corpus from store (fingerprint %s)", fingerprint)
                 with db.transaction() as tx:
                     matrix, emb_ids = tx.build_embeddings_matrix()
-                corpus = pack_corpus(
+                corpus, self._host_pack = pack_corpus(
                     matrix,
                     emb_ids,
                     version=fingerprint[0],
@@ -202,6 +208,7 @@ class RetrievalEngine:
                     placement=self._placement(),
                     row_multiple=self._row_multiple(),
                     dim_multiple=self._dim_multiple(),
+                    keep_host=True,
                 )
             self._corpus = corpus
             self._fingerprint = fingerprint
@@ -312,7 +319,12 @@ class RetrievalEngine:
 
     def write_sidecar(self, path: Union[str, Path]) -> None:
         assert self._corpus is not None, "nothing packed yet"
-        save_sidecar(path, self._corpus, fingerprint=self._fingerprint)
+        host = self._host_pack
+        if host is not None and host.data.shape != self._corpus.data.shape:
+            host = None  # grew since pack (incremental appends)
+        save_sidecar(
+            path, self._corpus, fingerprint=self._fingerprint, host_pack=host
+        )
 
     # -- search ---------------------------------------------------------------
 

@@ -21,7 +21,7 @@ Precision modes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +64,14 @@ def pad_queries(queries: np.ndarray, dim_padded: int) -> np.ndarray:
 
 
 @dataclasses.dataclass(frozen=True)
+class HostPack:
+    """Host-side copies of the packed arrays (for sidecar writes)."""
+
+    data: np.ndarray
+    row_scales: Optional[np.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
 class PackedCorpus:
     """Device-resident packed corpus plus host-side id mapping."""
 
@@ -98,41 +106,48 @@ def pack_corpus(
     placement: Union[jax.Device, jax.sharding.Sharding, None] = None,
     row_multiple: int = ROW_MULTIPLE,
     dim_multiple: int = DIM_MULTIPLE,
-) -> PackedCorpus:
+    keep_host: bool = False,
+) -> "Union[PackedCorpus, Tuple[PackedCorpus, HostPack]]":
     """Pack a host f32 ``[n, d]`` matrix for device search.
 
     ``placement`` may be a device (single chip), a Sharding (corpus split
-    over a mesh), or ``None`` (JAX default device).
+    over a mesh), or ``None`` (JAX default device).  With ``keep_host``,
+    also return the host-side packed arrays (same bytes that went to the
+    device) so a sidecar write never has to pull them back off the device
+    — a 3 GB device->host read costs minutes on tunneled setups.
     """
     assert matrix.ndim == 2
     n, d = matrix.shape
     padded = pad_matrix(matrix, row_multiple=row_multiple, dim_multiple=dim_multiple)
 
+    host_scales = None
     if precision == "int8":
         from ..native import quantize_int8
 
         # Host-side quantization (bit-identical to the device quantizer,
         # covered by tests) so only int8 bytes cross host->device, and
         # sharded placements never bounce through a single device.
-        q, scales = quantize_int8(padded)
-        data = jax.device_put(jnp.asarray(q), placement)
+        host_data, host_scales = quantize_int8(padded)
+        data = jax.device_put(jnp.asarray(host_data), placement)
         row_scales = jax.device_put(
-            jnp.asarray(scales), _scales_placement(placement)
+            jnp.asarray(host_scales), _scales_placement(placement)
         )
     elif precision == "bf16":
         from ..native import f32_to_bf16
 
         # Host-side RNE cast (multithreaded when the native lib is built)
         # halves the host->device transfer vs shipping f32.
-        data = jax.device_put(jnp.asarray(f32_to_bf16(padded)), placement)
+        host_data = f32_to_bf16(padded)
+        data = jax.device_put(jnp.asarray(host_data), placement)
         row_scales = None
     elif precision == "f32":
+        host_data = padded
         data = jax.device_put(jnp.asarray(padded), placement)
         row_scales = None
     else:
         raise ValueError(f"unknown precision: {precision!r}")
 
-    return PackedCorpus(
+    corpus = PackedCorpus(
         data=data,
         row_scales=row_scales,
         emb_ids=np.asarray(emb_ids, dtype=np.int64),
@@ -141,6 +156,9 @@ def pack_corpus(
         version=version,
         precision=precision,
     )
+    if keep_host:
+        return corpus, HostPack(data=host_data, row_scales=host_scales)
+    return corpus
 
 
 def _scales_placement(

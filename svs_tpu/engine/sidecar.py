@@ -49,13 +49,17 @@ def sidecar_path_for(db_path: Union[str, Path]) -> Path:
     return Path(f"{db_path}.svsx")
 
 
-def save_sidecar(path: Union[str, Path], corpus, fingerprint=None) -> None:
+def save_sidecar(
+    path: Union[str, Path], corpus, fingerprint=None, host_pack=None
+) -> None:
     """Persist a :class:`~svs_tpu.engine.packing.PackedCorpus` to ``path``.
 
     ``fingerprint`` is the store's full ``(matrix_version, count, max_id)``
     at pack time; staleness is checked against all three so even databases
     mutated by tools that don't bump the version counter (e.g. the
     reference implementation) can never serve a stale sidecar.
+    ``host_pack`` (a ``packing.HostPack``) supplies the bytes without
+    reading them back from the device.
     """
     header = {
         "format": _FORMAT,
@@ -68,7 +72,18 @@ def save_sidecar(path: Union[str, Path], corpus, fingerprint=None) -> None:
         "fingerprint": list(fingerprint) if fingerprint is not None else None,
     }
     header_bytes = json.dumps(header).encode()
-    data_np = np.asarray(corpus.data)  # device -> host, stays packed dtype
+    if host_pack is not None:
+        # The packer's host-side bytes — avoids a device->host pull of the
+        # whole matrix (minutes over tunneled links).
+        data_np = host_pack.data
+        scales_np = host_pack.row_scales
+    else:
+        data_np = np.asarray(corpus.data)  # device -> host, packed dtype
+        scales_np = (
+            np.asarray(corpus.row_scales)
+            if corpus.row_scales is not None
+            else None
+        )
     tmp = Path(f"{path}.tmp")
     with open(tmp, "wb") as f:
         f.write(_MAGIC)
@@ -76,8 +91,8 @@ def save_sidecar(path: Union[str, Path], corpus, fingerprint=None) -> None:
         f.write(header_bytes)
         f.write(np.asarray(corpus.emb_ids, dtype="<i8").tobytes())
         if corpus.row_scales is not None:
-            f.write(np.asarray(corpus.row_scales, dtype="<f4").tobytes())
-        f.write(data_np.tobytes())
+            f.write(np.asarray(scales_np, dtype="<f4").tobytes())
+        f.write(np.ascontiguousarray(data_np).tobytes())
     os.replace(tmp, path)
     log.info("wrote sidecar %s (%d docs, %s)", path, corpus.n_valid, corpus.precision)
 

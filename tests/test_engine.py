@@ -187,6 +187,48 @@ def test_sidecar_stale_is_ignored(db_path, unit_rows, tmp_path):
     db.close()
 
 
+@pytest.mark.parametrize("precision", ["f32", "bf16", "int8"])
+def test_sidecar_written_from_host_pack_matches_device(
+    db_path, unit_rows, tmp_path, precision
+):
+    """write_sidecar after a fresh pack uses the host bytes (no device
+    pull); the file must load back identical to the device copy."""
+    m = unit_rows(40, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision=precision)
+    c1 = eng.ensure_fresh(db)
+    assert eng._host_pack is not None
+    side = tmp_path / "s.svsx"
+    eng.write_sidecar(side)
+    loaded = load_sidecar(side)
+    assert loaded is not None
+    data, scales, ids, header = loaded
+    np.testing.assert_array_equal(np.asarray(data), np.asarray(c1.data))
+    db.close()
+
+
+def test_sidecar_after_incremental_append_uses_device_bytes(
+    db_path, unit_rows, tmp_path
+):
+    """After an in-place append the cached host bytes are stale — the
+    sidecar must reflect the device state, not the old pack."""
+    m = unit_rows(10, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    eng.ensure_fresh(db)
+    with db.transaction() as tx:  # fits within the 256-row padding
+        tx.add_doc("new", None, None, embedding_to_bytes([1.0] + [0.0] * 7))
+        tx.bump_matrix_version()
+    c2 = eng.ensure_fresh(db)
+    assert c2.n_valid == 11
+    side = tmp_path / "s.svsx"
+    eng.write_sidecar(side)
+    data, scales, ids, header = load_sidecar(side)
+    assert header["n_valid"] == 11
+    np.testing.assert_array_equal(np.asarray(data), np.asarray(c2.data))
+    db.close()
+
+
 def test_sidecar_stale_even_without_version_bump(db_path, unit_rows, tmp_path):
     """A foreign writer (e.g. the reference impl) mutates embeddings WITHOUT
     bumping matrix_version — the sidecar must still be recognized as stale
