@@ -24,7 +24,7 @@ from .quant import (
     score_topk_int8_fast,
     score_topk_int8_packed,
 )
-from .pallas_topk import pallas_score_topk, pallas_supported
+from .pallas_topk import pallas_score_topk, pallas_score_topk_packed, pallas_supported
 
 __all__ = [
     "masked_topk",
@@ -41,5 +41,6 @@ __all__ = [
     "score_topk_int8_fast",
     "score_topk_int8_packed",
     "pallas_score_topk",
+    "pallas_score_topk_packed",
     "pallas_supported",
 ]
