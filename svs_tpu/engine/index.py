@@ -4,10 +4,12 @@ This is the TPU-native replacement for the reference's ``_EmbeddingsMatrix``
 RAM cache (``svs/kb.py:856-893``).  Responsibilities:
 
 - **freshness** — derived device state is keyed by the store's
-  ``matrix_version`` counter plus a cheap ``(count, max id)`` fingerprint of
-  the embeddings table, so packs are reused across queries and rebuilt
-  exactly when the store changed (including changes made by the reference
-  implementation, which doesn't know about the counter);
+  ``matrix_version`` counter plus a ``(count, max id, generation)``
+  fingerprint of the embeddings table (generation = trigger-maintained
+  write counter, see ``store.db``), so packs are reused across queries and
+  rebuilt exactly when the store changed — including changes made by the
+  reference implementation, which doesn't know about the counters but
+  can't write the shared file without firing the triggers;
 - **cold start** — on open, a fresh sidecar file is mmap'd straight to the
   device instead of rescanning BLOBs;
 - **search dispatch** — single-chip jitted matmul+top-k (f32/bf16/int8) or
@@ -32,6 +34,7 @@ from ..store.db import Database
 from .packing import (
     DIM_MULTIPLE,
     ROW_MULTIPLE,
+    HostPack,
     PackedCorpus,
     pack_corpus,
     pad_queries,
@@ -63,6 +66,22 @@ def _grow_rows(
         grown = jnp.zeros((grown_rows,) + old.shape[1:], old.dtype)
         old = _write_rows(grown, old, 0)
     return _write_rows(old, new, jnp.int32(n0))
+
+
+def _grow_rows_np(
+    old: np.ndarray, new: np.ndarray, n0: int, row_multiple: int
+) -> np.ndarray:
+    """Host mirror of :func:`_grow_rows` (always copies: ``old`` may be a
+    read-only sidecar memmap)."""
+    needed = n0 + new.shape[0]
+    if needed > old.shape[0]:
+        grown_rows = ((needed + row_multiple - 1) // row_multiple) * row_multiple
+        out = np.zeros((grown_rows,) + old.shape[1:], old.dtype)
+        out[: old.shape[0]] = old
+    else:
+        out = np.array(old)
+    out[n0 : n0 + new.shape[0]] = new.astype(old.dtype, copy=False)
+    return out
 
 
 @jax.jit
@@ -110,12 +129,14 @@ class RetrievalEngine:
         self.model_axis = model_axis
         self.device = device
         self._corpus: Optional[PackedCorpus] = None
-        self._fingerprint: Optional[Tuple[int, int, int]] = None
+        self._fingerprint: Optional[Tuple[int, int, int, int]] = None
         self._quick_token: Optional[Tuple[int, int]] = None
-        self._host_pack = None  # host bytes of the last full pack
-        # n_valid as a device scalar, uploaded once per pack: on tunneled
-        # devices every per-query host->device transfer is an RPC.
-        self._n_valid_dev: Optional[jax.Array] = None
+        #: Host bytes matching the device pack (for sidecar writes without
+        #: a device->host pull); kept in sync across incremental appends.
+        self._host_pack: Optional[HostPack] = None
+        #: Sidecar file the current pack was loaded from (bytes on disk are
+        #: known-identical, so re-writing it would be pure waste).
+        self._sidecar_source: Optional[Path] = None
         self._lock = threading.Lock()
 
     # -- freshness ----------------------------------------------------------
@@ -125,8 +146,8 @@ class RetrievalEngine:
             self._corpus = None
             self._fingerprint = None
             self._quick_token = None
-            self._n_valid_dev = None
             self._host_pack = None
+            self._sidecar_source = None
 
     @property
     def corpus(self) -> Optional[PackedCorpus]:
@@ -152,11 +173,11 @@ class RetrievalEngine:
         return DIM_MULTIPLE
 
     @staticmethod
-    def _store_fingerprint(db: Database) -> Tuple[int, int, int]:
+    def _store_fingerprint(db: Database) -> Tuple[int, int, int, int]:
         with db.transaction() as tx:
             version = tx.matrix_version()
-            count, max_id = tx.embeddings_fingerprint()
-        return (version, count, max_id)
+            count, max_id, generation = tx.embeddings_fingerprint()
+        return (version, count, max_id, generation)
 
     def ensure_fresh(
         self,
@@ -189,15 +210,14 @@ class RetrievalEngine:
                 self._quick_token = quick
                 return self._corpus
 
-            # Host bytes are only valid for a fresh full pack; incremental
-            # appends mutate the device copy in place (same shape!) and
-            # sidecar loads never materialize host bytes.
-            self._host_pack = None
+            # Each pack path manages self._host_pack (bytes matching the
+            # device copy, for sidecar writes) and self._sidecar_source.
             corpus = self._try_incremental_append(db, fingerprint)
             if corpus is None and sidecar_path is not None:
                 corpus = self._try_sidecar(sidecar_path, fingerprint)
             if corpus is None:
                 log.info("packing corpus from store (fingerprint %s)", fingerprint)
+                self._sidecar_source = None
                 with db.transaction() as tx:
                     matrix, emb_ids = tx.build_embeddings_matrix()
                 corpus, self._host_pack = pack_corpus(
@@ -213,11 +233,11 @@ class RetrievalEngine:
             self._corpus = corpus
             self._fingerprint = fingerprint
             self._quick_token = quick
-            self._n_valid_dev = jnp.int32(corpus.n_valid)
+            corpus.n_valid_device()  # warm the device scalar with the pack
             return corpus
 
     def _try_incremental_append(
-        self, db: Database, fingerprint: Tuple[int, int, int]
+        self, db: Database, fingerprint: Tuple[int, int, int, int]
     ) -> Optional[PackedCorpus]:
         """Append-only fast path: when the only change since the last pack
         is newly added embeddings (public bulk ops can only append new
@@ -231,10 +251,15 @@ class RetrievalEngine:
         old = self._corpus
         if old is None or self._fingerprint is None or self.mesh is not None:
             return None
-        _, old_count, old_max = self._fingerprint
-        _, new_count, new_max = fingerprint
+        _, old_count, old_max, old_gen = self._fingerprint
+        _, new_count, new_max, new_gen = fingerprint
         added = new_count - old_count
         if added <= 0 or added != new_max - old_max or old.n_valid != old_count:
+            return None
+        # Generation counts every embeddings-table write: pure appends move
+        # it by exactly `added`.  Anything else (a delete+insert pair, an
+        # UPDATE) moves it further -> full repack.
+        if new_gen - old_gen != added:
             return None
         with db.transaction() as tx:
             new_rows, new_ids = tx.fetch_embeddings_after(old_max)
@@ -247,6 +272,8 @@ class RetrievalEngine:
         padded_new = np.zeros((added, old.dim_padded), dtype=np.float32)
         padded_new[:, : new_rows.shape[1]] = new_rows
         n0, n1 = old.n_valid, old.n_valid + added
+        host = self._host_pack
+        host_scales = None
 
         if old.precision == "int8":
             from ..native import quantize_int8
@@ -257,6 +284,11 @@ class RetrievalEngine:
             ), _grow_rows(
                 old.row_scales, jnp.asarray(s_new), n0, self._row_multiple()
             )
+            if host is not None:
+                host_data = _grow_rows_np(host.data, q_new, n0, self._row_multiple())
+                host_scales = _grow_rows_np(
+                    host.row_scales, s_new, n0, self._row_multiple()
+                )
         else:
             if old.precision == "bf16":
                 from ..native import f32_to_bf16
@@ -269,7 +301,20 @@ class RetrievalEngine:
                 self._row_multiple(),
             )
             scales_new = None
+            if host is not None:
+                host_data = _grow_rows_np(
+                    host.data, padded_new, n0, self._row_multiple()
+                )
 
+        # The device copy moved past any sidecar/host bytes we had; keep the
+        # host mirror in step so a later write_sidecar never pulls from the
+        # device (a multi-GB transfer on tunneled setups).
+        self._sidecar_source = None
+        self._host_pack = (
+            HostPack(data=host_data, row_scales=host_scales)
+            if host is not None
+            else None
+        )
         return PackedCorpus(
             data=data_new,
             row_scales=scales_new,
@@ -281,7 +326,7 @@ class RetrievalEngine:
         )
 
     def _try_sidecar(
-        self, path: Union[str, Path], fingerprint: Tuple[int, int, int]
+        self, path: Union[str, Path], fingerprint: Tuple[int, int, int, int]
     ) -> Optional[PackedCorpus]:
         loaded = load_sidecar(path, expected_version=fingerprint)
         if loaded is None:
@@ -307,6 +352,11 @@ class RetrievalEngine:
             scales_arr = jax.device_put(
                 np.asarray(row_scales), _scales_placement(placement)
             )
+        # The mmap'd file bytes double as the host pack: a later sidecar
+        # write (to another path) can stream them without touching the
+        # device, and a write to *this* path is skipped entirely.
+        self._host_pack = HostPack(data=data, row_scales=row_scales)
+        self._sidecar_source = Path(path)
         return PackedCorpus(
             data=device_data,
             row_scales=scales_arr,
@@ -319,9 +369,15 @@ class RetrievalEngine:
 
     def write_sidecar(self, path: Union[str, Path]) -> None:
         assert self._corpus is not None, "nothing packed yet"
+        if self._sidecar_source is not None and Path(path) == self._sidecar_source:
+            # Corpus was loaded from this very file and is still fresh —
+            # rewriting byte-identical content would cost a full pass (and,
+            # with no host pack, a device->host pull) for nothing.
+            log.debug("sidecar %s already current; skipping write", path)
+            return
         host = self._host_pack
         if host is not None and host.data.shape != self._corpus.data.shape:
-            host = None  # grew since pack (incremental appends)
+            host = None  # shouldn't happen: appends keep the mirror in step
         save_sidecar(
             path, self._corpus, fingerprint=self._fingerprint, host_pack=host
         )
@@ -335,16 +391,19 @@ class RetrievalEngine:
         return max(k * CANDIDATE_MULTIPLIER, k + CANDIDATE_MIN_EXTRA)
 
     def topk(
-        self, queries: np.ndarray, k: int
+        self, corpus: PackedCorpus, queries: np.ndarray, k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Device prescore: top-``k`` per query.
+        """Device prescore: top-``k`` per query against ``corpus``.
+
+        ``corpus`` is the pack returned by :meth:`ensure_fresh` — passed
+        explicitly (never re-read from the engine) so a concurrent writer
+        repacking between freshness check and search can't make the caller
+        finalize row indices against a different pack's ``emb_ids``.
 
         ``queries``: ``[d]`` or ``[B, d]`` f32 (unit-norm).  Returns
         ``(scores f32 [B, k'], rows int64 [B, k'])`` with ``k' = min(k,
         n_valid)``; ``rows`` index into ``corpus.emb_ids``.
         """
-        corpus = self._corpus
-        assert corpus is not None, "call ensure_fresh() first"
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         assert queries.shape[1] == corpus.dim, (
             f"query dim {queries.shape[1]} != corpus dim {corpus.dim}"
@@ -357,11 +416,7 @@ class RetrievalEngine:
                 np.zeros((b, 0), dtype=np.int64),
             )
         q = jnp.asarray(pad_queries(queries, corpus.dim_padded))
-        n_valid = (
-            self._n_valid_dev
-            if self._n_valid_dev is not None
-            else jnp.int32(corpus.n_valid)
-        )
+        n_valid = corpus.n_valid_device()
         b, k_pack = queries.shape[0], k_eff
 
         # Every path returns ONE packed array ([B, k] scores ++ indices as
@@ -414,12 +469,13 @@ class RetrievalEngine:
             packed[:, k_pack:].astype(np.int64),
         )
 
-    def pairwise_topk(self, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def pairwise_topk(
+        self, corpus: PackedCorpus, k: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Exact top-``k`` document pairs by similarity (strict upper
-        triangle).  Returns ``(scores [k'], rows_a [k'], rows_b [k'])`` with
-        indices into ``corpus.emb_ids``."""
-        corpus = self._corpus
-        assert corpus is not None, "call ensure_fresh() first"
+        triangle) against ``corpus`` (see :meth:`topk` for why it's an
+        explicit argument).  Returns ``(scores [k'], rows_a [k'],
+        rows_b [k'])`` with indices into ``corpus.emb_ids``."""
         n = corpus.n_valid
         max_pairs = n * (n - 1) // 2
         k_eff = min(int(k), max_pairs)

@@ -82,6 +82,16 @@ class PackedCorpus:
     dim: int  # true (unpadded) embedding dim
     version: int  # store matrix_version this pack reflects
     precision: Precision
+    # lazily-cached device copy of n_valid (one upload per pack; on
+    # tunneled devices every host->device transfer is a full RPC)
+    _n_valid_dev: Optional[jax.Array] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def n_valid_device(self) -> jax.Array:
+        if self._n_valid_dev is None:
+            object.__setattr__(self, "_n_valid_dev", jnp.int32(self.n_valid))
+        return self._n_valid_dev  # type: ignore[return-value]
 
     @property
     def n_padded(self) -> int:

@@ -787,7 +787,7 @@ class AsyncKB:
         c = self.engine.candidate_count(n)
         with phase("device_search", self._stats), profiler_trace("retrieve"):
             pre_vals, pre_rows = await loop.run_in_executor(
-                None, self.engine.topk, vectors, c
+                None, self.engine.topk, corpus, vectors, c
             )
         with phase("finalize", self._stats):
             async with self._get_lock():
@@ -821,7 +821,7 @@ class AsyncKB:
         if self.engine.rescore:
             c = max(n + 64, int(n * 5 // 4))
         vals, rows_a, rows_b = await loop.run_in_executor(
-            None, self.engine.pairwise_topk, c
+            None, self.engine.pairwise_topk, corpus, c
         )
         async with self._get_lock():
             db = await self._ensure_db()
@@ -1178,7 +1178,7 @@ class KB:
             vectors = np.asarray(self._embed(queries), dtype=np.float32)
         with phase("device_search", self._stats), profiler_trace("retrieve"):
             pre_vals, pre_rows = self.engine.topk(
-                vectors, self.engine.candidate_count(n)
+                corpus, vectors, self.engine.candidate_count(n)
             )
         with phase("finalize", self._stats), self._lock:
             db = self._require_db()
@@ -1198,7 +1198,7 @@ class KB:
         c = n
         if self.engine.rescore:
             c = max(n + 64, int(n * 5 // 4))
-        vals, rows_a, rows_b = self.engine.pairwise_topk(c)
+        vals, rows_a, rows_b = self.engine.pairwise_topk(corpus, c)
         with self._lock:
             db = self._require_db()
             with db.transaction() as tx:

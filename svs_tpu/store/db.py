@@ -76,6 +76,24 @@ CREATE INDEX IF NOT EXISTS idx_edges_r ON edges(r);
 CREATE INDEX IF NOT EXISTS idx_edges_d ON edges(d);
 """
 
+# Embedding-generation triggers: a monotonic counter in the internal keyval
+# bumped by ANY writer of the embeddings table — including foreign tools
+# that know nothing about this framework (they share the .sqlite file, and
+# triggers live in the file).  This is what makes device-cache staleness
+# detection exact: a foreign DELETE+INSERT that reuses the max rowid leaves
+# (COUNT, MAX(id)) unchanged, but can't avoid firing these.
+_EMB_GENERATION_KEY = "svs_tpu_emb_generation"
+_GENERATION_DDL = "".join(
+    f"""
+CREATE TRIGGER IF NOT EXISTS svs_tpu_emb_gen_{op.lower()} AFTER {op} ON embeddings
+BEGIN
+    INSERT INTO keyval (key, val) VALUES ('{_EMB_GENERATION_KEY}', 1)
+    ON CONFLICT(key) DO UPDATE SET val = val + 1;
+END;
+"""
+    for op in ("INSERT", "UPDATE", "DELETE")
+)
+
 # STRICT tables require SQLite >= 3.37; older builds get the plain flavor.
 SQLITE_IS_STRICT = sqlite3.sqlite_version_info >= (3, 37, 0)
 if not SQLITE_IS_STRICT:  # pragma: no cover - depends on host sqlite
@@ -96,7 +114,7 @@ class Database:
             check_same_thread=False,  # serialized by the owning KB's lock
         )
         try:
-            conn.executescript(_DDL)
+            conn.executescript(_DDL + _GENERATION_DDL)
             conn.commit()
         except BaseException:
             conn.close()

@@ -276,16 +276,27 @@ class Tx:
         (n,) = self._conn.execute("SELECT COUNT(*) FROM embeddings;").fetchone()
         return int(n)
 
-    def embeddings_fingerprint(self) -> Tuple[int, int]:
-        """Change detector over the embeddings table: (count, max id).
-        Used with ``matrix_version`` to decide device-cache staleness even
-        for databases mutated by tools that don't bump the counter.
-        COUNT(*) walks the table b-tree — O(n); callers gate it behind the
-        O(1) :meth:`data_version` check."""
+    def embeddings_fingerprint(self) -> Tuple[int, int, int]:
+        """Change detector over the embeddings table:
+        (count, max id, generation).  Used with ``matrix_version`` to decide
+        device-cache staleness even for databases mutated by tools that
+        don't bump the counter.  The generation term comes from triggers
+        that fire on ANY embeddings write (see ``db._GENERATION_DDL``), so
+        a foreign DELETE+INSERT that reuses the max rowid — invisible to
+        count/max — still changes the fingerprint.  COUNT(*) walks the
+        table b-tree — O(n); callers gate it behind the O(1)
+        :meth:`data_version` check."""
         count, max_id = self._conn.execute(
             "SELECT COUNT(*), COALESCE(MAX(id), 0) FROM embeddings;"
         ).fetchone()
-        return int(count), int(max_id)
+        return int(count), int(max_id), self.embeddings_generation()
+
+    def embeddings_generation(self) -> int:
+        """O(1) trigger-maintained write counter of the embeddings table."""
+        row = self._conn.execute(
+            "SELECT val FROM keyval WHERE key = 'svs_tpu_emb_generation';"
+        ).fetchone()
+        return int(row[0]) if row is not None else 0
 
     def data_version(self) -> int:
         """SQLite's per-connection file-change counter: increments whenever

@@ -62,7 +62,7 @@ def test_topk_rescore_pipeline_is_exact(db_path, unit_rows):
     corpus = eng.ensure_fresh(db)
     q = unit_rows(1, 24)[0]
     c = eng.candidate_count(10)
-    vals, rows = eng.topk(q, c)
+    vals, rows = eng.topk(corpus, q, c)
     emb_ids = corpus.emb_ids[rows[0]]
     with db.transaction() as tx:
         exact = tx.fetch_embedding_rows(emb_ids) @ q
@@ -78,7 +78,7 @@ def test_topk_empty_corpus(db_path):
     eng = RetrievalEngine()
     corpus = eng.ensure_fresh(db)
     assert corpus.n_valid == 0
-    vals, rows = eng.topk(np.zeros((1, 0), np.float32), 5)
+    vals, rows = eng.topk(corpus, np.zeros((1, 0), np.float32), 5)
     assert vals.shape == (1, 0)
     db.close()
 
@@ -87,8 +87,8 @@ def test_pairwise_topk_via_engine(db_path, unit_rows):
     m = unit_rows(120, 16)
     db = _fill(db_path, m)
     eng = RetrievalEngine(precision="f32")
-    eng.ensure_fresh(db)
-    vals, ra, rb = eng.pairwise_topk(5)
+    corpus = eng.ensure_fresh(db)
+    vals, ra, rb = eng.pairwise_topk(corpus, 5)
     from svs_tpu.utils.topk_np import top_pairs_numpy
 
     oracle = top_pairs_numpy(m @ m.T, 5)
@@ -125,7 +125,7 @@ def test_incremental_append_no_full_repack(db_path, unit_rows, precision, monkey
 
     full = np.concatenate([m1, m2])
     q = unit_rows(1, 8)[0]
-    vals, rows = eng.topk(q, 5)
+    vals, rows = eng.topk(c2, q, 5)
     emb_ids = c2.emb_ids[rows[0]]
     with db.transaction() as tx:
         exact = tx.fetch_embedding_rows(emb_ids) @ q
@@ -303,3 +303,117 @@ def test_sidecar_corrupt_file_ignored(tmp_path):
 
 def test_sidecar_path_for():
     assert str(sidecar_path_for("/x/y.sqlite")).endswith("y.sqlite.svsx")
+
+def test_foreign_delete_insert_reusing_rowid_detected(db_path, unit_rows):
+    """A foreign re-embed done as DELETE+INSERT reuses the freed max rowid,
+    so (count, max id) is unchanged — the trigger-maintained generation is
+    what forces the repack.  Served-stale here means retrieval silently
+    returns the OLD vector's neighbors."""
+    m = unit_rows(10, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    c1 = eng.ensure_fresh(db)
+
+    foreign = Database(db_path)  # like the reference on a shared file
+    with foreign.transaction() as tx:  # no bump_matrix_version
+        doc_id = tx.doc_id_for_emb_id(int(c1.emb_ids[-1]))
+        tx.set_doc_embedding(doc_id, embedding_to_bytes([1.0] + [0.0] * 7))
+    foreign.close()
+
+    c2 = eng.ensure_fresh(db)
+    assert c2 is not c1  # repacked
+    new_row = np.asarray(c2.data)[len(m) - 1, :8]
+    np.testing.assert_allclose(new_row, [1.0] + [0.0] * 7, atol=1e-6)
+    db.close()
+
+
+def test_write_sidecar_skipped_when_loaded_from_it(db_path, unit_rows, tmp_path):
+    """Warm load from a fresh sidecar then write_sidecar to the same path:
+    must be a no-op (no device->host pull, no byte-identical rewrite)."""
+    m = unit_rows(30, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    eng.ensure_fresh(db)
+    side = tmp_path / "s.svsx"
+    eng.write_sidecar(side)
+
+    eng2 = RetrievalEngine(precision="bf16")
+    eng2.ensure_fresh(db, sidecar_path=side)
+    import svs_tpu.engine.index as index_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("write_sidecar should have been skipped")
+
+    orig = index_mod.save_sidecar
+    index_mod.save_sidecar = boom
+    try:
+        eng2.write_sidecar(side)  # no-op: loaded from this very file
+    finally:
+        index_mod.save_sidecar = orig
+    db.close()
+
+
+def test_write_sidecar_after_append_uses_host_bytes(db_path, unit_rows, tmp_path):
+    """Sidecar load -> incremental append -> write_sidecar must stream the
+    host-side mirror (memmap + appended rows), never pull the device copy."""
+    m = unit_rows(20, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    eng.ensure_fresh(db)
+    side = tmp_path / "s.svsx"
+    eng.write_sidecar(side)
+
+    eng2 = RetrievalEngine(precision="bf16")
+    eng2.ensure_fresh(db, sidecar_path=side)
+    with db.transaction() as tx:
+        tx.add_doc("new", None, None, embedding_to_bytes([1.0] + [0.0] * 7))
+        tx.bump_matrix_version()
+    c2 = eng2.ensure_fresh(db, sidecar_path=side)
+    assert c2.n_valid == 21
+
+    import svs_tpu.engine.index as index_mod
+
+    seen = {}
+    orig = index_mod.save_sidecar
+
+    def spy(path, corpus, fingerprint=None, host_pack=None):
+        seen["host_pack"] = host_pack
+        return orig(path, corpus, fingerprint=fingerprint, host_pack=host_pack)
+
+    index_mod.save_sidecar = spy
+    try:
+        eng2.write_sidecar(side)
+    finally:
+        index_mod.save_sidecar = orig
+    assert seen["host_pack"] is not None  # streamed from host, no device pull
+    np.testing.assert_array_equal(
+        np.asarray(seen["host_pack"].data), np.asarray(c2.data)
+    )
+    # and the rewritten sidecar round-trips
+    eng3 = RetrievalEngine(precision="bf16")
+    c3 = eng3.ensure_fresh(db, sidecar_path=side)
+    np.testing.assert_array_equal(np.asarray(c3.data), np.asarray(c2.data))
+    db.close()
+
+
+def test_topk_against_superseded_corpus_still_consistent(db_path, unit_rows):
+    """The search API takes the pack as an argument: a caller holding an
+    older pack (because a writer repacked concurrently) still gets results
+    consistent with THAT pack — row indices resolve through its emb_ids."""
+    m = unit_rows(50, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    c1 = eng.ensure_fresh(db)
+
+    with db.transaction() as tx:  # concurrent writer: delete + add => repack
+        tx.del_doc(tx.doc_id_for_emb_id(int(c1.emb_ids[0])))
+        tx.add_doc("new", None, None, embedding_to_bytes([1.0] + [0.0] * 7))
+        tx.bump_matrix_version()
+    c2 = eng.ensure_fresh(db)
+    assert c2 is not c1
+
+    q = unit_rows(1, 8)[0]
+    vals, rows = eng.topk(c1, q, 5)  # search the OLD pack
+    oracle = [i for _, i in top_k_numpy(m @ q, 5)]
+    assert list(rows[0]) == oracle  # rows index c1's layout, not c2's
+    db.close()

@@ -225,8 +225,51 @@ def test_matrix_version_and_fingerprint(db_path):
         assert tx.matrix_version() == 0
         assert tx.bump_matrix_version() == 1
         assert tx.bump_matrix_version() == 2
-        assert tx.embeddings_fingerprint() == (0, 0)
+        assert tx.embeddings_fingerprint() == (0, 0, 0)
         tx.add_doc("a", None, None, embedding_to_bytes([1.0]))
-        count, max_id = tx.embeddings_fingerprint()
-        assert (count, max_id) == (1, 1)
+        count, max_id, gen = tx.embeddings_fingerprint()
+        assert (count, max_id, gen) == (1, 1, 1)
+    db.close()
+
+
+def test_embeddings_generation_counts_every_write(db_path):
+    """The trigger-maintained generation moves on ANY embeddings write —
+    including a DELETE+INSERT pair that reuses the max rowid, which leaves
+    (count, max id) unchanged (SQLite hands back the freed max rowid)."""
+    db = Database(db_path)
+    with db.transaction() as tx:
+        for name in ("a", "b", "c"):
+            tx.add_doc(name, None, None, embedding_to_bytes([1.0]))
+        count, max_id, gen = tx.embeddings_fingerprint()
+    assert (count, max_id, gen) == (3, 3, 3)
+
+    # re-embed the max-id doc the way the reference does: DELETE + INSERT
+    with db.transaction() as tx:
+        doc_id = tx.doc_id_for_emb_id(3)
+        tx._conn.execute("UPDATE docs SET embedding = NULL WHERE id = ?;", (doc_id,))
+        tx._conn.execute("DELETE FROM embeddings WHERE id = 3;")
+        tx.set_doc_embedding(doc_id, embedding_to_bytes([-1.0]))
+        count, max_id, gen = tx.embeddings_fingerprint()
+    assert (count, max_id) == (3, 3)  # invisible to count/max...
+    assert gen == 5  # ...but not to the generation counter
+    db.close()
+
+
+def test_generation_fires_for_foreign_connections(db_path):
+    """Triggers live in the database file, so a writer that knows nothing
+    about this framework still bumps the generation."""
+    import sqlite3
+
+    db = Database(db_path)
+    with db.transaction() as tx:
+        tx.add_doc("a", None, None, embedding_to_bytes([1.0]))
+
+    foreign = sqlite3.connect(db_path)  # raw connection, no framework code
+    foreign.execute("UPDATE embeddings SET embedding = ? WHERE id = 1;",
+                    (embedding_to_bytes([0.5]),))
+    foreign.commit()
+    foreign.close()
+
+    with db.transaction() as tx:
+        assert tx.embeddings_generation() == 2
     db.close()
