@@ -417,6 +417,18 @@ class Tx:
         if cur.rowcount != 1:
             raise KeyError(edge_id)
 
+    def iter_edges(
+        self,
+    ) -> Iterator[Tuple[DocumentId, DocumentId, DocumentId, Optional[float], bool]]:
+        """All edge rows as ``(a, b, r, w, directed)`` in insertion order —
+        the faithful-copy path: round-tripping edges through a networkx view
+        materializes undirected edges as two arcs whenever any directed edge
+        exists, doubling rows and losing the undirected flag."""
+        for a, b, r, w, d in self._conn.execute(
+            "SELECT a, b, r, w, d FROM edges ORDER BY id;"
+        ):
+            yield a, b, r, w, bool(d)
+
     def build_networkx_graph(self, multigraph: bool = True) -> NetworkXGraphTypes:
         """Materialize the edge table as a NetworkX graph.
 

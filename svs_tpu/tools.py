@@ -64,17 +64,22 @@ def reembed(
                     count += 1
             log.info("reembed: %d/%d documents", count, len(docs))
 
-        # Graph edges (ids remapped).
-        with src.bulk_graph_update() as g:
-            graph = g.build_networkx_graph(multigraph=True)
-        with dest.bulk_graph_update() as g:
-            for a, b, data in graph.edges(data=True):
-                kwargs = {"weight": data.get("weight")}
-                rel = id_map[data["edge_doc"]]
-                if graph.is_directed():
-                    g.add_directed_edge(id_map[a], id_map[b], rel, **kwargs)
-                else:
-                    g.add_edge(id_map[a], id_map[b], rel, **kwargs)
+        # Graph edges copied row-by-row at the store level (a, b, r, w, d)
+        # so the copy is faithful: a networkx round trip materializes each
+        # undirected edge as two arcs whenever any directed edge exists,
+        # which would double those rows and lose the undirected flag.
+        assert src.db is not None
+        with src.db.transaction() as tx:
+            edge_rows = list(tx.iter_edges())
+        if edge_rows:
+            with dest.bulk_graph_update() as g:
+                for a, b, r, w, directed in edge_rows:
+                    if directed:
+                        g.add_directed_edge(
+                            id_map[a], id_map[b], id_map[r], weight=w
+                        )
+                    else:
+                        g.add_edge(id_map[a], id_map[b], id_map[r], weight=w)
 
         # User key/value store.
         with src.bulk_keyval_update() as src_kv:

@@ -100,3 +100,30 @@ def test_cli_reembed(tmp_path, capsys):
     dest = KB(out)
     assert len(dest) == 2
     dest.close()
+
+def test_reembed_faithful_with_mixed_edges(tmp_path):
+    """Regression: with directed AND undirected edges, the copy must keep
+    each undirected edge as ONE row with d=0 (a networkx round trip would
+    materialize it as two directed arcs)."""
+    src_path = tmp_path / "src.sqlite"
+    src = KB(src_path, make_angle_embedder())
+    with src.bulk_add_docs() as add:
+        a = add("angle:0")
+        b = add("angle:10")
+        c = add("angle:20")
+    with src.bulk_graph_update() as g:
+        g.add_edge(a, b, c, weight=0.5)          # undirected
+        g.add_directed_edge(b, c, a, weight=2.0)  # directed
+    src.close()
+
+    dest_path = tmp_path / "dest.sqlite"
+    reembed(src_path, dest_path, make_angle_embedder())
+
+    from svs_tpu.store import Database
+
+    for path in (src_path, dest_path):
+        db = Database(path)
+        with db.transaction() as tx:
+            rows = [(w, d) for _, _, _, w, d in tx.iter_edges()]
+        db.close()
+        assert rows == [(0.5, False), (2.0, True)], (path, rows)
