@@ -43,8 +43,11 @@ from .sidecar import load_sidecar, save_sidecar
 
 log = logging.getLogger(__name__)
 
-#: Candidate over-provisioning for the rescore stage: enough that a bf16 or
-#: int8 prescore ordering flip at the boundary cannot evict a true top-k hit.
+#: Initial candidate over-provisioning for the rescore stage.  This is a
+#: starting point, not a guarantee: exactness is *verified* per query by the
+#: margin check in the KB facades (``prescore_eps``), which widens the
+#: candidate set geometrically whenever prescore resolution can't separate
+#: the boundary (e.g. score clusters inside one bf16 ulp).
 CANDIDATE_MULTIPLIER = 4
 CANDIDATE_MIN_EXTRA = 32
 
@@ -315,6 +318,9 @@ class RetrievalEngine:
             if host is not None
             else None
         )
+        scale_max = old.scale_max
+        if old.precision == "int8":
+            scale_max = max(scale_max, float(np.max(s_new)))
         return PackedCorpus(
             data=data_new,
             row_scales=scales_new,
@@ -323,6 +329,7 @@ class RetrievalEngine:
             dim=old.dim,
             version=fingerprint[0],
             precision=old.precision,
+            scale_max=scale_max,
         )
 
     def _try_sidecar(
@@ -357,14 +364,18 @@ class RetrievalEngine:
         # device, and a write to *this* path is skipped entirely.
         self._host_pack = HostPack(data=data, row_scales=row_scales)
         self._sidecar_source = Path(path)
+        n_valid = int(header["n_valid"])
         return PackedCorpus(
             data=device_data,
             row_scales=scales_arr,
             emb_ids=np.asarray(emb_ids, dtype=np.int64),
-            n_valid=header["n_valid"],
+            n_valid=n_valid,
             dim=header["dim"],
             version=header["matrix_version"],
             precision=self.precision,
+            scale_max=float(np.max(row_scales[:n_valid])) if (
+                row_scales is not None and n_valid > 0
+            ) else 0.0,
         )
 
     def write_sidecar(self, path: Union[str, Path]) -> None:
@@ -389,6 +400,69 @@ class RetrievalEngine:
         if not self.rescore:
             return k
         return max(k * CANDIDATE_MULTIPLIER, k + CANDIDATE_MIN_EXTRA)
+
+    def prescore_eps(
+        self, corpus: PackedCorpus, queries: np.ndarray
+    ) -> np.ndarray:
+        """Per-query bound on ``|device prescore - exact f32 score|``.
+
+        This is what turns the rescore stage from "probably exact" into
+        *verified* exact: after the f32 rescore, if the k-th rescored value
+        clears the lowest returned prescore by at least this bound, then no
+        non-candidate document can have a true score above the k-th value —
+        so the candidate set provably covered the true top-k.  Callers
+        widen the candidate set and retry when the margin check fails
+        (``KB.retrieve``); at C = n_valid every document is rescored, which
+        is exact by construction.
+
+        Derivation (unit-norm vectors, so ``|score| <= 1``):
+
+        - ``bf16``: inputs are round-to-nearest bf16 (unit roundoff
+          ``u = 2**-9``); both sides quantized gives
+          ``|q^·d^ - q·d| <= 2u(1+u)·||q||·||d|| = 2**-8·(1+2**-9)``,
+          plus small f32-accumulation cushions on both the device matmul
+          and the host rescore.  This bound is deterministic (sound).
+        - ``int8``: with per-row scale ``s_d`` (<= corpus ``scale_max``)
+          and per-query scale ``s_q``, the error is a sum of ``d`` terms
+          each bounded by half a quantization step.  The deterministic
+          bound ``~0.5·(s_q + s_d)·sqrt(d)`` is hopelessly loose (rounding
+          residuals never align), so we use a Hoeffding-style concentration
+          bound at ``delta = 1e-15`` per (query, doc) pair — failure
+          probability < 1e-9 per query at 1M docs, and a failure is not an
+          error: it only means the margin check passes when it shouldn't
+          have, with the miss still bounded by the deterministic bound.
+        - ``f32``: accumulation-order differences only.
+        """
+        b = queries.shape[0]
+        if corpus.precision == "bf16":
+            eps = 2.0**-8 * (1.0 + 2.0**-9) + 3e-5
+            return np.full((b,), eps, dtype=np.float64)
+        if corpus.precision == "int8":
+            d = corpus.dim
+            s_d = corpus.scale_max
+            s_q = np.max(np.abs(queries), axis=1).astype(np.float64) / 127.0
+            t = np.sqrt(2.0 * np.log(2.0 / 1e-15))  # ~8.3
+            eps = (
+                0.5 * t * (s_q + s_d) * 1.001  # concentration terms
+                + 0.25 * d * s_q * s_d  # residual x residual (deterministic)
+                + 3e-5
+            )
+            return eps
+        return np.full((b,), 1e-4, dtype=np.float64)
+
+    def pairwise_eps(self, corpus: PackedCorpus) -> float:
+        """Bound on ``|device pairwise prescore - exact f32 score|`` (both
+        sides of each dot are stored vectors; int8 pairs run dequantized to
+        bf16, so the error stacks the quantization residual of both rows on
+        top of the bf16 term — same derivation as :meth:`prescore_eps`)."""
+        bf16_term = 2.0**-8 * (1.0 + 2.0**-9) + 3e-5
+        if corpus.precision == "f32":
+            return 1e-4
+        if corpus.precision == "bf16":
+            return bf16_term
+        s = corpus.scale_max
+        t = float(np.sqrt(2.0 * np.log(2.0 / 1e-15)))
+        return bf16_term + t * s * 1.001 + 0.25 * corpus.dim * s * s
 
     def topk(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int

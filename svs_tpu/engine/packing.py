@@ -82,6 +82,9 @@ class PackedCorpus:
     dim: int  # true (unpadded) embedding dim
     version: int  # store matrix_version this pack reflects
     precision: Precision
+    #: Largest per-row quantization scale (int8 only; 0.0 otherwise) — input
+    #: to the engine's sound prescore-error bound for rescore verification.
+    scale_max: float = 0.0
     # lazily-cached device copy of n_valid (one upload per pack; on
     # tunneled devices every host->device transfer is a full RPC)
     _n_valid_dev: Optional[jax.Array] = dataclasses.field(
@@ -165,6 +168,9 @@ def pack_corpus(
         dim=d,
         version=version,
         precision=precision,
+        scale_max=float(host_scales[:n].max()) if (
+            host_scales is not None and n > 0
+        ) else 0.0,
     )
     if keep_host:
         return corpus, HostPack(data=host_data, row_scales=host_scales)

@@ -190,7 +190,8 @@ def _finalize_batch(
     pre_rows: np.ndarray,
     k: int,
     rescore: bool,
-) -> List[List[Retrieval]]:
+    pre_eps: Optional[np.ndarray] = None,
+) -> Optional[List[List[Retrieval]]]:
     """Turn device candidates for a query batch into hydrated results.
 
     With ``rescore``, candidate embeddings are re-read from the store and
@@ -199,6 +200,14 @@ def _finalize_batch(
     storage precision.  Store work is batched across the whole query batch:
     one IN-query fetch for the union of candidate embeddings, and shared
     doc hydration (deep-copied per hit so results never alias).
+
+    ``pre_eps`` (per-query prescore-error bounds from
+    ``RetrievalEngine.prescore_eps``) turns the rescore into *verified*
+    exact: if any query's k-th rescored score does not clear the lowest
+    returned prescore by its bound, some true top-k hit could be hiding
+    outside the candidate set — return ``None`` so the caller widens the
+    candidates and retries.  Skipped when every document is already a
+    candidate (exact by construction).
     """
     import copy
 
@@ -206,29 +215,41 @@ def _finalize_batch(
     if pre_rows.size == 0:
         return [[] for _ in range(n_queries)]
 
-    sub_matrix = pos = None
+    per_query_hits: List[List[Tuple[float, int]]] = []
     if rescore:
         unique_rows = np.unique(pre_rows)
         sub_matrix = tx.fetch_embedding_rows(corpus.emb_ids[unique_rows])
         pos = {int(r): i for i, r in enumerate(unique_rows)}
-
-    emb_to_doc: Dict[int, DocumentId] = {}
-    doc_cache: Dict[DocumentId, DocumentRecord] = {}
-    results: List[List[Retrieval]] = []
-    for b in range(n_queries):
-        rows_b = pre_rows[b]
-        if rescore:
+        verify = pre_eps is not None and pre_rows.shape[1] < corpus.n_valid
+        for b in range(n_queries):
+            rows_b = pre_rows[b]
             cand = sub_matrix[[pos[int(r)] for r in rows_b]]
             exact = cand @ vectors[b].astype(np.float32)
             hits = [
                 (score, int(corpus.emb_ids[rows_b[i]]))
                 for score, i in top_k_numpy(exact, k)
             ]
-        else:
-            hits = [
-                (float(pre_vals[b][i]), int(corpus.emb_ids[rows_b[i]]))
-                for i in range(min(k, len(rows_b)))
-            ]
+            if verify and hits:
+                # No non-candidate's true score can exceed its prescore
+                # (<= the lowest returned prescore) plus the error bound.
+                v_k = hits[-1][0]
+                if v_k < float(pre_vals[b][-1]) + float(pre_eps[b]):
+                    return None
+            per_query_hits.append(hits)
+    else:
+        for b in range(n_queries):
+            rows_b = pre_rows[b]
+            per_query_hits.append(
+                [
+                    (float(pre_vals[b][i]), int(corpus.emb_ids[rows_b[i]]))
+                    for i in range(min(k, len(rows_b)))
+                ]
+            )
+
+    emb_to_doc: Dict[int, DocumentId] = {}
+    doc_cache: Dict[DocumentId, DocumentRecord] = {}
+    results: List[List[Retrieval]] = []
+    for hits in per_query_hits:
         out: List[Retrieval] = []
         for score, emb_id in hits:
             doc_id = emb_to_doc.get(emb_id)
@@ -250,13 +271,17 @@ def _finalize_pairwise(
     rows_b: np.ndarray,
     k: int,
     rescore: bool,
-) -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
-    """Hydrate top pairs; optionally f32-rescore the candidate pairs."""
+    pre_eps: Optional[float] = None,
+) -> Optional[List[Tuple[float, DocumentRecord, DocumentRecord]]]:
+    """Hydrate top pairs; optionally f32-rescore the candidate pairs.
+    Returns ``None`` when the verified-exactness margin check fails (same
+    contract as :func:`_finalize_batch`)."""
     emb_a = corpus.emb_ids[rows_a]
     emb_b = corpus.emb_ids[rows_b]
     n_pairs = len(emb_a)
     if n_pairs == 0:
         return []
+    total_pairs = corpus.n_valid * (corpus.n_valid - 1) // 2
     if rescore:
         unique = sorted(set(map(int, emb_a)) | set(map(int, emb_b)))
         vectors = tx.fetch_embedding_rows(unique)
@@ -270,6 +295,10 @@ def _finalize_pairwise(
         triples = [
             (score, int(emb_a[i]), int(emb_b[i])) for score, i in order
         ]
+        if pre_eps is not None and n_pairs < total_pairs and triples:
+            v_k = triples[-1][0]
+            if v_k < float(pre_vals[-1]) + pre_eps:
+                return None
     else:
         triples = [
             (float(pre_vals[i]), int(emb_a[i]), int(emb_b[i]))
@@ -785,27 +814,44 @@ class AsyncKB:
         with phase("embed", self._stats):
             vectors = np.asarray(await self._embed(queries), dtype=np.float32)
         c = self.engine.candidate_count(n)
-        with phase("device_search", self._stats), profiler_trace("retrieve"):
-            pre_vals, pre_rows = await loop.run_in_executor(
-                None, self.engine.topk, corpus, vectors, c
+        pre_eps = (
+            self.engine.prescore_eps(corpus, vectors)
+            if self.engine.rescore
+            else None
+        )
+        while True:
+            with phase("device_search", self._stats), profiler_trace("retrieve"):
+                pre_vals, pre_rows = await loop.run_in_executor(
+                    None, self.engine.topk, corpus, vectors, c
+                )
+            with phase("finalize", self._stats):
+                async with self._get_lock():
+                    db = await self._ensure_db()
+
+                    def heavy() -> Optional[List[List[Retrieval]]]:
+                        with db.transaction() as tx:
+                            return _finalize_batch(
+                                tx,
+                                corpus,
+                                vectors,
+                                pre_vals,
+                                pre_rows,
+                                n,
+                                self.engine.rescore,
+                                pre_eps,
+                            )
+
+                    results = await loop.run_in_executor(None, heavy)
+            if results is not None:
+                return results
+            # Margin check failed: prescore resolution can't separate the
+            # candidate boundary.  Widen geometrically; at C = n_valid the
+            # whole corpus is rescored in f32 — exact by construction.
+            c = min(corpus.n_valid, c * 4)
+            log.info(
+                "rescore margin insufficient at the candidate boundary; "
+                "widening device candidates to %d and retrying", c,
             )
-        with phase("finalize", self._stats):
-            async with self._get_lock():
-                db = await self._ensure_db()
-
-                def heavy() -> List[List[Retrieval]]:
-                    with db.transaction() as tx:
-                        return _finalize_batch(
-                            tx,
-                            corpus,
-                            vectors,
-                            pre_vals,
-                            pre_rows,
-                            n,
-                            self.engine.rescore,
-                        )
-
-                return await loop.run_in_executor(None, heavy)
 
     async def document_top_pairwise_scores(
         self, n: int
@@ -818,21 +864,32 @@ class AsyncKB:
         if corpus.n_valid < 2 or n <= 0:
             return []
         c = n
+        pre_eps = None
         if self.engine.rescore:
             c = max(n + 64, int(n * 5 // 4))
-        vals, rows_a, rows_b = await loop.run_in_executor(
-            None, self.engine.pairwise_topk, corpus, c
-        )
-        async with self._get_lock():
-            db = await self._ensure_db()
+            pre_eps = self.engine.pairwise_eps(corpus)
+        total_pairs = corpus.n_valid * (corpus.n_valid - 1) // 2
+        while True:
+            vals, rows_a, rows_b = await loop.run_in_executor(
+                None, self.engine.pairwise_topk, corpus, c
+            )
+            async with self._get_lock():
+                db = await self._ensure_db()
 
-            def heavy() -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
-                with db.transaction() as tx:
-                    return _finalize_pairwise(
-                        tx, corpus, vals, rows_a, rows_b, n, self.engine.rescore
-                    )
+                def heavy() -> Optional[
+                    List[Tuple[float, DocumentRecord, DocumentRecord]]
+                ]:
+                    with db.transaction() as tx:
+                        return _finalize_pairwise(
+                            tx, corpus, vals, rows_a, rows_b, n,
+                            self.engine.rescore, pre_eps,
+                        )
 
-            return await loop.run_in_executor(None, heavy)
+                results = await loop.run_in_executor(None, heavy)
+            if results is not None:
+                return results
+            c = min(total_pairs, c * 4)
+            log.info("pairwise rescore margin insufficient; widening to %d", c)
 
 
 # ---------------------------------------------------------------------------
@@ -1176,17 +1233,29 @@ class KB:
             return [[] for _ in queries]
         with phase("embed", self._stats):
             vectors = np.asarray(self._embed(queries), dtype=np.float32)
-        with phase("device_search", self._stats), profiler_trace("retrieve"):
-            pre_vals, pre_rows = self.engine.topk(
-                corpus, vectors, self.engine.candidate_count(n)
+        c = self.engine.candidate_count(n)
+        pre_eps = (
+            self.engine.prescore_eps(corpus, vectors)
+            if self.engine.rescore
+            else None
+        )
+        while True:
+            with phase("device_search", self._stats), profiler_trace("retrieve"):
+                pre_vals, pre_rows = self.engine.topk(corpus, vectors, c)
+            with phase("finalize", self._stats), self._lock:
+                db = self._require_db()
+                with db.transaction() as tx:
+                    results = _finalize_batch(
+                        tx, corpus, vectors, pre_vals, pre_rows, n,
+                        self.engine.rescore, pre_eps,
+                    )
+            if results is not None:
+                return results
+            c = min(corpus.n_valid, c * 4)
+            log.info(
+                "rescore margin insufficient at the candidate boundary; "
+                "widening device candidates to %d and retrying", c,
             )
-        with phase("finalize", self._stats), self._lock:
-            db = self._require_db()
-            with db.transaction() as tx:
-                return _finalize_batch(
-                    tx, corpus, vectors, pre_vals, pre_rows, n,
-                    self.engine.rescore,
-                )
 
     def document_top_pairwise_scores(
         self, n: int
@@ -1196,15 +1265,24 @@ class KB:
         if corpus.n_valid < 2 or n <= 0:
             return []
         c = n
+        pre_eps = None
         if self.engine.rescore:
             c = max(n + 64, int(n * 5 // 4))
-        vals, rows_a, rows_b = self.engine.pairwise_topk(corpus, c)
-        with self._lock:
-            db = self._require_db()
-            with db.transaction() as tx:
-                return _finalize_pairwise(
-                    tx, corpus, vals, rows_a, rows_b, n, self.engine.rescore
-                )
+            pre_eps = self.engine.pairwise_eps(corpus)
+        total_pairs = corpus.n_valid * (corpus.n_valid - 1) // 2
+        while True:
+            vals, rows_a, rows_b = self.engine.pairwise_topk(corpus, c)
+            with self._lock:
+                db = self._require_db()
+                with db.transaction() as tx:
+                    results = _finalize_pairwise(
+                        tx, corpus, vals, rows_a, rows_b, n,
+                        self.engine.rescore, pre_eps,
+                    )
+            if results is not None:
+                return results
+            c = min(total_pairs, c * 4)
+            log.info("pairwise rescore margin insufficient; widening to %d", c)
 
     def __len__(self) -> int:
         with self._lock:

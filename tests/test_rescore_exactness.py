@@ -1,0 +1,170 @@
+"""Verified-exact rescore: adversarial corpora whose scores cluster inside
+the prescore's quantization error at the candidate boundary.
+
+Round 1 asserted that 4x candidate over-provisioning "cannot evict a true
+top-k hit"; these tests construct corpora where it absolutely can (hundreds
+of scores inside one bf16 ulp, best docs stored last so prescore ties
+resolve toward the WRONG rows) and prove the margin check + candidate
+widening restores exactness (reference guarantee: full-f32 exhaustive dot,
+``svs/kb.py:1185``).
+"""
+
+import logging
+import math
+
+import numpy as np
+import pytest
+
+from svs_tpu import KB
+from svs_tpu.engine import RetrievalEngine
+from svs_tpu.store import Database, embedding_to_bytes
+from svs_tpu.utils.topk_np import top_k_numpy
+
+
+def _cluster_vectors(scores, dim=16):
+    """Unit vectors whose dot with e1 is exactly ``scores`` (f32)."""
+    out = np.zeros((len(scores), dim), dtype=np.float32)
+    for i, s in enumerate(scores):
+        out[i, 0] = s
+        out[i, 1] = math.sqrt(1.0 - float(s) ** 2)
+    return out
+
+
+def _cluster_embedder(vectors, dim=16):
+    """Deterministic provider: 'c:<i>' -> vectors[i], 'probe' -> e1."""
+
+    async def embed(texts):
+        res = []
+        for t in texts:
+            if t == "probe":
+                v = np.zeros(dim, dtype=np.float32)
+                v[0] = 1.0
+            else:
+                v = vectors[int(t.split(":")[1])]
+            res.append([float(x) for x in v])
+        return res
+
+    embed.__embedding_func_params__ = {"provider": "mock"}
+    return embed
+
+
+@pytest.mark.parametrize("precision", ["bf16", "int8"])
+def test_adversarial_boundary_cluster_is_exact(db_path, precision, caplog):
+    """200 docs within one prescore ulp, best-scoring stored LAST (prescore
+    ties resolve to the lowest rows, i.e. the worst docs) -> the fixed
+    4x candidate set provably cannot determine the true top-10; the margin
+    check must fire and widen until the result matches the f32 oracle."""
+    n_cluster, k = 200, 10
+    scores = 0.7 + np.arange(n_cluster, dtype=np.float64) * 1e-6  # ascending
+    vectors = _cluster_vectors(scores)
+
+    kb = KB(
+        db_path,
+        _cluster_embedder(vectors),
+        force_fresh_db=True,
+        precision=precision,
+    )
+    with kb.bulk_add_docs() as add:
+        for i in range(n_cluster):
+            add(f"c:{i}")
+
+    with caplog.at_level(logging.INFO, logger="svs_tpu.kb"):
+        hits = kb.retrieve("probe", k)
+
+    oracle = [f"c:{n_cluster - 1 - j}" for j in range(k)]  # best are last
+    assert [h["doc"]["text"] for h in hits] == oracle
+    expect_scores = [float(np.float32(s)) for s in scores[::-1][:k]]
+    got = [h["score"] for h in hits]
+    np.testing.assert_allclose(got, expect_scores, atol=2e-6)
+    # the test is only meaningful if the margin check actually fired
+    assert any("widening" in r.message for r in caplog.records)
+    kb.close()
+
+
+def test_well_separated_corpus_never_widens(db_path, caplog):
+    """Sanity: on orthogonal-ish data the margin check passes first try —
+    the verification is free in the common case."""
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(300, 32)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    async def embed(texts):
+        out = []
+        for t in texts:
+            if t.startswith("d:"):
+                out.append([float(x) for x in m[int(t[2:])]])
+            else:
+                out.append([float(x) for x in m[17]])
+        return out
+
+    embed.__embedding_func_params__ = {"provider": "mock"}
+    kb = KB(db_path, embed, force_fresh_db=True)
+    with kb.bulk_add_docs() as add:
+        for i in range(len(m)):
+            add(f"d:{i}")
+    with caplog.at_level(logging.INFO, logger="svs_tpu.kb"):
+        hits = kb.retrieve("q", 5)
+    assert hits[0]["doc"]["text"] == "d:17"
+    assert not any("widening" in r.message for r in caplog.records)
+    kb.close()
+
+
+@pytest.mark.parametrize("precision", ["bf16", "int8"])
+def test_prescore_eps_is_sound_empirically(db_path, unit_rows, precision):
+    """The per-query error bound must dominate every observed
+    |device prescore - exact f32 score| on random data (by a margin —
+    it's meant to be sound, not tight)."""
+    m = unit_rows(512, 64)
+    db = Database(db_path)
+    with db.transaction() as tx:
+        for i, v in enumerate(m):
+            tx.add_doc(f"d{i}", None, None, embedding_to_bytes(list(map(float, v))))
+        tx.bump_matrix_version()
+    eng = RetrievalEngine(precision=precision)
+    corpus = eng.ensure_fresh(db)
+    q = unit_rows(8, 64)
+    vals, rows = eng.topk(corpus, q, 50)
+    eps = eng.prescore_eps(corpus, q)
+    exact = m @ q.T  # [N, B] f32
+    for b in range(q.shape[0]):
+        observed = np.abs(vals[b] - exact[rows[b], b])
+        assert observed.max() < eps[b], (
+            precision, observed.max(), eps[b]
+        )
+    db.close()
+
+
+def test_adversarial_pairwise_cluster_is_exact(db_path, caplog):
+    """Pairwise analog: a tight cone of vectors whose pair scores all sit
+    within one bf16 ulp of each other; top pairs must match the f32
+    oracle.  Adjacent angle gaps grow so every pair score is DISTINCT in
+    f32 (a constant gap would make all adjacent pairs exact ties, leaving
+    the oracle ill-defined)."""
+    n, k = 40, 5
+    gaps = (np.arange(n, dtype=np.float64) + 1.0) * 1e-3
+    angles = np.concatenate([[0.0], np.cumsum(gaps[:-1])])
+    vectors = np.zeros((n, 16), dtype=np.float32)
+    vectors[:, 0] = np.cos(angles)
+    vectors[:, 1] = np.sin(angles)
+
+    kb = KB(db_path, _cluster_embedder(vectors), force_fresh_db=True)
+    with kb.bulk_add_docs() as add:
+        for i in range(n):
+            add(f"c:{i}")
+
+    with caplog.at_level(logging.INFO, logger="svs_tpu.kb"):
+        pairs = kb.document_top_pairwise_scores(k)
+
+    sims = vectors.astype(np.float32) @ vectors.astype(np.float32).T
+    iu = np.triu_indices(n, k=1)
+    flat = sims[iu]
+    oracle = top_k_numpy(flat, k)
+    oracle_pairs = {
+        (f"c:{iu[0][i]}", f"c:{iu[1][i]}") for _, i in oracle
+    }
+    got_pairs = {(a["text"], b["text"]) for _, a, b in pairs}
+    assert got_pairs == oracle_pairs
+    got_scores = sorted((s for s, _, _ in pairs), reverse=True)
+    oracle_scores = [s for s, _ in oracle]
+    np.testing.assert_allclose(got_scores, oracle_scores, atol=1e-6)
+    kb.close()
