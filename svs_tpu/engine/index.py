@@ -21,6 +21,7 @@ RAM cache (``svs/kb.py:856-893``).  Responsibilities:
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
 from pathlib import Path
@@ -50,6 +51,11 @@ log = logging.getLogger(__name__)
 #: the boundary (e.g. score clusters inside one bf16 ulp).
 CANDIDATE_MULTIPLIER = 4
 CANDIDATE_MIN_EXTRA = 32
+
+#: Corpora with at least this many padded rows switch the result wire
+#: format from indices-as-f32-values (exact below 2^24) to the int32
+#: layout (exact for any size; see ``ops.topk.pack_vals_idx``).
+WIDE_INDEX_MIN_ROWS = 1 << 24
 
 
 @jax.jit
@@ -87,13 +93,13 @@ def _grow_rows_np(
     return out
 
 
-@jax.jit
-def _pack_results(vals: jax.Array, idx: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("wide",))
+def _pack_results(vals: jax.Array, idx: jax.Array, wide: bool = False) -> jax.Array:
     """One-dispatch packing for paths that return (vals, idx) pairs; see
-    ``ops.topk.pack_vals_idx`` for why indices travel as f32 values."""
+    ``ops.topk.pack_vals_idx`` for the two wire layouts."""
     from ..ops.topk import pack_vals_idx
 
-    return pack_vals_idx(vals, idx)
+    return pack_vals_idx(vals, idx, wide=wide)
 
 
 class RetrievalEngine:
@@ -493,14 +499,13 @@ class RetrievalEngine:
         n_valid = corpus.n_valid_device()
         b, k_pack = queries.shape[0], k_eff
 
-        # Every path returns ONE packed array ([B, k] scores ++ indices as
-        # exact f32 values) from as few device dispatches as possible —
-        # each dispatch/fetch is a full RPC round trip on tunneled devices.
-        # (Measured on v5e: XLA's fused matmul+top_k beats the
-        # approx_max_k-verified variant at every batch size; BENCHMARKS.md.)
-        assert corpus.n_padded < (1 << 24), "f32-packed indices need n < 2^24"
+        # Every path returns ONE packed array ([B, k] scores ++ indices)
+        # from as few device dispatches as possible — each dispatch/fetch
+        # is a full RPC round trip on tunneled devices.  Corpora below 2^24
+        # padded rows ship indices as exact f32 values; larger corpora
+        # switch to the int32 wire layout (see ``ops.topk.pack_vals_idx``).
+        wide = corpus.n_padded >= WIDE_INDEX_MIN_ROWS
         if self.mesh is not None:
-            from ..ops.topk import pack_vals_idx
             from ..parallel.sharded import sharded_score_topk
 
             vals, idx = sharded_score_topk(
@@ -513,12 +518,12 @@ class RetrievalEngine:
                 data_axis=self.data_axis,
                 model_axis=self.model_axis,
             )
-            packed_dev = _pack_results(vals, idx)
+            packed_dev = _pack_results(vals, idx, wide=wide)
         elif corpus.precision == "int8":
             from ..ops.quant import score_topk_int8_packed
 
             packed_dev = score_topk_int8_packed(
-                corpus.data, corpus.row_scales, q, n_valid, k_eff
+                corpus.data, corpus.row_scales, q, n_valid, k_eff, wide=wide
             )
         else:
             from ..ops.pallas_topk import (
@@ -527,21 +532,24 @@ class RetrievalEngine:
             )
             from ..ops.topk import score_topk_packed
 
-            if self.kernel == "pallas" and pallas_supported(
-                corpus.n_padded, corpus.dim_padded, k_eff
+            if (
+                self.kernel == "pallas"
+                and not wide  # kernel carries indices as f32 internally
+                and pallas_supported(corpus.n_padded, corpus.dim_padded, k_eff)
             ):
                 interp = jax.default_backend() == "cpu"
                 packed_dev = pallas_score_topk_packed(
                     corpus.data, q, n_valid, k_eff, interpret=interp
                 )
             else:
-                packed_dev = score_topk_packed(corpus.data, q, n_valid, k_eff)
+                packed_dev = score_topk_packed(
+                    corpus.data, q, n_valid, k_eff, wide=wide
+                )
 
-        packed = np.asarray(packed_dev)
-        return (
-            packed[:, :k_pack].astype(np.float32, copy=False),
-            packed[:, k_pack:].astype(np.int64),
-        )
+        from ..ops.topk import unpack_vals_idx
+
+        vals_np, rows_np = unpack_vals_idx(packed_dev, k_pack, wide=wide)
+        return vals_np, rows_np
 
     def pairwise_topk(
         self, corpus: PackedCorpus, k: int

@@ -61,18 +61,21 @@ def score_topk_int8(
     return masked_topk(_int8_scores(q_docs, row_scales, queries), k, n_valid)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "wide"))
 def score_topk_int8_packed(
     q_docs: jax.Array,
     row_scales: jax.Array,
     queries: jax.Array,
     n_valid: jax.Array,
     k: int,
+    wide: bool = False,
 ) -> jax.Array:
     """:func:`score_topk_int8` + result packing in one device dispatch."""
     from .topk import pack_vals_idx
 
-    return pack_vals_idx(*score_topk_int8(q_docs, row_scales, queries, n_valid, k))
+    return pack_vals_idx(
+        *score_topk_int8(q_docs, row_scales, queries, n_valid, k), wide=wide
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

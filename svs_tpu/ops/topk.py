@@ -135,21 +135,54 @@ def score_topk_fast(
     return verified_topk(scores, k)
 
 
-def pack_vals_idx(vals: jax.Array, idx: jax.Array) -> jax.Array:
-    """Scores ++ indices-as-f32-values in one array: a single host fetch
-    retrieves both (indices exact below 2^24; bitcasting instead would
-    produce denormals, which some transports flush to zero)."""
+def pack_vals_idx(vals: jax.Array, idx: jax.Array, wide: bool = False) -> jax.Array:
+    """Scores ++ indices in ONE array so a single host fetch retrieves both.
+
+    Default layout (f32): indices travel as exact f32 *values* — exact
+    below 2^24 rows.  (Bitcasting f32 score bits into small ints instead
+    would produce denormals, which some transports flush to zero.)
+
+    ``wide`` layout (int32): score f32 bits are bitcast into an int32
+    array and concatenated with raw int32 indices — exact for any corpus
+    size, at the cost of the host-side bitcast back.  Integer wire dtypes
+    carry arbitrary bit patterns safely (no denormal flushing).
+    """
+    if wide:
+        return jnp.concatenate(
+            [jax.lax.bitcast_convert_type(vals, jnp.int32), idx], axis=1
+        )
     return jnp.concatenate([vals, idx.astype(jnp.float32)], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+def unpack_vals_idx(
+    packed: "jnp.ndarray", k: int, wide: bool = False
+):
+    """Host-side inverse of :func:`pack_vals_idx` on a fetched ndarray:
+    returns ``(scores f32 [B, k], rows int64 [B, C-k])``."""
+    import numpy as np
+
+    packed = np.asarray(packed)
+    if wide:
+        vals = np.ascontiguousarray(packed[:, :k]).view(np.float32)
+        rows = packed[:, k:].astype(np.int64)
+    else:
+        vals = packed[:, :k].astype(np.float32, copy=False)
+        rows = packed[:, k:].astype(np.int64)
+    return vals, rows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wide"))
 def score_topk_packed(
-    docs: jax.Array, queries: jax.Array, n_valid: jax.Array, k: int
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    wide: bool = False,
 ) -> jax.Array:
     """:func:`score_topk` + result packing in ONE device dispatch —
     the engine's hot path (every separate dispatch is a full RPC round
     trip on tunneled devices)."""
-    return pack_vals_idx(*score_topk(docs, queries, n_valid, k))
+    return pack_vals_idx(*score_topk(docs, queries, n_valid, k), wide=wide)
 
 
 def merge_topk(

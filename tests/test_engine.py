@@ -417,3 +417,23 @@ def test_topk_against_superseded_corpus_still_consistent(db_path, unit_rows):
     oracle = [i for _, i in top_k_numpy(m @ q, 5)]
     assert list(rows[0]) == oracle  # rows index c1's layout, not c2's
     db.close()
+
+
+@pytest.mark.parametrize("precision", ["bf16", "int8", "f32"])
+def test_wide_index_engine_path(db_path, unit_rows, precision, monkeypatch):
+    """Engine dispatch past the wide-index threshold (lowered for the test):
+    results must match the narrow path exactly — no 2^24 scale cliff."""
+    import svs_tpu.engine.index as index_mod
+
+    m = unit_rows(600, 16)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision=precision)
+    corpus = eng.ensure_fresh(db)
+    q = unit_rows(2, 16)
+    vals_narrow, rows_narrow = eng.topk(corpus, q, 7)
+
+    monkeypatch.setattr(index_mod, "WIDE_INDEX_MIN_ROWS", 1)
+    vals_wide, rows_wide = eng.topk(corpus, q, 7)
+    np.testing.assert_array_equal(rows_narrow, rows_wide)
+    np.testing.assert_array_equal(vals_narrow, vals_wide)
+    db.close()

@@ -166,3 +166,59 @@ def test_pad_matrix_shapes(unit_rows):
     # already aligned: no copy semantics change
     m2 = unit_rows(256, 128)
     assert pad_matrix(m2).shape == (256, 128)
+
+
+def test_wide_packing_roundtrip_any_bits():
+    """int32 wire layout: score f32 bits survive bitcast round trip even for
+    values that would be denormal-flushed as f32 payloads (tiny magnitudes),
+    and indices are exact past 2^24."""
+    import numpy as np
+    from svs_tpu.ops.topk import pack_vals_idx, unpack_vals_idx
+
+    vals = jnp.asarray(
+        np.array([[1e-40, -0.5, 3.14159, 0.0]], dtype=np.float32)
+    )
+    idx = jnp.asarray(np.array([[2**24 + 1, 0, 7, 2**30]], dtype=np.int32))
+    packed = pack_vals_idx(vals, idx, wide=True)
+    assert packed.dtype == jnp.int32
+    v, r = unpack_vals_idx(np.asarray(packed), 4, wide=True)
+    np.testing.assert_array_equal(v, np.asarray(vals))
+    np.testing.assert_array_equal(r, np.asarray(idx, dtype=np.int64))
+
+
+def test_topk_selection_past_2_24_positions():
+    """Exact selection over a score vector longer than 2^24: the index of a
+    planted winner far past 2^24 must come back exactly (the f32-value
+    layout could not represent it)."""
+    import numpy as np
+    from svs_tpu.ops.topk import masked_topk, pack_vals_idx, unpack_vals_idx
+
+    n = (1 << 24) + 4096
+    scores = np.zeros((1, n), dtype=np.float32)
+    winner = (1 << 24) + 1234  # odd index: not representable in f32
+    scores[0, winner] = 0.75
+    scores[0, 12345] = 0.5
+    vals, idx = masked_topk(jnp.asarray(scores), 2, jnp.int32(n))
+    packed = pack_vals_idx(vals, idx, wide=True)
+    v, r = unpack_vals_idx(np.asarray(packed), 2, wide=True)
+    assert list(r[0]) == [winner, 12345]
+    np.testing.assert_allclose(v[0], [0.75, 0.5])
+
+
+def test_score_topk_packed_wide_matches_narrow():
+    """Same query/corpus: wide and narrow layouts must decode identically."""
+    import numpy as np
+    from svs_tpu.ops.topk import score_topk_packed, unpack_vals_idx
+
+    rng = np.random.default_rng(3)
+    docs = rng.normal(size=(512, 128)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = docs[17:19]
+    narrow = score_topk_packed(jnp.asarray(docs), jnp.asarray(q), jnp.int32(512), 9)
+    wide = score_topk_packed(
+        jnp.asarray(docs), jnp.asarray(q), jnp.int32(512), 9, wide=True
+    )
+    v1, r1 = unpack_vals_idx(np.asarray(narrow), 9, wide=False)
+    v2, r2 = unpack_vals_idx(np.asarray(wide), 9, wide=True)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(v1, v2)
