@@ -14,10 +14,10 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from typing import Optional
+from typing import Any, List, Optional
 
 
-def _open_kb(args, **kw):
+def _open_kb(args: argparse.Namespace, **kw: Any) -> "Any":
     from .kb import KB
 
     kw.setdefault("precision", getattr(args, "precision", "bf16"))
@@ -25,7 +25,7 @@ def _open_kb(args, **kw):
     return KB(args.db, **kw)
 
 
-def cmd_info(args) -> int:
+def cmd_info(args: argparse.Namespace) -> int:
     from .store.db import Database, SCHEMA_VERSION
     import asyncio
 
@@ -59,7 +59,7 @@ def cmd_info(args) -> int:
         db.close()
 
 
-def cmd_pack(args) -> int:
+def cmd_pack(args: argparse.Namespace) -> int:
     kb = _open_kb(args, sidecar=True)
     try:
         kb.load()
@@ -75,7 +75,7 @@ def cmd_pack(args) -> int:
         kb.close()
 
 
-def cmd_query(args) -> int:
+def cmd_query(args: argparse.Namespace) -> int:
     kb = _open_kb(args)
     try:
         hits = kb.retrieve(args.text, args.n)
@@ -87,7 +87,7 @@ def cmd_query(args) -> int:
         kb.close()
 
 
-def cmd_pairs(args) -> int:
+def cmd_pairs(args: argparse.Namespace) -> int:
     kb = _open_kb(args)
     try:
         for score, d1, d2 in kb.document_top_pairwise_scores(args.n):
@@ -100,7 +100,7 @@ def cmd_pairs(args) -> int:
         kb.close()
 
 
-def cmd_reembed(args) -> int:
+def cmd_reembed(args: argparse.Namespace) -> int:
     from .embeddings import make_embeddings_func
     from .tools import reembed
     import json as _json
@@ -111,14 +111,14 @@ def cmd_reembed(args) -> int:
     return 0
 
 
-def cmd_gzip(args) -> int:
+def cmd_gzip(args: argparse.Namespace) -> int:
     kb = _open_kb(args)
     kb.close(vacuum=True, also_gzip=True)
     print(f"wrote {args.db}.gz")
     return 0
 
 
-def cmd_bench(argv) -> int:
+def cmd_bench(argv: List[str]) -> int:
     import runpy
     from pathlib import Path
 

@@ -59,7 +59,7 @@ WIDE_INDEX_MIN_ROWS = 1 << 24
 
 
 @jax.jit
-def _write_rows(buf: jax.Array, new: jax.Array, n0) -> jax.Array:
+def _write_rows(buf: jax.Array, new: jax.Array, n0: jax.Array) -> jax.Array:
     start = (n0,) + (0,) * (buf.ndim - 1)
     return jax.lax.dynamic_update_slice(buf, new, start)
 
@@ -162,7 +162,7 @@ class RetrievalEngine:
     def corpus(self) -> Optional[PackedCorpus]:
         return self._corpus
 
-    def _placement(self):
+    def _placement(self) -> "Union[jax.Device, jax.sharding.Sharding, None]":
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 

@@ -179,7 +179,7 @@ def pack_corpus(
 
 def _scales_placement(
     placement: Union[jax.Device, jax.sharding.Sharding, None],
-):
+) -> Union[jax.Device, jax.sharding.Sharding, None]:
     """Row scales shard like the corpus's row axis (1-D)."""
     if isinstance(placement, jax.sharding.NamedSharding):
         row_axis = placement.spec[0] if len(placement.spec) else None

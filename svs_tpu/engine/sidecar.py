@@ -28,7 +28,10 @@ import logging
 import os
 import struct
 from pathlib import Path
-from typing import Optional, Tuple, Union
+from typing import TYPE_CHECKING, Optional, Sequence, Tuple, Union
+
+if TYPE_CHECKING:  # avoid a runtime import cycle with .packing
+    from .packing import HostPack, PackedCorpus
 
 import numpy as np
 import ml_dtypes
@@ -50,7 +53,10 @@ def sidecar_path_for(db_path: Union[str, Path]) -> Path:
 
 
 def save_sidecar(
-    path: Union[str, Path], corpus, fingerprint=None, host_pack=None
+    path: Union[str, Path],
+    corpus: "PackedCorpus",
+    fingerprint: Optional[Sequence[int]] = None,
+    host_pack: "Optional[HostPack]" = None,
 ) -> None:
     """Persist a :class:`~svs_tpu.engine.packing.PackedCorpus` to ``path``.
 

@@ -14,7 +14,7 @@ import os
 import subprocess
 import threading
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
@@ -100,7 +100,7 @@ def native_available() -> bool:
     return _get_lib() is not None
 
 
-def _fptr(arr: np.ndarray, ctype):
+def _fptr(arr: np.ndarray, ctype: "Any") -> "Any":
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 

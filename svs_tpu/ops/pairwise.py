@@ -46,7 +46,9 @@ def pairwise_topk_blocked(
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, n_padded), 1)
 
-    def step(carry, block_idx):
+    def step(
+        carry: Tuple[jax.Array, jax.Array, jax.Array], block_idx: jax.Array
+    ) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], None]:
         c_vals, c_rows, c_cols = carry
         row0 = block_idx * block_rows
         block = jax.lax.dynamic_slice(docs, (row0, 0), (block_rows, docs.shape[1]))

@@ -28,7 +28,7 @@ wrapper checks ``pallas_supported`` and callers fall back to the XLA path.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,7 +94,9 @@ def _swap_partners(x: jax.Array, stride: int) -> jax.Array:
     return jnp.where(parity < 0.5, fwd, bwd)
 
 
-def _compare_exchange(vals, idxs, stride: int, keep_max):
+def _compare_exchange(
+    vals: jax.Array, idxs: jax.Array, stride: int, keep_max: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
     """One bitonic stage.  ``keep_max`` is a float {0,1} mask row; all
     selects use float-compare-derived predicates (cmpf legalizes in
     Mosaic, vector cmpi does not) — and `where`, not arithmetic blends,
@@ -121,14 +123,23 @@ _TILE_SORT_MASKS, _TILE_SORT_STRIDES = _sort_mask_stages(
 _MERGE_MASKS, _MERGE_STRIDES = _merge_mask_stages(2 * CARRY_K)
 
 
-def _topk_kernel(nv_ref, q_ref, sort_masks_ref, merge_masks_ref, docs_ref,
-                 out_vals_ref, out_idx_ref, carry_vals, carry_idx):
+def _topk_kernel(
+    nv_ref: Any,
+    q_ref: Any,
+    sort_masks_ref: Any,
+    merge_masks_ref: Any,
+    docs_ref: Any,
+    out_vals_ref: Any,
+    out_idx_ref: Any,
+    carry_vals: Any,
+    carry_idx: Any,
+) -> None:
     step = pl.program_id(0)
     n_steps = pl.num_programs(0)
     t = docs_ref.shape[0]
 
     @pl.when(step == 0)
-    def _init():
+    def _init() -> None:
         carry_vals[:] = jnp.full(carry_vals.shape, NEG_INF, jnp.float32)
         carry_idx[:] = jnp.zeros(carry_idx.shape, jnp.float32)
 
@@ -154,7 +165,7 @@ def _topk_kernel(nv_ref, q_ref, sort_masks_ref, merge_masks_ref, docs_ref,
     useful = jnp.any(tile_best > carry_worst)
 
     @pl.when(useful)
-    def _fold():
+    def _fold() -> None:
         # VPU: sort the tile ASCENDING so its top-K occupies the last lanes
         # in ascending order; carry(desc) ++ tile-top(asc) is bitonic, so
         # one descending merge finishes the fold.
@@ -177,13 +188,18 @@ def _topk_kernel(nv_ref, q_ref, sort_masks_ref, merge_masks_ref, docs_ref,
         carry_idx[:] = merged_i[:, :CARRY_K]
 
     @pl.when(step == n_steps - 1)
-    def _emit():
+    def _emit() -> None:
         out_vals_ref[:] = carry_vals[:]
         out_idx_ref[:] = carry_idx[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _pallas_topk128(docs, queries, n_valid, interpret=False):
+def _pallas_topk128(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
     n, d = docs.shape
     b = queries.shape[0]
     grid = n // TILE_ROWS
@@ -243,7 +259,7 @@ def pallas_supported(n: int, d: int, k: int) -> bool:
 def pallas_score_topk(
     docs: jax.Array,
     queries: jax.Array,
-    n_valid,
+    n_valid: jax.Array,
     k: int,
     interpret: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -272,7 +288,7 @@ def pallas_score_topk(
 def pallas_score_topk_packed(
     docs: jax.Array,
     queries: jax.Array,
-    n_valid,
+    n_valid: jax.Array,
     k: int,
     interpret: bool = False,
 ) -> jax.Array:

@@ -34,7 +34,9 @@ def quantize_rows_int8(matrix: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scales
 
 
-def _int8_scores(q_docs, row_scales, queries):
+def _int8_scores(
+    q_docs: jax.Array, row_scales: jax.Array, queries: jax.Array
+) -> jax.Array:
     q_queries, query_scales = quantize_rows_int8(queries)
     raw = jax.lax.dot_general(
         q_queries,

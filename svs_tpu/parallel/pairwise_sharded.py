@@ -18,7 +18,7 @@ step's scores; traffic per chip is one corpus's worth over the ring.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,11 +46,13 @@ def sharded_pairwise_topk(
 
 
 @functools.lru_cache(maxsize=None)
-def _build(mesh: jax.sharding.Mesh, data_axis: str, k: int):
+def _build(mesh: jax.sharding.Mesh, data_axis: str, k: int) -> "Any":
     n_shards = int(mesh.shape[data_axis])
     ring = [(j, (j - 1) % n_shards) for j in range(n_shards)]
 
-    def local_pairs(docs_local, n_valid):
+    def local_pairs(
+        docs_local: jax.Array, n_valid: jax.Array
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         n_local = docs_local.shape[0]
         me = jax.lax.axis_index(data_axis).astype(jnp.int32)
         row_base = me * n_local
@@ -98,7 +100,7 @@ def _build(mesh: jax.sharding.Mesh, data_axis: str, k: int):
         check_vma=False,
     )
 
-    def merged(docs, n_valid):
+    def merged(docs: jax.Array, n_valid: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
         vals, rows, cols = shard_fn(docs, n_valid)  # [D, k] each
         flat_v = vals.reshape(1, -1)
         top_v, pos = jax.lax.top_k(flat_v, k)

@@ -21,7 +21,7 @@ bookkeeping inside the mapped function.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,8 +69,13 @@ def _build_sharded_topk(
     model_axis: Optional[str],
     k: int,
     has_scales: bool,
-):
-    def local_topk(docs, scales, q, n_valid):
+) -> "Any":
+    def local_topk(
+        docs: jax.Array,
+        scales: Optional[jax.Array],
+        q: jax.Array,
+        n_valid: jax.Array,
+    ) -> Tuple[jax.Array, jax.Array]:
         n_local = docs.shape[0]
         if has_scales:
             q_int8, q_scales = quantize_rows_int8(q)
@@ -98,11 +103,15 @@ def _build_sharded_topk(
 
     if has_scales:
         in_specs = (P(data_axis, model_axis), P(data_axis), P(None, model_axis), P())
-        def mapped(docs, scales, q, n_valid):
+        def mapped(
+            docs: jax.Array, scales: jax.Array, q: jax.Array, n_valid: jax.Array
+        ) -> Tuple[jax.Array, jax.Array]:
             return local_topk(docs, scales, q, n_valid)
     else:
         in_specs = (P(data_axis, model_axis), P(None, model_axis), P())
-        def mapped(docs, q, n_valid):
+        def mapped(
+            docs: jax.Array, q: jax.Array, n_valid: jax.Array
+        ) -> Tuple[jax.Array, jax.Array]:
             return local_topk(docs, None, q, n_valid)
 
     shard_fn = jax.shard_map(
@@ -113,7 +122,7 @@ def _build_sharded_topk(
         check_vma=False,
     )
 
-    def merged(*args):
+    def merged(*args: jax.Array) -> Tuple[jax.Array, jax.Array]:
         vals, gidx = shard_fn(*args)  # [D, B, k_local]
         b = vals.shape[1]
         vals = jnp.moveaxis(vals, 0, 1).reshape(b, -1)

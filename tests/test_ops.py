@@ -222,3 +222,98 @@ def test_score_topk_packed_wide_matches_narrow():
     v2, r2 = unpack_vals_idx(np.asarray(wide), 9, wide=True)
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_tiled_topk_matches_oracle_random():
+    import numpy as np
+    from svs_tpu.ops.topk import tiled_topk
+
+    rng = np.random.default_rng(11)
+    scores = rng.normal(size=(3, 4096)).astype(np.float32)
+    vals, idx = tiled_topk(jnp.asarray(scores), 37, m=8)
+    for b in range(3):
+        oracle = top_k_numpy(scores[b], 37)
+        np.testing.assert_allclose(np.asarray(vals)[b], [s for s, _ in oracle])
+        assert list(np.asarray(idx)[b]) == [i for _, i in oracle]
+
+
+def test_tiled_topk_adversarial_single_tile_fallback():
+    """All true top-k hides inside ONE tile beyond its kept m — the in-graph
+    verification must trip and the fallback must return the exact result."""
+    import numpy as np
+    from svs_tpu.ops.topk import tiled_topk
+
+    scores = np.zeros((2, 2048), dtype=np.float32)
+    scores[:, 100:180] = np.linspace(0.99, 0.9, 80, dtype=np.float32)[None, :]
+    vals, idx = tiled_topk(jnp.asarray(scores), 50, m=8)  # 50 > m hides 42
+    for b in range(2):
+        oracle = top_k_numpy(scores[b], 50)
+        np.testing.assert_allclose(np.asarray(vals)[b], [s for s, _ in oracle])
+        assert list(np.asarray(idx)[b]) == [i for _, i in oracle]
+
+
+def test_score_topk_tiled_packed_matches_plain(unit_rows):
+    import numpy as np
+    from svs_tpu.ops.topk import (
+        score_topk_packed,
+        score_topk_tiled_packed,
+        unpack_vals_idx,
+    )
+
+    docs, q, _, _ = _setup(unit_rows, n=2048, d=64, b=4)
+    plain = score_topk_packed(docs, q, jnp.int32(2000), 25)
+    tiled = score_topk_tiled_packed(docs, q, jnp.int32(2000), 25, m=8)
+    v1, r1 = unpack_vals_idx(np.asarray(plain), 25)
+    v2, r2 = unpack_vals_idx(np.asarray(tiled), 25)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_score_topk_tiled_bf16_scores_candidates_cover(unit_rows):
+    """bf16 score storage: indices may tie differently, but every true
+    top-k doc (by exact f32 score) must be inside the returned candidate
+    set when k is over-provisioned (the engine always over-provisions)."""
+    import numpy as np
+    from svs_tpu.ops.topk import score_topk_tiled_packed, unpack_vals_idx
+
+    docs, q, m_np, q_np = _setup(unit_rows, n=1024, d=64, b=2)
+    c = 64
+    packed = score_topk_tiled_packed(
+        docs, q, jnp.int32(1000), c, m=8, score_dtype="bf16"
+    )
+    _, rows = unpack_vals_idx(np.asarray(packed), c)
+    exact = m_np[:1000] @ q_np.T
+    for b in range(2):
+        true_top = {i for _, i in top_k_numpy(exact[:, b], 10)}
+        assert true_top <= set(rows[b].tolist())
+
+
+def test_coarse_topk_matches_oracle_random():
+    import numpy as np
+    from svs_tpu.ops.topk import coarse_topk
+
+    rng = np.random.default_rng(5)
+    scores = rng.normal(size=(3, 8192)).astype(np.float32)
+    vals, idx = coarse_topk(jnp.asarray(scores), 20, tiles_kept=24, m=8)
+    for b in range(3):
+        oracle = top_k_numpy(scores[b], 20)
+        np.testing.assert_allclose(np.asarray(vals)[b], [s for s, _ in oracle])
+        assert list(np.asarray(idx)[b]) == [i for _, i in oracle]
+
+
+def test_coarse_topk_adversarial_tie_maxes_fallback():
+    """Every tile has the SAME max, so the tile screen keeps an arbitrary
+    subset — the count check must trip and the fallback must stay exact."""
+    import numpy as np
+    from svs_tpu.ops.topk import coarse_topk
+
+    n, tile = 8192, 256
+    scores = np.zeros((2, n), dtype=np.float32)
+    scores[:, ::tile] = 0.5  # identical max in every tile
+    # true top-k spread across MANY tiles at second-rank positions
+    scores[0, 5 + tile * 20] = 0.4
+    scores[0, 5 + tile * 27] = 0.45
+    vals, idx = coarse_topk(jnp.asarray(scores), 25, tiles_kept=25, m=4)
+    for b in range(2):
+        oracle = top_k_numpy(scores[b], 25)
+        np.testing.assert_allclose(np.asarray(vals)[b], [s for s, _ in oracle])
