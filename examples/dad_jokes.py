@@ -16,7 +16,9 @@ import argparse
 import csv
 
 from svs_tpu import KB, make_mock_embeddings_func, make_openai_embeddings_func
+from svs_tpu.utils import load_env
 from svs_tpu.tools import find_near_duplicates
+load_env()
 
 
 def main() -> None:

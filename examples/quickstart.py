@@ -9,6 +9,9 @@ server) and swap the embedding function below.
 """
 
 from svs_tpu import KB, make_mock_embeddings_func
+from svs_tpu.utils import load_env
+
+load_env()  # pick up OPENAI_API_KEY etc. from a local .env, if present
 
 # For a remote, published KB you'd write e.g.:
 #   kb = KB('https://example.com/dad_jokes.sqlite.gz')

@@ -7,7 +7,6 @@ argument, ``OLLAMA_BASE_URL`` env var, then ``http://127.0.0.1:11434``.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -59,7 +58,7 @@ async def _ollama_embeddings_endpoint(
     truncate: bool,
     keep_alive: str,
 ) -> Any:
-    import aiohttp  # deferred: optional dependency
+    from .http import post_json
 
     payload: Dict[str, Any] = {
         "model": model,
@@ -67,13 +66,4 @@ async def _ollama_embeddings_endpoint(
         "keep_alive": keep_alive,
         "input": list(texts),
     }
-    async with aiohttp.ClientSession(raise_for_status=False) as session:
-        async with session.post(f"{base_url}/api/embed", json=payload) as response:
-            data = await response.json()
-            if response.status != 200:
-                try:
-                    error_text = data["error"]
-                except (KeyError, TypeError):
-                    error_text = f"status={response.status}: {json.dumps(data)}"
-                raise RuntimeError(f"Ollama error: {error_text}")
-            return data
+    return await post_json("ollama", f"{base_url}/api/embed", payload)

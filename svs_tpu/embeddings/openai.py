@@ -1,10 +1,12 @@
 """OpenAI embeddings provider.
 
-POSTs to ``/v1/embeddings`` with ``encoding_format='float'``; responses are
-validated for index alignment and float typing, and cached through the
-async single-flight LRU.  API key comes from the ``api_key`` argument or
-the ``OPENAI_API_KEY`` environment variable.  (Reference parity:
-``svs/embeddings/openai.py:13-92``.)
+POSTs to ``/v1/embeddings`` with ``encoding_format='float'`` through the
+shared timeout+retry transport (:mod:`svs_tpu.embeddings.http` — the
+reference issues bare POSTs, ``svs/embeddings/openai.py:62-92``).
+Responses are validated for index alignment and float typing, and cached
+through the async single-flight LRU.  API key comes from the ``api_key``
+argument or ``OPENAI_API_KEY``; the endpoint honors ``OPENAI_BASE_URL``
+(hermetic tests, proxies).
 """
 
 from __future__ import annotations
@@ -68,7 +70,7 @@ async def _openai_embeddings_endpoint(
     dimensions: Optional[int],
     user: Optional[str],
 ) -> Any:
-    import aiohttp  # deferred: optional dependency
+    from .http import post_json
 
     payload: Dict[str, Any] = {
         "input": list(texts),
@@ -79,16 +81,7 @@ async def _openai_embeddings_endpoint(
         payload["dimensions"] = dimensions
     if user is not None:
         payload["user"] = user
-    headers = {"Authorization": f"Bearer {api_key}"}
-
-    async with aiohttp.ClientSession(raise_for_status=False) as session:
-        async with session.post(
-            _OPENAI_EMBEDDINGS_URL, headers=headers, json=payload
-        ) as response:
-            data = await response.json()
-            if response.status != 200:
-                message = data.get("error", {}).get("message", str(data))
-                raise RuntimeError(
-                    f"OpenAI API error: status={response.status}, message={message}"
-                )
-            return data
+    url = os.environ.get("OPENAI_BASE_URL", _OPENAI_EMBEDDINGS_URL)
+    return await post_json(
+        "openai", url, payload, headers={"Authorization": f"Bearer {api_key}"}
+    )

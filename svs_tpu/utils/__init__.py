@@ -4,6 +4,7 @@ and the NumPy top-k oracle used for CPU fallback and kernel equivalence tests.
 
 from .aio import EventLoopThread, cached, locked
 from .chunks import chunkify
+from .env import load_env
 from .files import (
     atomic_gzip_file,
     delete_file_if_exists,
@@ -13,6 +14,7 @@ from .files import (
 from .topk_np import top_k_numpy, top_pairs_numpy
 
 __all__ = [
+    "load_env",
     "EventLoopThread",
     "cached",
     "locked",

@@ -207,3 +207,22 @@ def test_atomic_gzip_roundtrip(tmp_path):
     with gzip.open(dest, "rb") as f:
         assert f.read() == b"payload" * 100
     assert not (tmp_path / "a.gz.tmp").exists()
+
+
+def test_load_env(tmp_path, monkeypatch):
+    from svs_tpu.utils import load_env
+
+    envfile = tmp_path / ".env"
+    envfile.write_text(
+        "# comment\nexport FOO_A=hello\nFOO_B='quoted value'\nFOO_EXISTING=nope\n"
+    )
+    monkeypatch.delenv("FOO_A", raising=False)
+    monkeypatch.delenv("FOO_B", raising=False)
+    monkeypatch.setenv("FOO_EXISTING", "keep")
+    assert load_env(envfile) is True
+    import os
+
+    assert os.environ["FOO_A"] == "hello"
+    assert os.environ["FOO_B"] == "quoted value"
+    assert os.environ["FOO_EXISTING"] == "keep"  # never overrides
+    assert load_env(tmp_path / "missing.env") is False
