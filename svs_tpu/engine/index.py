@@ -357,12 +357,12 @@ class RetrievalEngine:
             return None
         placement = self._placement()
         log.info("loading corpus from sidecar %s", path)
-        device_data = jax.device_put(np.asarray(data), placement)
+        from .packing import _put, _scales_placement
+
+        device_data = _put(np.asarray(data), placement)
         scales_arr = None
         if row_scales is not None:
-            from .packing import _scales_placement
-
-            scales_arr = jax.device_put(
+            scales_arr = _put(
                 np.asarray(row_scales), _scales_placement(placement)
             )
         # The mmap'd file bytes double as the host pack: a later sidecar

@@ -37,6 +37,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _put(
+    host: np.ndarray,
+    placement: Union[jax.Device, jax.sharding.Sharding, None],
+) -> jax.Array:
+    """Place a host array on device(s).
+
+    For a Sharding this uses ``make_array_from_callback`` — each process
+    materializes ONLY its addressable shards from the host copy, which (a)
+    never bounces the full array through one device and (b) is the
+    multi-host path: every host opens the same store, builds the same host
+    matrix, and uploads just its own rows (``parallel.multihost``).
+    """
+    if isinstance(placement, jax.sharding.Sharding):
+        return jax.make_array_from_callback(
+            host.shape, placement, lambda idx: host[idx]
+        )
+    return jax.device_put(jnp.asarray(host), placement)
+
+
 def pad_matrix(
     matrix: np.ndarray,
     row_multiple: int = ROW_MULTIPLE,
@@ -141,21 +160,19 @@ def pack_corpus(
         # covered by tests) so only int8 bytes cross host->device, and
         # sharded placements never bounce through a single device.
         host_data, host_scales = quantize_int8(padded)
-        data = jax.device_put(jnp.asarray(host_data), placement)
-        row_scales = jax.device_put(
-            jnp.asarray(host_scales), _scales_placement(placement)
-        )
+        data = _put(host_data, placement)
+        row_scales = _put(host_scales, _scales_placement(placement))
     elif precision == "bf16":
         from ..native import f32_to_bf16
 
         # Host-side RNE cast (multithreaded when the native lib is built)
         # halves the host->device transfer vs shipping f32.
         host_data = f32_to_bf16(padded)
-        data = jax.device_put(jnp.asarray(host_data), placement)
+        data = _put(host_data, placement)
         row_scales = None
     elif precision == "f32":
         host_data = padded
-        data = jax.device_put(jnp.asarray(padded), placement)
+        data = _put(padded, placement)
         row_scales = None
     else:
         raise ValueError(f"unknown precision: {precision!r}")

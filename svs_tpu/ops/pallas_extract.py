@@ -1,0 +1,179 @@
+"""Pallas tile-extraction selection: the batched-retrieval kernel.
+
+Problem (measured on v5e, BENCHMARKS.md "selection shootout"): the batched
+hot path is ``matmul (4.7 ms) + lax.top_k over [256, 1M] scores``, and the
+selection costs 310 ms at k=400 / 85 ms at k=100 — 17-65x the matmul.
+XLA's TopK pays a full sorting network per row; per-tile ``lax.top_k``
+(the ``tiled_topk`` fallback path) still pays it per tile.
+
+This kernel exploits the actual statistics of exact retrieval: the true
+top-k of a big corpus is *sparse per tile* (k=400 over 977 tiles of 1024
+docs ~ 0.4 expected members per tile).  Each grid step streams a
+``[8, BLOCK_N]`` score block from HBM and, per 1024-doc subtile, extracts
+its top-``H`` elements by iterated (max, clear) passes — pure VPU work,
+no sorting network, ~H*3 passes over VMEM-resident data.  The per-subtile
+winners come out DESCENDING, so one small ``lax.top_k`` over the
+``[B, (N/1024)*H]`` survivors finishes the job.
+
+Exactness is verified in-graph: a subtile can hide a true top-k element
+beyond its extracted H only if its H-th extracted value beats the merged
+k-th value; any such subtile triggers the full ``lax.top_k`` fallback
+inside ``lax.cond`` (lazy on TPU — measured: the fast path does not pay
+for the untaken branch).  For k=400 spread over 977+ subtiles,
+P(some subtile holds >16 of the top-400) is ~1e-17 per batch — the
+fallback exists for adversarial score distributions, and keeps the result
+exact even then.
+
+Mosaic survival notes (see also ``pallas_topk``): float compares only
+(int iota cast to f32), indices ride as exact f32 values (n < 2^24 —
+larger corpora use the XLA path), ``jnp.where`` selects (never arithmetic
+blends with -inf), no reshapes inside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .topk import NEG_INF, pack_vals_idx, scores_matmul
+
+#: Docs per extraction subtile (the unit of the top-H guarantee).
+SUBTILE = 1024
+#: Winners extracted per subtile.  Output lanes per block =
+#: (BLOCK_N // SUBTILE) * EXTRACT_H = 128 — one full lane tile.
+EXTRACT_H = 16
+#: Docs per grid step (one HBM->VMEM streamed block).
+BLOCK_N = 8 * SUBTILE
+#: Query rows per grid step (VPU sublane width).
+QBLOCK = 8
+
+_OUT_LANES = (BLOCK_N // SUBTILE) * EXTRACT_H  # 128
+
+
+def _extract_kernel(scores_ref, out_vals_ref, out_idx_ref) -> None:
+    j = pl.program_id(1)
+    block_base = (j * BLOCK_N).astype(jnp.float32)
+    pieces_v = []
+    pieces_i = []
+    for s in range(BLOCK_N // SUBTILE):
+        sub = scores_ref[:, s * SUBTILE : (s + 1) * SUBTILE].astype(jnp.float32)
+        gidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (QBLOCK, SUBTILE), 1).astype(
+                jnp.float32
+            )
+            + block_base
+            + float(s * SUBTILE)
+        )
+        for _ in range(EXTRACT_H):
+            mval = jnp.max(sub, axis=1, keepdims=True)  # [8, 1]
+            # index of (one of) the max elements: highest position wins
+            midx = jnp.max(
+                jnp.where(sub == mval, gidx, -1.0), axis=1, keepdims=True
+            )
+            pieces_v.append(mval)
+            pieces_i.append(midx)
+            sub = jnp.where(gidx == midx, NEG_INF, sub)
+    out_vals_ref[:] = jnp.concatenate(pieces_v, axis=1)
+    out_idx_ref[:] = jnp.concatenate(pieces_i, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _extract(scores: jax.Array, interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Per-subtile top-H of ``[B, N]`` scores (B % 8 == 0, N % BLOCK_N == 0).
+    Returns ``(vals [B, T*H] f32, idx-as-f32 [B, T*H])`` where T = N//SUBTILE;
+    each H-group is sorted descending."""
+    b, n = scores.shape
+    grid = (b // QBLOCK, n // BLOCK_N)
+    out_shape = (b, (n // SUBTILE) * EXTRACT_H)
+    return pl.pallas_call(
+        _extract_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((QBLOCK, BLOCK_N), lambda i, j: (i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((QBLOCK, _OUT_LANES), lambda i, j: (i, j)),
+            pl.BlockSpec((QBLOCK, _OUT_LANES), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(scores)
+
+
+def extract_supported(n: int, b: int, k: int) -> bool:
+    """Shapes the kernel handles: block-aligned corpus below the f32-exact
+    index ceiling, with enough subtiles that top-k sparsity holds."""
+    t = n // SUBTILE
+    return (
+        n % BLOCK_N == 0
+        and n < (1 << 24)
+        and t >= 2
+        and k <= t * EXTRACT_H
+    )
+
+
+def extract_topk(
+    scores: jax.Array, k: int, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over ``[B, N]`` scores via the extraction kernel +
+    verified merge.  B is padded to 8 rows internally; requires
+    ``extract_supported(N, B, k)``."""
+    b, n = scores.shape
+    b_pad = max(QBLOCK, ((b + QBLOCK - 1) // QBLOCK) * QBLOCK)
+    if b_pad != b:
+        scores = jnp.concatenate(
+            [scores, jnp.full((b_pad - b, n), NEG_INF, scores.dtype)], axis=0
+        )
+    ev, ei = _extract(scores, interpret=interpret)
+    vals, pos = jax.lax.top_k(ev, k)
+    idx = jnp.take_along_axis(ei, pos, axis=1).astype(jnp.int32)
+    # hidden-element check: subtile t hides a candidate only if its H-th
+    # (smallest extracted) value still beats the merged k-th value
+    v_k = vals[:, k - 1 : k]
+    tails = ev[:, EXTRACT_H - 1 :: EXTRACT_H]  # [B, T]: each group's H-th
+    covered = jnp.logical_not(jnp.any(tails > v_k))
+
+    def fast(_: None) -> Tuple[jax.Array, jax.Array]:
+        return vals, idx
+
+    def full(_: None) -> Tuple[jax.Array, jax.Array]:
+        fv, fi = jax.lax.top_k(scores, k)
+        return fv.astype(jnp.float32), fi
+
+    vals, idx = jax.lax.cond(covered, fast, full, None)
+    return vals[:b], idx[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "score_dtype", "wide", "interpret")
+)
+def score_topk_extract_packed(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    score_dtype: str = "f32",
+    wide: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused scoring + extraction selection + packing: ONE device dispatch.
+
+    ``score_dtype='bf16'`` halves the score matrix's HBM round trip; the
+    engine's prescore error bound covers the extra rounding, so rescore
+    stays verified-exact.
+    """
+    scores = scores_matmul(docs, queries)
+    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    scores = jnp.where(live < n_valid, scores, NEG_INF)
+    if score_dtype == "bf16":
+        scores = scores.astype(jnp.bfloat16)
+    vals, idx = extract_topk(scores, k, interpret=interpret)
+    return pack_vals_idx(vals.astype(jnp.float32), idx, wide=wide)
