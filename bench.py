@@ -8,10 +8,22 @@ JAX device and prints ONE JSON line to stdout:
 number on the same configuration (0.24 s at 1M x 1536,
 ``/root/reference/README.md:129``); >1 means faster than the reference.
 
-Details and secondary metrics go to stderr.  Timing is fetch-based
-(``np.asarray`` of the result) — on tunneled TPU setups
-``block_until_ready`` can return before execution completes, so only a
-host round trip is trustworthy.
+Reported timings (details on stderr):
+
+- ``e2e``: dispatch -> host fetch — what a client over a tunneled link
+  sees (the tunnel adds a ~30 ms RPC floor per call);
+- ``device``: isolated device time, measured by chaining N dependent
+  iterations inside one jit and fetching once (slope between two chain
+  lengths removes dispatch/fetch overhead);
+- ``mfu`` / ``hbm_frac``: device-time utilization against the chip's
+  matmul peak and HBM bandwidth.  Exact exhaustive search must read the
+  whole corpus per step, so HBM sets the physical floor: ~3.7 ms for a
+  bf16 1Mx1536 corpus on v5e (3.07 GB / 819 GB/s), ~1.9 ms int8, ~7.5 ms
+  f32.  Single-query sub-millisecond latency at this size is physically
+  impossible on one chip; batching amortizes the corpus read.
+
+Timing is fetch-based (``np.asarray``) — on tunneled setups
+``block_until_ready`` can return before execution completes.
 
 Usage:
     python bench.py                  # headline: 1M x 1536 bf16 top-100
@@ -45,6 +57,12 @@ PRESETS = {
     "smoke": (10_000, 256, 10, None),
 }
 
+# v5e per-chip peaks (public spec); other devices report utilization as
+# n/a rather than guessing.
+V5E_BF16_FLOPS = 197e12
+V5E_INT8_OPS = 394e12
+V5E_HBM_BYTES_S = 819e9
+
 
 def _percentile(values, q):
     values = sorted(values)
@@ -61,54 +79,79 @@ def main() -> None:
                         help="queries per retrieval step")
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--k", type=int, default=None)
+    parser.add_argument("--chain", type=int, default=6,
+                        help="chained iterations for device-time isolation")
     parser.add_argument(
         "--kernel",
-        choices=["topk", "fast", "pallas"],
-        default="topk",
-        help="selection kernel: fused lax.top_k (measured fastest at all "
-        "batch sizes on v5e), verified-exact approx_max_k, or the Pallas "
-        "streaming kernel",
+        choices=["auto", "extract", "topk", "fast"],
+        default="auto",
+        help="selection: 'auto'/'extract' = pallas tile-extraction (the "
+        "measured-fastest batched path), 'topk' = fused lax.top_k, "
+        "'fast' = verified approx_max_k",
     )
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from svs_tpu.ops.pallas_topk import pallas_score_topk, pallas_supported
+    from svs_tpu.ops.pallas_extract import (
+        BLOCK_N,
+        extract_supported,
+        score_topk_extract_packed,
+    )
     from svs_tpu.ops.quant import (
         quantize_rows_int8,
-        score_topk_int8,
-        score_topk_int8_fast,
+        score_topk_int8_extract_packed,
+        score_topk_int8_packed,
     )
-    from svs_tpu.ops.topk import score_topk, score_topk_fast
+    from svs_tpu.ops.topk import (
+        score_topk_fast,
+        score_topk_packed,
+        pack_vals_idx,
+        unpack_vals_idx,
+    )
 
     n, dim, k_default, ref_s = PRESETS[args.preset]
     k = args.k or k_default
     dev = jax.devices()[0]
-    log(f"device: {dev} | corpus {n}x{dim} {args.precision} | "
-        f"top-{k} | batch {args.batch}")
+    on_cpu = jax.default_backend() == "cpu"
 
-    # --- build the packed corpus on device (synthetic, matches the
-    # reference's 1M-doc notebook which also used synthetic vectors) ------
-    n_pad = ((n + 255) // 256) * 256  # tile-aligned, like engine packing
-    dtype = jnp.bfloat16 if args.precision != "f32" else jnp.float32
+    # Padding mirrors the engine: block-aligned when the extraction kernel
+    # is in play, 256 otherwise.
+    use_extract = args.kernel in ("auto", "extract")
+    row_multiple = BLOCK_N if (use_extract and n >= BLOCK_N) else 256
+    n_pad = ((n + row_multiple - 1) // row_multiple) * row_multiple
+    if use_extract and not extract_supported(n_pad, args.batch, k):
+        use_extract = False
+        log("extraction unsupported for this shape; falling back to topk")
+    kernel_name = "extract" if use_extract else (
+        args.kernel if args.kernel in ("topk", "fast") else "topk"
+    )
+    log(f"device: {dev} | corpus {n}x{dim} {args.precision} (padded {n_pad})"
+        f" | top-{k} | batch {args.batch} | kernel {kernel_name}")
+
     t0 = time.perf_counter()
 
     def synth(_):
-        # Deterministic pseudo-random corpus without PRNG machinery (RNG
-        # kernels can be pathologically slow on tunneled devices; timing is
-        # value-independent for a dense matmul anyway).
+        # Hash-style pseudo-random rows (decorrelated: a plain sin over the
+        # row index produces lockstep near-duplicate rows, which is both
+        # unrealistic and adversarial for tile-sparse selection).
         r = jax.lax.broadcasted_iota(jnp.float32, (n_pad, dim), 0)
         c = jax.lax.broadcasted_iota(jnp.float32, (n_pad, dim), 1)
-        return jnp.sin(r * 0.9301 + c * 1.7113).astype(dtype)
+        x = jnp.sin(r * 12.9898 + c * 78.233) * 43758.5453
+        x = x - jnp.floor(x) - 0.5
+        x = x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+        dtype = jnp.bfloat16 if args.precision != "f32" else jnp.float32
+        return x.astype(dtype)
 
     docs = jax.jit(synth)(0)
     row_scales = None
     if args.precision == "int8":
         docs, row_scales = jax.jit(quantize_rows_int8)(docs)
     _ = np.asarray(docs[0, :1])  # force materialization
+    corpus_bytes = docs.size * docs.dtype.itemsize
     log(f"corpus generation+pack: {time.perf_counter() - t0:.2f}s "
-        f"({docs.size * docs.dtype.itemsize / 1e9:.2f} GB on device)")
+        f"({corpus_bytes / 1e9:.2f} GB on device)")
 
     n_valid = jnp.int32(n)
     queries = [
@@ -117,75 +160,97 @@ def main() -> None:
         for i in range(8)
     ]
 
-    if args.kernel == "pallas":
-        assert args.precision != "int8", "pallas kernel is float-only for now"
-        assert pallas_supported(n_pad, dim, k), "pallas unsupported for this shape"
-
     # The corpus is an explicit argument (NOT a closure capture): captured
     # device constants get embedded in the lowered program — 3 GB of
     # constant upload per compile on remote setups.
-    @jax.jit
-    def step(corpus, scales, q):
+    def step_fn(corpus, scales, q, nvv):
         if args.precision == "int8":
-            search8 = score_topk_int8 if args.kernel == "topk" else score_topk_int8_fast
-            vals, idx = search8(corpus, scales, q, n_valid, k)
-        elif args.kernel == "pallas":
-            vals, idx = pallas_score_topk(corpus, q, n_valid, k)
-        elif args.kernel == "fast":
-            vals, idx = score_topk_fast(corpus, q, n_valid, k)
-        else:
-            vals, idx = score_topk(corpus, q, n_valid, k)
-        # pack scores + indices into one array so the host round trip is a
-        # single fetch (indices as f32 VALUES — exact below 2^24; bitcasts
-        # produce denormals that some transports flush to zero)
-        return jnp.concatenate([vals, idx.astype(jnp.float32)], axis=1)
+            if use_extract:
+                return score_topk_int8_extract_packed(
+                    corpus, scales, q, nvv, k, interpret=on_cpu
+                )
+            if kernel_name == "fast":
+                from svs_tpu.ops.quant import score_topk_int8_fast
+
+                return pack_vals_idx(
+                    *score_topk_int8_fast(corpus, scales, q, nvv, k)
+                )
+            return score_topk_int8_packed(corpus, scales, q, nvv, k)
+        if use_extract:
+            return score_topk_extract_packed(
+                corpus, q, nvv, k, interpret=on_cpu
+            )
+        if kernel_name == "fast":
+            return pack_vals_idx(*score_topk_fast(corpus, q, nvv, k))
+        return score_topk_packed(corpus, q, nvv, k)
+
+    step = jax.jit(step_fn)
 
     # warmup / compile
     t0 = time.perf_counter()
-    _ = np.asarray(step(docs, row_scales, queries[0]))
+    _ = np.asarray(step(docs, row_scales, queries[0], n_valid))
     log(f"compile+first query: {time.perf_counter() - t0:.2f}s")
 
-    # timed: each iteration is one full query -> host-visible result
+    # ---- e2e: each iteration is one full query -> host-visible result ---
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        packed = np.asarray(step(docs, row_scales, queries[i % len(queries)]))
+        packed = np.asarray(
+            step(docs, row_scales, queries[i % len(queries)], n_valid)
+        )
         times.append(time.perf_counter() - t0)
-    vals = packed[:, :k]
-    idx = packed[:, k:].astype(np.int64)
+    vals, idx = unpack_vals_idx(packed, k)
     assert (idx >= 0).all() and (idx < n).all(), "padding leaked into top-k"
     assert len(np.unique(idx[0])) == k, "duplicate/corrupted indices"
 
     p50 = _percentile(times, 0.50)
     p99 = _percentile(times, 0.99)
-    per_query = p50 / args.batch
-    log(f"p50 {p50 * 1e3:.3f} ms | p99 {p99 * 1e3:.3f} ms | "
-        f"per-query {per_query * 1e3:.4f} ms | "
-        f"QPS {args.batch / p50:,.0f}")
 
-    # Batched throughput companion metric (one step amortizes the corpus
-    # read over many queries) — same executable family, one extra compile.
-    batched = None
-    if args.batch == 1 and args.preset != "smoke":
-        qb = jax.random.normal(
-            jax.random.PRNGKey(7), (256, dim), dtype=jnp.float32
-        )
-        _ = np.asarray(step(docs, row_scales, qb))
-        btimes = []
-        for _ in range(max(5, args.iters // 3)):
-            t0 = time.perf_counter()
-            _ = np.asarray(step(docs, row_scales, qb))
-            btimes.append(time.perf_counter() - t0)
-        bp50 = _percentile(btimes, 0.50)
-        batched = {
-            "batch": 256,
-            "p50_ms": round(bp50 * 1e3, 3),
-            "per_query_ms": round(bp50 / 256 * 1e3, 4),
-            "qps": round(256 / bp50, 1),
-            "vs_baseline": round(ref_s / (bp50 / 256), 1) if ref_s else None,
-        }
-        log(f"batched-256: p50 {bp50 * 1e3:.1f} ms | "
-            f"per-query {bp50 / 256 * 1e3:.4f} ms | QPS {256 / bp50:,.0f}")
+    # ---- device time: chained iterations, fetch once ---------------------
+    def chained(length):
+        @jax.jit
+        def run(corpus, scales, q, nvv):
+            def body(i, qc):
+                out = step_fn(corpus, scales, qc, nvv)
+                return qc + 0.0 * out[0, 0].astype(qc.dtype)
+
+            qf = jax.lax.fori_loop(0, length, body, q)
+            return step_fn(corpus, scales, qf, nvv)
+
+        return run
+
+    short, long_ = chained(1), chained(args.chain)
+    np.asarray(short(docs, row_scales, queries[0], n_valid))
+    np.asarray(long_(docs, row_scales, queries[0], n_valid))
+    ts, tl = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(short(docs, row_scales, queries[0], n_valid))
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(long_(docs, row_scales, queries[0], n_valid))
+        tl.append(time.perf_counter() - t0)
+    device_s = max(0.0, (min(tl) - min(ts)) / (args.chain - 1))
+
+    # ---- utilization ------------------------------------------------------
+    is_v5e = "v5" in str(dev).lower()
+    mfu = hbm_frac = None
+    if device_s > 0 and is_v5e:
+        flops = 2.0 * args.batch * n_pad * dim
+        peak = V5E_INT8_OPS if args.precision == "int8" else V5E_BF16_FLOPS
+        if args.precision == "f32":
+            peak = V5E_BF16_FLOPS / 2
+        mfu = flops / device_s / peak
+        hbm_frac = corpus_bytes / device_s / V5E_HBM_BYTES_S
+
+    per_query_e2e = p50 / args.batch
+    per_query_dev = device_s / args.batch if device_s else None
+    log(f"e2e p50 {p50 * 1e3:.3f} ms | p99 {p99 * 1e3:.3f} ms | "
+        f"per-query {per_query_e2e * 1e3:.4f} ms | QPS {args.batch / p50:,.0f}")
+    log(f"device {device_s * 1e3:.3f} ms/step | "
+        f"per-query {device_s / args.batch * 1e3:.4f} ms"
+        + (f" | MFU {mfu * 100:.1f}% | HBM {hbm_frac * 100:.1f}%"
+           if mfu is not None else ""))
 
     result = {
         "metric": (
@@ -195,12 +260,20 @@ def main() -> None:
         ),
         "value": round(p50 * 1e3, 4),
         "unit": "ms",
-        "vs_baseline": round(ref_s / per_query, 1) if ref_s else None,
-        "per_query_ms": round(per_query * 1e3, 4),
+        "vs_baseline": round(ref_s / per_query_e2e, 1) if ref_s else None,
+        "per_query_ms": round(per_query_e2e * 1e3, 4),
         "qps": round(args.batch / p50, 1),
         "p99_ms": round(p99 * 1e3, 4),
-        "kernel": args.kernel,
-        "batched": batched,
+        "device_ms": round(device_s * 1e3, 4),
+        "device_per_query_ms": (
+            round(per_query_dev * 1e3, 4) if per_query_dev else None
+        ),
+        "device_vs_baseline": (
+            round(ref_s / per_query_dev, 1) if (ref_s and per_query_dev) else None
+        ),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "hbm_frac": round(hbm_frac, 4) if hbm_frac is not None else None,
+        "kernel": kernel_name,
         "device": str(dev),
     }
     print(json.dumps(result), flush=True)

@@ -34,6 +34,7 @@ import numpy as np
 from ..store.db import Database
 from .packing import (
     DIM_MULTIPLE,
+    LARGE_ROW_MULTIPLE,
     ROW_MULTIPLE,
     HostPack,
     PackedCorpus,
@@ -119,8 +120,21 @@ class RetrievalEngine:
             raise ValueError(f"unknown precision: {precision!r}")
         if kernel not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown kernel: {kernel!r}")
-        #: 'xla' = fused matmul + top-k (measured fastest; 'auto' selects
-        #: it); 'pallas' = the streaming VMEM top-k kernel.
+        if kernel == "pallas" and precision == "int8":
+            raise ValueError(
+                "kernel='pallas' requires float storage (f32/bf16); int8 "
+                "corpora use the XLA int8 path — pass kernel='auto'"
+            )
+        if kernel == "pallas" and mesh is not None:
+            raise ValueError(
+                "kernel='pallas' is single-chip; sharded meshes use the "
+                "shard_map path — pass kernel='auto'"
+            )
+        #: 'auto' picks the pallas tile-extraction kernel for block-aligned
+        #: large corpora (15x faster batched selection on v5e; see
+        #: ``ops.pallas_extract`` and BENCHMARKS.md) and the fused XLA
+        #: matmul+top-k otherwise; 'xla' forces the XLA path; 'pallas'
+        #: requires the extraction path's shape support.
         self.kernel = kernel
         self.precision = precision
         #: Exact f32 re-ranking of the device candidate set.  Defaults on
@@ -171,10 +185,14 @@ class RetrievalEngine:
             )
         return self.device
 
-    def _row_multiple(self) -> int:
+    def _row_multiple(self, n_rows: int = 0) -> int:
+        """Row padding granularity.  Large corpora align to the extraction
+        kernel's block (ops.pallas_extract needs N %% BLOCK_N == 0); small
+        ones keep the small multiple so toy stores stay toy-sized."""
+        base = LARGE_ROW_MULTIPLE if n_rows >= LARGE_ROW_MULTIPLE else ROW_MULTIPLE
         if self.mesh is not None:
-            return ROW_MULTIPLE * int(self.mesh.shape[self.data_axis])
-        return ROW_MULTIPLE
+            return base * int(self.mesh.shape[self.data_axis])
+        return base
 
     def _dim_multiple(self) -> int:
         if self.mesh is not None and self.model_axis is not None:
@@ -235,7 +253,7 @@ class RetrievalEngine:
                     version=fingerprint[0],
                     precision=self.precision,
                     placement=self._placement(),
-                    row_multiple=self._row_multiple(),
+                    row_multiple=self._row_multiple(matrix.shape[0]),
                     dim_multiple=self._dim_multiple(),
                     keep_host=True,
                 )
@@ -289,14 +307,14 @@ class RetrievalEngine:
 
             q_new, s_new = quantize_int8(padded_new)
             data_new, scales_new = _grow_rows(
-                old.data, jnp.asarray(q_new), n0, self._row_multiple()
+                old.data, jnp.asarray(q_new), n0, self._row_multiple(n1)
             ), _grow_rows(
-                old.row_scales, jnp.asarray(s_new), n0, self._row_multiple()
+                old.row_scales, jnp.asarray(s_new), n0, self._row_multiple(n1)
             )
             if host is not None:
-                host_data = _grow_rows_np(host.data, q_new, n0, self._row_multiple())
+                host_data = _grow_rows_np(host.data, q_new, n0, self._row_multiple(n1))
                 host_scales = _grow_rows_np(
-                    host.row_scales, s_new, n0, self._row_multiple()
+                    host.row_scales, s_new, n0, self._row_multiple(n1)
                 )
         else:
             if old.precision == "bf16":
@@ -307,12 +325,12 @@ class RetrievalEngine:
                 old.data,
                 jnp.asarray(padded_new, dtype=old.data.dtype),
                 n0,
-                self._row_multiple(),
+                self._row_multiple(n1),
             )
             scales_new = None
             if host is not None:
                 host_data = _grow_rows_np(
-                    host.data, padded_new, n0, self._row_multiple()
+                    host.data, padded_new, n0, self._row_multiple(n1)
                 )
 
         # The device copy moved past any sidecar/host bytes we had; keep the
@@ -349,7 +367,7 @@ class RetrievalEngine:
             log.info("sidecar precision %s != engine %s; rebuilding",
                      header["precision"], self.precision)
             return None
-        if header["n_padded"] % self._row_multiple() != 0:
+        if header["n_padded"] % self._row_multiple(header["n_valid"]) != 0:
             log.info("sidecar row padding incompatible with mesh; rebuilding")
             return None
         if header["dim_padded"] % self._dim_multiple() != 0:
@@ -520,26 +538,40 @@ class RetrievalEngine:
             )
             packed_dev = _pack_results(vals, idx, wide=wide)
         elif corpus.precision == "int8":
-            from ..ops.quant import score_topk_int8_packed
-
-            packed_dev = score_topk_int8_packed(
-                corpus.data, corpus.row_scales, q, n_valid, k_eff, wide=wide
+            from ..ops.pallas_extract import extract_supported
+            from ..ops.quant import (
+                score_topk_int8_extract_packed,
+                score_topk_int8_packed,
             )
+
+            if (
+                self.kernel == "auto"
+                and not wide  # extraction carries f32 indices internally
+                and extract_supported(corpus.n_padded, q.shape[0], k_eff)
+            ):
+                packed_dev = score_topk_int8_extract_packed(
+                    corpus.data, corpus.row_scales, q, n_valid, k_eff,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                packed_dev = score_topk_int8_packed(
+                    corpus.data, corpus.row_scales, q, n_valid, k_eff, wide=wide
+                )
         else:
-            from ..ops.pallas_topk import (
-                pallas_score_topk_packed,
-                pallas_supported,
+            from ..ops.pallas_extract import (
+                extract_supported,
+                score_topk_extract_packed,
             )
             from ..ops.topk import score_topk_packed
 
             if (
-                self.kernel == "pallas"
-                and not wide  # kernel carries indices as f32 internally
-                and pallas_supported(corpus.n_padded, corpus.dim_padded, k_eff)
+                self.kernel in ("auto", "pallas")
+                and not wide  # extraction carries f32 indices internally
+                and extract_supported(corpus.n_padded, q.shape[0], k_eff)
             ):
-                interp = jax.default_backend() == "cpu"
-                packed_dev = pallas_score_topk_packed(
-                    corpus.data, q, n_valid, k_eff, interpret=interp
+                packed_dev = score_topk_extract_packed(
+                    corpus.data, q, n_valid, k_eff,
+                    interpret=jax.default_backend() == "cpu",
                 )
             else:
                 packed_dev = score_topk_packed(
@@ -565,18 +597,16 @@ class RetrievalEngine:
             empty_i = np.zeros((0,), dtype=np.int64)
             return np.zeros((0,), dtype=np.float32), empty_i, empty_i
 
-        data = corpus.data
-        if corpus.precision == "int8":
-            # Dequantize once for the pairwise pass; bf16 keeps HBM in check
-            # and scores get no rescore here (parity with reference, which
-            # also reports raw prescores for pairs).
-            data = (
-                data.astype(jnp.float32) * corpus.row_scales[:, None]
-            ).astype(jnp.bfloat16)
-
         if self.mesh is not None:
             from ..parallel.pairwise_sharded import sharded_pairwise_topk
 
+            data = corpus.data
+            if corpus.precision == "int8":
+                # The sharded ring kernel is float-only; dequantize to bf16
+                # (per-shard O(N/D * d) transient, acceptable on a mesh).
+                data = (
+                    data.astype(jnp.float32) * corpus.row_scales[:, None]
+                ).astype(jnp.bfloat16)
             vals, rows, cols = sharded_pairwise_topk(
                 data,
                 jnp.int32(n),
@@ -588,8 +618,14 @@ class RetrievalEngine:
             from ..ops.pairwise import pairwise_topk_blocked
 
             block_rows = min(256, corpus.n_padded)
+            # int8 corpora run int8 x int8 blocks with on-the-fly rescale —
+            # no O(N*d) dequantized copy (see pairwise_topk_blocked).
             vals, rows, cols = pairwise_topk_blocked(
-                data, jnp.int32(n), k_eff, block_rows=block_rows
+                corpus.data,
+                jnp.int32(n),
+                k_eff,
+                block_rows=block_rows,
+                row_scales=corpus.row_scales,
             )
         return (
             np.asarray(vals, dtype=np.float32),

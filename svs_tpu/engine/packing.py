@@ -29,6 +29,17 @@ import numpy as np
 
 ROW_MULTIPLE = 256
 DIM_MULTIPLE = 128
+#: Large corpora pad (and the engine aligns) to the extraction kernel's
+#: block so the fused pallas selection path applies (ops.pallas_extract).
+LARGE_ROW_MULTIPLE = 8192
+#: At this size rows are also shuffled at pack time: the extraction
+#: kernel's fast path needs top-k hits spread across subtiles, and real
+#: corpora cluster near-duplicates in insertion order (bulk-added crawls,
+#: sorted dumps).  A seeded permutation makes per-subtile top-k occupancy
+#: binomial regardless of insertion order; the row->doc mapping already
+#: flows through emb_ids, so correctness is untouched.
+PERMUTE_MIN_ROWS = LARGE_ROW_MULTIPLE
+_PERMUTE_SEED = 0xC0FFEE
 
 Precision = str  # 'f32' | 'bf16' | 'int8'
 
@@ -150,6 +161,11 @@ def pack_corpus(
     """
     assert matrix.ndim == 2
     n, d = matrix.shape
+    emb_ids = np.asarray(emb_ids, dtype=np.int64)
+    if n >= PERMUTE_MIN_ROWS:
+        perm = np.random.default_rng(_PERMUTE_SEED).permutation(n)
+        matrix = matrix[perm]
+        emb_ids = emb_ids[perm]
     padded = pad_matrix(matrix, row_multiple=row_multiple, dim_multiple=dim_multiple)
 
     host_scales = None

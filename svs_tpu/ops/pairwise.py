@@ -31,6 +31,7 @@ def pairwise_topk_blocked(
     n_valid: jax.Array,
     k: int,
     block_rows: int = 256,
+    row_scales: "jax.Array | None" = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Exact top-``k`` upper-triangle pairs of the row-wise similarity matrix.
 
@@ -38,6 +39,11 @@ def pairwise_topk_blocked(
     ignored via ``n_valid``).  Returns ``(scores f32 [k], rows int32 [k],
     cols int32 [k])`` sorted by score descending.  The caller must clamp
     ``k`` to the number of real pairs, ``n_valid * (n_valid - 1) / 2``.
+
+    With ``row_scales`` (int8 corpora), each block runs an int8 x int8 MXU
+    matmul with int32 accumulation and rescales to f32 on the fly — no
+    dequantized copy of the corpus ever materializes (the extra HBM is
+    O(block x N) scores, same as the float path).
     """
     n_padded, _ = docs.shape
     assert n_padded % block_rows == 0, "pad the corpus to a block multiple"
@@ -52,7 +58,17 @@ def pairwise_topk_blocked(
         c_vals, c_rows, c_cols = carry
         row0 = block_idx * block_rows
         block = jax.lax.dynamic_slice(docs, (row0, 0), (block_rows, docs.shape[1]))
-        scores = scores_matmul(docs, block)  # [block_rows, n_padded]
+        if row_scales is not None:
+            raw = jax.lax.dot_general(
+                block,
+                docs,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [block_rows, n_padded] int32
+            s_blk = jax.lax.dynamic_slice(row_scales, (row0,), (block_rows,))
+            scores = raw.astype(jnp.float32) * s_blk[:, None] * row_scales[None, :]
+        else:
+            scores = scores_matmul(docs, block)  # [block_rows, n_padded]
         row_ids = row0 + jax.lax.broadcasted_iota(
             jnp.int32, (block_rows, n_padded), 0
         )

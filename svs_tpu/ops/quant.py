@@ -80,6 +80,28 @@ def score_topk_int8_packed(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k", "wide", "interpret"))
+def score_topk_int8_extract_packed(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    wide: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 scoring + the pallas tile-extraction selection (the batched
+    fast path; see ``ops.pallas_extract``)."""
+    from .pallas_extract import extract_topk
+    from .topk import NEG_INF, pack_vals_idx
+
+    scores = _int8_scores(q_docs, row_scales, queries)
+    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    scores = jnp.where(live < n_valid, scores, NEG_INF)
+    vals, idx = extract_topk(scores, k, interpret=interpret)
+    return pack_vals_idx(vals, idx, wide=wide)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def score_topk_int8_fast(
     q_docs: jax.Array,

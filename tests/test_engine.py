@@ -437,3 +437,77 @@ def test_wide_index_engine_path(db_path, unit_rows, precision, monkeypatch):
     np.testing.assert_array_equal(rows_narrow, rows_wide)
     np.testing.assert_array_equal(vals_narrow, vals_wide)
     db.close()
+
+
+def test_pairwise_topk_int8_no_dequant(db_path, unit_rows):
+    """int8 pairwise runs quantized blocks directly; prescore pairs must
+    match the int8-dequantized oracle (exact ordering restored later by the
+    KB rescore, which test_rescore_exactness covers)."""
+    m = unit_rows(100, 16)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="int8", rescore=False)
+    corpus = eng.ensure_fresh(db)
+    vals, ra, rb = eng.pairwise_topk(corpus, 5)
+
+    q = np.asarray(corpus.data, dtype=np.float32)[: corpus.n_valid]
+    s = np.asarray(corpus.row_scales)[: corpus.n_valid]
+    deq = q * s[:, None]
+    from svs_tpu.utils.topk_np import top_pairs_numpy
+
+    oracle = top_pairs_numpy(deq @ deq.T, 5)
+    assert list(zip(ra, rb)) == [(r, c) for _, r, c in oracle]
+    np.testing.assert_allclose(vals, [v for v, _, _ in oracle], atol=1e-5)
+    db.close()
+
+
+def test_kernel_pallas_rejected_for_int8_and_mesh():
+    with pytest.raises(ValueError, match="float storage"):
+        RetrievalEngine(precision="int8", kernel="pallas")
+    import jax
+
+    devs = jax.devices()
+    if len(devs) > 1:
+        import numpy as _np
+
+        mesh = jax.sharding.Mesh(_np.array(devs), ("data",))
+        with pytest.raises(ValueError, match="single-chip"):
+            RetrievalEngine(kernel="pallas", mesh=mesh)
+
+
+@pytest.mark.parametrize("precision", ["f32", "bf16", "int8"])
+def test_large_corpus_uses_extraction_kernel(db_path, unit_rows, precision):
+    """Past the large-row threshold the pack is block-aligned, rows are
+    shuffled, and auto dispatch runs the extraction kernel — f32 results
+    must match the oracle exactly through the permutation; reduced
+    precisions must cover the true top-k in their candidate set (exact
+    ordering is the KB rescore's job, proven in test_rescore_exactness)."""
+    from svs_tpu.engine.packing import LARGE_ROW_MULTIPLE
+
+    n = LARGE_ROW_MULTIPLE + 100  # crosses the threshold -> 2 blocks padded
+    m = unit_rows(n, 16)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision=precision)
+    corpus = eng.ensure_fresh(db)
+    assert corpus.n_padded % LARGE_ROW_MULTIPLE == 0
+    assert corpus.n_padded >= 2 * LARGE_ROW_MULTIPLE
+    # rows were permuted: emb_ids is not the identity-ish insertion order
+    assert not np.array_equal(corpus.emb_ids, np.sort(corpus.emb_ids))
+
+    q = unit_rows(3, 16)
+    exact = m @ q.T
+    if precision == "f32":
+        vals, rows = eng.topk(corpus, q, 9)
+        for b in range(3):
+            oracle_ids = [
+                int(i) + 1 for _, i in top_k_numpy(exact[:, b], 9)
+            ]  # emb ids are 1-based insertion order here
+            got_ids = [int(corpus.emb_ids[r]) for r in rows[b]]
+            assert got_ids == oracle_ids, b
+    else:
+        c = eng.candidate_count(9)
+        vals, rows = eng.topk(corpus, q, c)
+        for b in range(3):
+            true_ids = {int(i) + 1 for _, i in top_k_numpy(exact[:, b], 9)}
+            got_ids = {int(corpus.emb_ids[r]) for r in rows[b]}
+            assert true_ids <= got_ids, (precision, b)
+    db.close()
