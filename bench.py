@@ -97,7 +97,9 @@ def main() -> None:
     from svs_tpu.ops.pallas_extract import (
         BLOCK_N,
         extract_supported,
+        fused_supported,
         score_topk_extract_packed,
+        score_topk_fused_packed,
     )
     from svs_tpu.ops.quant import (
         quantize_rows_int8,
@@ -177,6 +179,10 @@ def main() -> None:
                 )
             return score_topk_int8_packed(corpus, scales, q, nvv, k)
         if use_extract:
+            if fused_supported(n_pad, dim, args.batch, k):
+                return score_topk_fused_packed(
+                    corpus, q, nvv, k, interpret=on_cpu
+                )
             return score_topk_extract_packed(
                 corpus, q, nvv, k, interpret=on_cpu
             )

@@ -31,7 +31,7 @@ ROW_MULTIPLE = 256
 DIM_MULTIPLE = 128
 #: Large corpora pad (and the engine aligns) to the extraction kernel's
 #: block so the fused pallas selection path applies (ops.pallas_extract).
-LARGE_ROW_MULTIPLE = 8192
+LARGE_ROW_MULTIPLE = 16384
 #: At this size rows are also shuffled at pack time: the extraction
 #: kernel's fast path needs top-k hits spread across subtiles, and real
 #: corpora cluster near-duplicates in insertion order (bulk-added crawls,
