@@ -96,7 +96,17 @@ def _build_sharded_topk(
         )
         masked = jnp.where(global_col < n_valid, scores, NEG_INF)
         k_local = min(k, n_local)
-        vals, idx = jax.lax.top_k(masked, k_local)
+        from ..ops.pallas_extract import extract_supported, extract_topk
+
+        if extract_supported(n_local, q.shape[0], k_local):
+            # Per-shard selection through the tile-extraction kernel —
+            # the same ~7x over lax.top_k as single-chip, and it runs
+            # concurrently on every chip (see ops/pallas_extract.py).
+            vals, idx = extract_topk(
+                masked, k_local, interpret=jax.default_backend() == "cpu"
+            )
+        else:
+            vals, idx = jax.lax.top_k(masked, k_local)
         gidx = idx.astype(jnp.int32) + offset
         # Stack per-shard winners along a leading data-axis dim.
         return vals[None], gidx[None]

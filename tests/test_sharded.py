@@ -118,3 +118,36 @@ def test_sharded_k_larger_than_shard(devices_available, unit_rows):
     )
     oracle = [i for _, i in top_k_numpy(m @ q[0], k)]
     assert list(np.asarray(idx)[0]) == oracle
+
+
+def test_sharded_per_shard_extraction_matches_oracle(unit_rows):
+    """Per-shard selection routes through the extraction kernel when the
+    local shard is block-aligned; the merged global top-k must still match
+    the single-device oracle exactly."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from svs_tpu.ops.pallas_extract import BLOCK_N
+    from svs_tpu.parallel.mesh import default_mesh
+    from svs_tpu.parallel.sharded import sharded_score_topk
+    from svs_tpu.utils.topk_np import top_k_numpy
+
+    devices = jax.devices()[:2]
+    mesh = default_mesh(devices=devices)
+    n = 2 * BLOCK_N  # one extraction block per shard
+    m = unit_rows(n, 16)
+    padded = np.zeros((n, 128), np.float32)
+    padded[:, :16] = m
+    docs = jax.device_put(padded, NamedSharding(mesh, P("data", None)))
+    q = np.zeros((3, 128), np.float32)
+    q[:, :16] = m[[7, 1000, 20000]][:, :16]
+    n_valid = n - 57
+    vals, idx = sharded_score_topk(
+        docs, None, jax.numpy.asarray(q), jax.numpy.int32(n_valid), 9,
+        mesh=mesh,
+    )
+    exact = m[:n_valid] @ m[[7, 1000, 20000]].T
+    for b in range(3):
+        oracle = [i for _, i in top_k_numpy(exact[:, b], 9)]
+        assert list(np.asarray(idx)[b]) == oracle, b
