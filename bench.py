@@ -99,6 +99,7 @@ def main() -> None:
         extract_supported,
         fused_supported,
         score_topk_extract_packed,
+        score_topk_fused_int8_packed,
         score_topk_fused_packed,
     )
     from svs_tpu.ops.quant import (
@@ -168,6 +169,10 @@ def main() -> None:
     def step_fn(corpus, scales, q, nvv):
         if args.precision == "int8":
             if use_extract:
+                if fused_supported(n_pad, dim, args.batch, k):
+                    return score_topk_fused_int8_packed(
+                        corpus, scales, q, nvv, k, interpret=on_cpu
+                    )
                 return score_topk_int8_extract_packed(
                     corpus, scales, q, nvv, k, interpret=on_cpu
                 )

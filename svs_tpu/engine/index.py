@@ -538,20 +538,31 @@ class RetrievalEngine:
             )
             packed_dev = _pack_results(vals, idx, wide=wide)
         elif corpus.precision == "int8":
-            from ..ops.pallas_extract import extract_supported
+            from ..ops.pallas_extract import (
+                extract_supported,
+                fused_supported,
+                score_topk_fused_int8_packed,
+            )
             from ..ops.quant import (
                 score_topk_int8_extract_packed,
                 score_topk_int8_packed,
             )
 
-            if (
-                self.kernel == "auto"
-                and not wide  # extraction carries f32 indices internally
-                and extract_supported(corpus.n_padded, q.shape[0], k_eff)
+            interp = jax.default_backend() == "cpu"
+            int8_pallas_ok = self.kernel == "auto" and not wide
+            if int8_pallas_ok and fused_supported(
+                corpus.n_padded, corpus.dim_padded, q.shape[0], k_eff
+            ):
+                packed_dev = score_topk_fused_int8_packed(
+                    corpus.data, corpus.row_scales, q, n_valid, k_eff,
+                    interpret=interp,
+                )
+            elif int8_pallas_ok and extract_supported(
+                corpus.n_padded, q.shape[0], k_eff
             ):
                 packed_dev = score_topk_int8_extract_packed(
                     corpus.data, corpus.row_scales, q, n_valid, k_eff,
-                    interpret=jax.default_backend() == "cpu",
+                    interpret=interp,
                 )
             else:
                 packed_dev = score_topk_int8_packed(

@@ -314,6 +314,141 @@ def score_topk_fused_packed(
     return pack_vals_idx(vals[:b], idx[:b], wide=wide)
 
 
+def _fused_int8_kernel(
+    nv_ref, q_ref, qs_ref, docs_ref, rs_ref, out_vals_ref, out_idx_ref, acc_ref
+) -> None:
+    """int8 variant: int8 x int8 MXU matmul with int32 accumulation; the
+    f32 rescale by (row_scale x query_scale) happens per subtile at emit,
+    so no full-width f32 score buffer ever exists."""
+    j = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _zero() -> None:
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.int32)
+
+    acc_ref[:] += jax.lax.dot_general(
+        q_ref[:],
+        docs_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(c == nc - 1)
+    def _emit() -> None:
+        nv = nv_ref[0]
+        b = acc_ref.shape[0]
+        qs = qs_ref[:]  # [b, 1] f32
+        block_base = (j * FUSED_BLOCK_N).astype(jnp.float32)
+        for s in range(FUSED_BLOCK_N // FUSED_SUBTILE):
+            lo, hi = s * FUSED_SUBTILE, (s + 1) * FUSED_SUBTILE
+            gidx = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (b, FUSED_SUBTILE), 1
+                ).astype(jnp.float32)
+                + block_base
+                + float(lo)
+            )
+            sub = acc_ref[:, lo:hi].astype(jnp.float32) * rs_ref[:, lo:hi] * qs
+            sub = jnp.where(gidx < nv, sub, NEG_INF)
+            for h in range(EXTRACT_H):
+                mval = jnp.max(sub, axis=1, keepdims=True)
+                midx = jnp.max(
+                    jnp.where(sub == mval, gidx, -1.0), axis=1, keepdims=True
+                )
+                col = s * EXTRACT_H + h
+                out_vals_ref[:, col : col + 1] = mval
+                out_idx_ref[:, col : col + 1] = midx
+                sub = jnp.where(gidx == midx, NEG_INF, sub)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_extract_int8(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    q_int8: jax.Array,
+    q_scales: jax.Array,
+    n_valid: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    n, d = q_docs.shape
+    b = q_int8.shape[0]
+    grid = (n // FUSED_BLOCK_N, d // DIM_CHUNK)
+    out_shape = (b, (n // FUSED_SUBTILE) * EXTRACT_H)
+    return pl.pallas_call(
+        _fused_int8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid [1] f32
+            pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
+            pl.BlockSpec((b, 1), lambda j, c: (0, 0)),
+            pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
+            pl.BlockSpec((1, FUSED_BLOCK_N), lambda j, c: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, _FUSED_OUT_LANES), lambda j, c: (0, j)),
+            pl.BlockSpec((b, _FUSED_OUT_LANES), lambda j, c: (0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, FUSED_BLOCK_N), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.asarray([n_valid], jnp.float32),
+        q_int8,
+        q_scales[:, None].astype(jnp.float32),
+        q_docs,
+        row_scales[None, :].astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wide", "interpret"))
+def score_topk_fused_int8_packed(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    wide: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 single-kernel scoring + selection + verified merge + packing.
+    Requires ``fused_supported``."""
+    from .quant import quantize_rows_int8
+
+    n, d = q_docs.shape
+    b = queries.shape[0]
+    b_pad = max(QBLOCK, ((b + QBLOCK - 1) // QBLOCK) * QBLOCK)
+    if b_pad != b:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((b_pad - b, d), queries.dtype)], axis=0
+        )
+    q_int8, q_scales = quantize_rows_int8(queries)
+    ev, ei = _fused_extract_int8(
+        q_docs, row_scales, q_int8, q_scales, n_valid, interpret=interpret
+    )
+    vals, pos = jax.lax.top_k(ev, k)
+    idx = jnp.take_along_axis(ei, pos, axis=1).astype(jnp.int32)
+    v_k = vals[:, k - 1 : k]
+    tails = ev[:, EXTRACT_H - 1 :: EXTRACT_H]
+    covered = jnp.logical_not(jnp.any(tails > v_k))
+
+    def fast(_: None) -> Tuple[jax.Array, jax.Array]:
+        return vals, idx
+
+    def full(_: None) -> Tuple[jax.Array, jax.Array]:
+        from .quant import score_topk_int8
+
+        fv, fi = score_topk_int8(q_docs, row_scales, queries, n_valid, k)
+        return fv.astype(jnp.float32), fi
+
+    vals, idx = jax.lax.cond(covered, fast, full, None)
+    return pack_vals_idx(vals[:b], idx[:b], wide=wide)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "score_dtype", "wide", "interpret")
 )

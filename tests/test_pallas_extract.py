@@ -90,3 +90,41 @@ def test_extract_packed_bf16_scores_cover_true_topk(unit_rows):
     for b in range(8):
         true_top = {i for _, i in top_k_numpy(exact[:, b], 10)}
         assert true_top <= set(rows[b].tolist())
+
+
+def test_fused_kernels_match_plain(unit_rows):
+    """Fused float and int8 kernels against their XLA twins on a
+    block-aligned corpus (interpret mode)."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        fused_supported,
+        score_topk_fused_int8_packed,
+        score_topk_fused_packed,
+    )
+    from svs_tpu.ops.quant import quantize_rows_int8, score_topk_int8_packed
+
+    n = 2 * FUSED_BLOCK_N
+    m = unit_rows(n, 128)
+    q = m[5:13]
+    nv = n - 99
+    assert fused_supported(n, 128, 8, 25)
+
+    plain = score_topk_packed(jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), 25)
+    fused = score_topk_fused_packed(
+        jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), 25, interpret=True
+    )
+    v1, r1 = unpack_vals_idx(np.asarray(plain), 25)
+    v2, r2 = unpack_vals_idx(np.asarray(fused), 25)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(v1, v2, atol=2e-6)
+
+    qd, scales = quantize_rows_int8(jnp.asarray(m))
+    plain8 = score_topk_int8_packed(qd, scales, jnp.asarray(q), jnp.int32(nv), 25)
+    fused8 = score_topk_fused_int8_packed(
+        qd, scales, jnp.asarray(q), jnp.int32(nv), 25, interpret=True
+    )
+    v3, r3 = unpack_vals_idx(np.asarray(plain8), 25)
+    v4, r4 = unpack_vals_idx(np.asarray(fused8), 25)
+    np.testing.assert_array_equal(r3, r4)
+    np.testing.assert_allclose(v3, v4, rtol=1e-5, atol=1e-6)
