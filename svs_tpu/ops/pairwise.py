@@ -24,6 +24,9 @@ import jax.numpy as jnp
 
 from .topk import NEG_INF, scores_matmul
 
+#: Test hook: exercise the extraction path under the CPU interpreter.
+_FORCE_EXTRACT_INTERPRET = False
+
 
 @functools.partial(jax.jit, static_argnames=("k", "block_rows"))
 def pairwise_topk_blocked(
@@ -75,7 +78,22 @@ def pairwise_topk_blocked(
         live = (col_ids > row_ids) & (col_ids < n_valid) & (row_ids < n_valid)
         scores = jnp.where(live, scores, NEG_INF)
 
-        blk_vals, blk_cols = jax.lax.top_k(scores, per_row_k)  # [R, per_row_k]
+        from .pallas_extract import extract_supported, extract_topk
+
+        on_cpu = jax.default_backend() == "cpu"
+        if extract_supported(n_padded, block_rows, per_row_k) and (
+            not on_cpu or _FORCE_EXTRACT_INTERPRET
+        ):
+            # Per-row selection via the extraction kernel: at 1M docs the
+            # pairwise pass runs ~4000 of these selections, and lax.top_k
+            # over [256, 1M] is ~9x the block matmul (BENCHMARKS.md).
+            # Skipped on the CPU backend: interpret-mode pallas inside this
+            # scan is minutes-slow and never a win there.
+            blk_vals, blk_cols = extract_topk(
+                scores, per_row_k, interpret=on_cpu
+            )
+        else:
+            blk_vals, blk_cols = jax.lax.top_k(scores, per_row_k)
         blk_rows = jnp.broadcast_to(row_ids[:, :1], blk_cols.shape)
 
         all_vals = jnp.concatenate([c_vals, blk_vals.reshape(-1)])

@@ -317,3 +317,39 @@ def test_coarse_topk_adversarial_tie_maxes_fallback():
     for b in range(2):
         oracle = top_k_numpy(scores[b], 25)
         np.testing.assert_allclose(np.asarray(vals)[b], [s for s, _ in oracle])
+
+
+import os
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SVS_TPU_SLOW_TESTS"),
+    reason="interpret-mode pairwise extraction takes minutes; "
+    "set SVS_TPU_SLOW_TESTS=1 to run",
+)
+def test_pairwise_blocked_extraction_path_matches_oracle(
+    unit_rows, monkeypatch
+):
+    """Blocked pairwise with block-aligned corpora routes per-row selection
+    through the extraction kernel; top pairs must match the oracle.
+    (On the CPU backend the path is gated off for speed; forced here.)"""
+    import svs_tpu.ops.pairwise as pairwise_mod
+    from svs_tpu.ops.pallas_extract import BLOCK_N
+
+    monkeypatch.setattr(pairwise_mod, "_FORCE_EXTRACT_INTERPRET", True)
+
+    n_pad = BLOCK_N  # one extraction block; 4 scan steps
+    n_valid = n_pad - 77
+    m = unit_rows(n_valid, 16)
+    padded = np.zeros((n_pad, 128), np.float32)
+    padded[:n_valid, :16] = m
+    vals, rows, cols = pairwise_topk_blocked(
+        jnp.asarray(padded), jnp.int32(n_valid), 7, block_rows=4096
+    )
+    oracle = top_pairs_numpy(m @ m.T, 7)
+    assert [(r, c) for r, c in zip(rows, cols)] == [
+        (r, c) for _, r, c in oracle
+    ]
+    np.testing.assert_allclose(
+        np.asarray(vals), [v for v, _, _ in oracle], atol=2e-6
+    )
