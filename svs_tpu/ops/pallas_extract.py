@@ -7,22 +7,28 @@ XLA's TopK pays a full sorting network per row; per-tile ``lax.top_k``
 (the ``tiled_topk`` fallback path) still pays it per tile.
 
 This kernel exploits the actual statistics of exact retrieval: the true
-top-k of a big corpus is *sparse per tile* (k=400 over 977 tiles of 1024
-docs ~ 0.4 expected members per tile).  Each grid step streams a
-``[8, BLOCK_N]`` score block from HBM and, per 1024-doc subtile, extracts
-its top-``H`` elements by iterated (max, clear) passes — pure VPU work,
-no sorting network, ~H*3 passes over VMEM-resident data.  The per-subtile
-winners come out DESCENDING, so one small ``lax.top_k`` over the
-``[B, (N/1024)*H]`` survivors finishes the job.
+top-k of a big corpus is *sparse per tile* (k=400 over ~1000 subtiles ~
+0.4 expected members per tile — and pack-time row permutation makes that
+hold for ANY insertion order).  Per subtile, the top-``H`` elements are
+extracted by iterated (max, clear) passes — pure VPU work, no sorting
+network — and one small ``lax.top_k`` over the ``[B, T*H]`` survivors
+(each H-group already DESCENDING) finishes the job.  Two deployments:
+
+- two-pass (``_extract``): streams a precomputed score matrix from HBM;
+- fused (``_fused_extract``/``_fused_extract_int8``): the matmul runs
+  inside the kernel into a VMEM accumulator (grid over doc blocks x dim
+  chunks, whole query batch resident), so the corpus is read from HBM
+  exactly once per step and the score matrix never exists in HBM.
+  Measured v5e, 1M x 1536 top-100: bf16 b=1 4.27 ms (89% of HBM
+  bandwidth), b=256 0.038 ms/query; int8 b=1 2.33 ms (82%).
 
 Exactness is verified in-graph: a subtile can hide a true top-k element
 beyond its extracted H only if its H-th extracted value beats the merged
 k-th value; any such subtile triggers the full ``lax.top_k`` fallback
 inside ``lax.cond`` (lazy on TPU — measured: the fast path does not pay
-for the untaken branch).  For k=400 spread over 977+ subtiles,
-P(some subtile holds >16 of the top-400) is ~1e-17 per batch — the
-fallback exists for adversarial score distributions, and keeps the result
-exact even then.
+for the untaken branch).  With permuted rows, P(some subtile holds >8 of
+the top-400) is ~1e-4 per 256-query batch — the fallback exists for
+adversarial score distributions, and keeps the result exact even then.
 
 Mosaic survival notes (see also ``pallas_topk``): float compares only
 (int iota cast to f32), indices ride as exact f32 values (n < 2^24 —
