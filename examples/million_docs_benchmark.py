@@ -34,16 +34,13 @@ def main():
     parser.add_argument("--dim", type=int, default=1536)
     parser.add_argument("--db", default="million.sqlite")
     parser.add_argument("--precision", default="bf16")
+    parser.add_argument("--skip-load", action="store_true",
+                        help="reuse an existing store (skip phase 1)")
     args = parser.parse_args()
 
-    async def passthrough_embedder(texts):
-        # queries embed as random unit vectors, like the reference notebook
-        rng = np.random.default_rng(abs(hash(tuple(texts))) % 2**32)
-        v = rng.standard_normal(args.dim).astype(np.float32)
-        v /= np.linalg.norm(v)
-        return [v.tolist() for _ in texts]
-
     # -- phase 1: bulk load (writing blobs directly, like the notebook) ----
+    if args.skip_load:
+        return _query_phases(args)
     t0 = time.perf_counter()
     db = Database(args.db)
     with db.transaction() as tx:
@@ -54,12 +51,22 @@ def main():
         tx.bump_matrix_version()
     db.close()
     print(f"bulk load {args.n} docs: {time.perf_counter() - t0:.1f}s")
+    _query_phases(args)
+
+
+def _query_phases(args):
+    async def passthrough_embedder(texts):
+        rng = np.random.default_rng(abs(hash(tuple(texts))) % 2**32)
+        v = rng.standard_normal(args.dim).astype(np.float32)
+        v /= np.linalg.norm(v)
+        return [v.tolist() for _ in texts]
 
     # -- phase 2: first (cold) query ----------------------------------------
     kb = KB(args.db, passthrough_embedder, precision=args.precision,
             sidecar=True)
     t0 = time.perf_counter()
     hits = kb.retrieve("cold query", 100)
+    assert len(hits) == 100
     print(f"first top-100 query (cold): {time.perf_counter() - t0:.2f}s")
 
     # persist the sidecar so the NEXT cold open mmaps instead of rescanning
@@ -73,6 +80,14 @@ def main():
         times.append(time.perf_counter() - t0)
     times.sort()
     print(f"warm top-100 query p50: {times[5] * 1e3:.1f} ms")
+
+    # -- phase 4: batched throughput (new capability vs the reference) -----
+    t0 = time.perf_counter()
+    results = kb.retrieve_batch([f"batched {i}" for i in range(256)], 100)
+    dt = time.perf_counter() - t0
+    assert len(results) == 256
+    print(f"batched 256 queries: {dt:.2f}s total, "
+          f"{dt / 256 * 1e3:.2f} ms/query end-to-end")
     kb.close()
 
 
