@@ -77,6 +77,12 @@ def main() -> None:
                         default="bf16")
     parser.add_argument("--batch", type=int, default=1,
                         help="queries per retrieval step")
+    parser.add_argument(
+        "--batched-phase", type=int, default=None,
+        help="additionally measure this batch size on the same corpus and "
+        "report it under 'batched' (default: 256 for the 1M presets when "
+        "--batch is 1; 0 disables)",
+    )
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--k", type=int, default=None)
     parser.add_argument("--chain", type=int, default=6,
@@ -157,111 +163,155 @@ def main() -> None:
         f"({corpus_bytes / 1e9:.2f} GB on device)")
 
     n_valid = jnp.int32(n)
-    queries = [
-        jax.random.normal(jax.random.PRNGKey(100 + i), (args.batch, dim),
-                          dtype=jnp.float32)
-        for i in range(8)
-    ]
+    is_v5e = "v5" in str(dev).lower()
 
-    # The corpus is an explicit argument (NOT a closure capture): captured
-    # device constants get embedded in the lowered program — 3 GB of
-    # constant upload per compile on remote setups.
-    def step_fn(corpus, scales, q, nvv):
-        if args.precision == "int8":
-            if use_extract:
-                if fused_supported(n_pad, dim, args.batch, k):
-                    return score_topk_fused_int8_packed(
+    def measure(batch: int, iters: int) -> dict:
+        """One full measurement (compile, e2e p50/p99, isolated device
+        time, utilization) at the given batch size over the shared
+        on-device corpus."""
+        phase_extract = args.kernel in ("auto", "extract") and (
+            extract_supported(n_pad, batch, k)
+        )
+        phase_kernel = "extract" if phase_extract else (
+            args.kernel if args.kernel in ("topk", "fast") else "topk"
+        )
+        queries = [
+            jax.random.normal(jax.random.PRNGKey(100 + i), (batch, dim),
+                              dtype=jnp.float32)
+            for i in range(8)
+        ]
+
+        # The corpus is an explicit argument (NOT a closure capture):
+        # captured device constants get embedded in the lowered program —
+        # 3 GB of constant upload per compile on remote setups.
+        def step_fn(corpus, scales, q, nvv):
+            if args.precision == "int8":
+                if phase_extract:
+                    if fused_supported(n_pad, dim, batch, k):
+                        return score_topk_fused_int8_packed(
+                            corpus, scales, q, nvv, k, interpret=on_cpu
+                        )
+                    return score_topk_int8_extract_packed(
                         corpus, scales, q, nvv, k, interpret=on_cpu
                     )
-                return score_topk_int8_extract_packed(
-                    corpus, scales, q, nvv, k, interpret=on_cpu
-                )
-            if kernel_name == "fast":
-                from svs_tpu.ops.quant import score_topk_int8_fast
+                if phase_kernel == "fast":
+                    from svs_tpu.ops.quant import score_topk_int8_fast
 
-                return pack_vals_idx(
-                    *score_topk_int8_fast(corpus, scales, q, nvv, k)
-                )
-            return score_topk_int8_packed(corpus, scales, q, nvv, k)
-        if use_extract:
-            if fused_supported(n_pad, dim, args.batch, k):
-                return score_topk_fused_packed(
+                    return pack_vals_idx(
+                        *score_topk_int8_fast(corpus, scales, q, nvv, k)
+                    )
+                return score_topk_int8_packed(corpus, scales, q, nvv, k)
+            if phase_extract:
+                if fused_supported(n_pad, dim, batch, k):
+                    return score_topk_fused_packed(
+                        corpus, q, nvv, k, interpret=on_cpu
+                    )
+                return score_topk_extract_packed(
                     corpus, q, nvv, k, interpret=on_cpu
                 )
-            return score_topk_extract_packed(
-                corpus, q, nvv, k, interpret=on_cpu
+            if phase_kernel == "fast":
+                return pack_vals_idx(*score_topk_fast(corpus, q, nvv, k))
+            return score_topk_packed(corpus, q, nvv, k)
+
+        step = jax.jit(step_fn)
+
+        # warmup / compile
+        t0 = time.perf_counter()
+        _ = np.asarray(step(docs, row_scales, queries[0], n_valid))
+        log(f"[batch {batch}] compile+first query: "
+            f"{time.perf_counter() - t0:.2f}s (kernel {phase_kernel})")
+
+        # e2e: each iteration is one full query -> host-visible result
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            packed = np.asarray(
+                step(docs, row_scales, queries[i % len(queries)], n_valid)
             )
-        if kernel_name == "fast":
-            return pack_vals_idx(*score_topk_fast(corpus, q, nvv, k))
-        return score_topk_packed(corpus, q, nvv, k)
+            times.append(time.perf_counter() - t0)
+        vals, idx = unpack_vals_idx(packed, k)
+        assert (idx >= 0).all() and (idx < n).all(), "padding leaked into top-k"
+        assert len(np.unique(idx[0])) == k, "duplicate/corrupted indices"
 
-    step = jax.jit(step_fn)
+        p50 = _percentile(times, 0.50)
+        p99 = _percentile(times, 0.99)
 
-    # warmup / compile
-    t0 = time.perf_counter()
-    _ = np.asarray(step(docs, row_scales, queries[0], n_valid))
-    log(f"compile+first query: {time.perf_counter() - t0:.2f}s")
+        # device time: chained iterations, fetch once
+        def chained(length):
+            @jax.jit
+            def run(corpus, scales, q, nvv):
+                def body(i, qc):
+                    out = step_fn(corpus, scales, qc, nvv)
+                    return qc + 0.0 * out[0, 0].astype(qc.dtype)
 
-    # ---- e2e: each iteration is one full query -> host-visible result ---
-    times = []
-    for i in range(args.iters):
-        t0 = time.perf_counter()
-        packed = np.asarray(
-            step(docs, row_scales, queries[i % len(queries)], n_valid)
-        )
-        times.append(time.perf_counter() - t0)
-    vals, idx = unpack_vals_idx(packed, k)
-    assert (idx >= 0).all() and (idx < n).all(), "padding leaked into top-k"
-    assert len(np.unique(idx[0])) == k, "duplicate/corrupted indices"
+                qf = jax.lax.fori_loop(0, length, body, q)
+                return step_fn(corpus, scales, qf, nvv)
 
-    p50 = _percentile(times, 0.50)
-    p99 = _percentile(times, 0.99)
+            return run
 
-    # ---- device time: chained iterations, fetch once ---------------------
-    def chained(length):
-        @jax.jit
-        def run(corpus, scales, q, nvv):
-            def body(i, qc):
-                out = step_fn(corpus, scales, qc, nvv)
-                return qc + 0.0 * out[0, 0].astype(qc.dtype)
-
-            qf = jax.lax.fori_loop(0, length, body, q)
-            return step_fn(corpus, scales, qf, nvv)
-
-        return run
-
-    short, long_ = chained(1), chained(args.chain)
-    np.asarray(short(docs, row_scales, queries[0], n_valid))
-    np.asarray(long_(docs, row_scales, queries[0], n_valid))
-    ts, tl = [], []
-    for _ in range(3):
-        t0 = time.perf_counter()
+        short, long_ = chained(1), chained(args.chain)
         np.asarray(short(docs, row_scales, queries[0], n_valid))
-        ts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
         np.asarray(long_(docs, row_scales, queries[0], n_valid))
-        tl.append(time.perf_counter() - t0)
-    device_s = max(0.0, (min(tl) - min(ts)) / (args.chain - 1))
+        ts, tl = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(short(docs, row_scales, queries[0], n_valid))
+            ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(long_(docs, row_scales, queries[0], n_valid))
+            tl.append(time.perf_counter() - t0)
+        device_s = max(0.0, (min(tl) - min(ts)) / (args.chain - 1))
 
-    # ---- utilization ------------------------------------------------------
-    is_v5e = "v5" in str(dev).lower()
-    mfu = hbm_frac = None
-    if device_s > 0 and is_v5e:
-        flops = 2.0 * args.batch * n_pad * dim
-        peak = V5E_INT8_OPS if args.precision == "int8" else V5E_BF16_FLOPS
-        if args.precision == "f32":
-            peak = V5E_BF16_FLOPS / 2
-        mfu = flops / device_s / peak
-        hbm_frac = corpus_bytes / device_s / V5E_HBM_BYTES_S
+        # utilization
+        mfu = hbm_frac = None
+        if device_s > 0 and is_v5e:
+            flops = 2.0 * batch * n_pad * dim
+            peak = V5E_INT8_OPS if args.precision == "int8" else V5E_BF16_FLOPS
+            if args.precision == "f32":
+                peak = V5E_BF16_FLOPS / 2
+            mfu = flops / device_s / peak
+            hbm_frac = corpus_bytes / device_s / V5E_HBM_BYTES_S
 
-    per_query_e2e = p50 / args.batch
-    per_query_dev = device_s / args.batch if device_s else None
-    log(f"e2e p50 {p50 * 1e3:.3f} ms | p99 {p99 * 1e3:.3f} ms | "
-        f"per-query {per_query_e2e * 1e3:.4f} ms | QPS {args.batch / p50:,.0f}")
-    log(f"device {device_s * 1e3:.3f} ms/step | "
-        f"per-query {device_s / args.batch * 1e3:.4f} ms"
-        + (f" | MFU {mfu * 100:.1f}% | HBM {hbm_frac * 100:.1f}%"
-           if mfu is not None else ""))
+        per_query_e2e = p50 / batch
+        per_query_dev = device_s / batch if device_s else None
+        log(f"[batch {batch}] e2e p50 {p50 * 1e3:.3f} ms | "
+            f"p99 {p99 * 1e3:.3f} ms | per-query "
+            f"{per_query_e2e * 1e3:.4f} ms | QPS {batch / p50:,.0f}")
+        log(f"[batch {batch}] device {device_s * 1e3:.3f} ms/step | "
+            f"per-query {device_s / batch * 1e3:.4f} ms"
+            + (f" | MFU {mfu * 100:.1f}% | HBM {hbm_frac * 100:.1f}%"
+               if mfu is not None else ""))
+        return {
+            "batch": batch,
+            "p50_ms": round(p50 * 1e3, 4),
+            "p99_ms": round(p99 * 1e3, 4),
+            "per_query_ms": round(per_query_e2e * 1e3, 4),
+            "qps": round(batch / p50, 1),
+            "vs_baseline": round(ref_s / per_query_e2e, 1) if ref_s else None,
+            "device_ms": round(device_s * 1e3, 4),
+            "device_per_query_ms": (
+                round(per_query_dev * 1e3, 4) if per_query_dev else None
+            ),
+            "device_vs_baseline": (
+                round(ref_s / per_query_dev, 1)
+                if (ref_s and per_query_dev) else None
+            ),
+            "mfu": round(mfu, 4) if mfu is not None else None,
+            "hbm_frac": round(hbm_frac, 4) if hbm_frac is not None else None,
+            "kernel": phase_kernel,
+        }
+
+    primary = measure(args.batch, args.iters)
+
+    # Batched-throughput phase on the same corpus: one corpus read serves
+    # the whole batch, which is where the per-query targets live
+    # (BASELINE.md).  On by default for the 1M presets.
+    batched_n = args.batched_phase
+    if batched_n is None:
+        batched_n = 256 if (args.preset == "headline" and args.batch == 1) else 0
+    batched = None
+    if batched_n and batched_n != args.batch:
+        batched = measure(batched_n, max(10, args.iters // 3))
 
     result = {
         "metric": (
@@ -269,24 +319,18 @@ def main() -> None:
             f"({args.precision}, batch={args.batch}, end-to-end incl. "
             f"host round-trip)"
         ),
-        "value": round(p50 * 1e3, 4),
+        "value": primary["p50_ms"],
         "unit": "ms",
-        "vs_baseline": round(ref_s / per_query_e2e, 1) if ref_s else None,
-        "per_query_ms": round(per_query_e2e * 1e3, 4),
-        "qps": round(args.batch / p50, 1),
-        "p99_ms": round(p99 * 1e3, 4),
-        "device_ms": round(device_s * 1e3, 4),
-        "device_per_query_ms": (
-            round(per_query_dev * 1e3, 4) if per_query_dev else None
-        ),
-        "device_vs_baseline": (
-            round(ref_s / per_query_dev, 1) if (ref_s and per_query_dev) else None
-        ),
-        "mfu": round(mfu, 4) if mfu is not None else None,
-        "hbm_frac": round(hbm_frac, 4) if hbm_frac is not None else None,
-        "kernel": kernel_name,
+        "vs_baseline": primary["vs_baseline"],
+        **{kk: primary[kk] for kk in (
+            "per_query_ms", "qps", "p99_ms", "device_ms",
+            "device_per_query_ms", "device_vs_baseline", "mfu",
+            "hbm_frac", "kernel",
+        )},
         "device": str(dev),
     }
+    if batched is not None:
+        result["batched"] = batched
     print(json.dumps(result), flush=True)
 
 
