@@ -103,8 +103,11 @@ def main() -> None:
     from svs_tpu.ops.pallas_extract import (
         BLOCK_N,
         extract_supported,
+        fused2_supported,
         fused_supported,
         score_topk_extract_packed,
+        score_topk_fused2_int8_packed,
+        score_topk_fused2_packed,
         score_topk_fused_int8_packed,
         score_topk_fused_packed,
     )
@@ -172,21 +175,34 @@ def main() -> None:
         phase_extract = args.kernel in ("auto", "extract") and (
             extract_supported(n_pad, batch, k)
         )
-        phase_kernel = "extract" if phase_extract else (
+        phase_v2 = phase_extract and fused2_supported(n_pad, dim, batch, k)
+        phase_kernel = ("extract2" if phase_v2 else "extract") if phase_extract else (
             args.kernel if args.kernel in ("topk", "fast") else "topk"
         )
-        queries = [
-            jax.random.normal(jax.random.PRNGKey(100 + i), (batch, dim),
-                              dtype=jnp.float32)
-            for i in range(8)
-        ]
+        # unit-norm queries: scores are genuine cosines in [-1, 1], the
+        # domain the engine guarantees (magnitude guard at insert+query)
+        def unit_q(i):
+            v = jax.random.normal(
+                jax.random.PRNGKey(100 + i), (batch, dim), dtype=jnp.float32
+            )
+            return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+
+        queries = [jax.jit(unit_q)(i) for i in range(8)]
 
         # The corpus is an explicit argument (NOT a closure capture):
         # captured device constants get embedded in the lowered program —
         # 3 GB of constant upload per compile on remote setups.
+        # batched runs prefer the keyed (v2) kernels: quantized prescores
+        # within KEY_EPS, fastest measured selection (shootout 7)
+        use_v2 = phase_v2
+
         def step_fn(corpus, scales, q, nvv):
             if args.precision == "int8":
                 if phase_extract:
+                    if use_v2:
+                        return score_topk_fused2_int8_packed(
+                            corpus, scales, q, nvv, k, interpret=on_cpu
+                        )
                     if fused_supported(n_pad, dim, batch, k):
                         return score_topk_fused_int8_packed(
                             corpus, scales, q, nvv, k, interpret=on_cpu
@@ -202,6 +218,10 @@ def main() -> None:
                     )
                 return score_topk_int8_packed(corpus, scales, q, nvv, k)
             if phase_extract:
+                if use_v2:
+                    return score_topk_fused2_packed(
+                        corpus, q, nvv, k, interpret=on_cpu
+                    )
                 if fused_supported(n_pad, dim, batch, k):
                     return score_topk_fused_packed(
                         corpus, q, nvv, k, interpret=on_cpu

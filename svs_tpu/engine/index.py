@@ -457,9 +457,14 @@ class RetrievalEngine:
           have, with the miss still bounded by the deterministic bound.
         - ``f32``: accumulation-order differences only.
         """
+        from ..ops.pallas_extract import KEY_EPS
+
+        # The keyed selection kernels (ops.pallas_extract v2, used whenever
+        # rescoring is on) return scores quantized onto a 2^-13 grid;
+        # KEY_EPS soundly covers that on top of each precision's own term.
         b = queries.shape[0]
         if corpus.precision == "bf16":
-            eps = 2.0**-8 * (1.0 + 2.0**-9) + 3e-5
+            eps = 2.0**-8 * (1.0 + 2.0**-9) + 3e-5 + KEY_EPS
             return np.full((b,), eps, dtype=np.float64)
         if corpus.precision == "int8":
             d = corpus.dim
@@ -470,9 +475,10 @@ class RetrievalEngine:
                 0.5 * t * (s_q + s_d) * 1.001  # concentration terms
                 + 0.25 * d * s_q * s_d  # residual x residual (deterministic)
                 + 3e-5
+                + KEY_EPS
             )
             return eps
-        return np.full((b,), 1e-4, dtype=np.float64)
+        return np.full((b,), 1e-4 + KEY_EPS, dtype=np.float64)
 
     def pairwise_eps(self, corpus: PackedCorpus) -> float:
         """Bound on ``|device pairwise prescore - exact f32 score|`` (both
@@ -540,7 +546,9 @@ class RetrievalEngine:
         elif corpus.precision == "int8":
             from ..ops.pallas_extract import (
                 extract_supported,
+                fused2_supported,
                 fused_supported,
+                score_topk_fused2_int8_packed,
                 score_topk_fused_int8_packed,
             )
             from ..ops.quant import (
@@ -550,7 +558,20 @@ class RetrievalEngine:
 
             interp = jax.default_backend() == "cpu"
             int8_pallas_ok = self.kernel == "auto" and not wide
-            if int8_pallas_ok and fused_supported(
+            if (
+                int8_pallas_ok
+                and self.rescore
+                and fused2_supported(
+                    corpus.n_padded, corpus.dim_padded, q.shape[0], k_eff
+                )
+            ):
+                # Keyed selection: quantized prescores (covered by KEY_EPS
+                # in prescore_eps), only used under the verified rescore.
+                packed_dev = score_topk_fused2_int8_packed(
+                    corpus.data, corpus.row_scales, q, n_valid, k_eff,
+                    interpret=interp,
+                )
+            elif int8_pallas_ok and fused_supported(
                 corpus.n_padded, corpus.dim_padded, q.shape[0], k_eff
             ):
                 packed_dev = score_topk_fused_int8_packed(
@@ -571,15 +592,31 @@ class RetrievalEngine:
         else:
             from ..ops.pallas_extract import (
                 extract_supported,
+                fused2_supported,
                 fused_supported,
                 score_topk_extract_packed,
+                score_topk_fused2_packed,
                 score_topk_fused_packed,
             )
             from ..ops.topk import score_topk_packed
 
             interp = jax.default_backend() == "cpu"
             pallas_ok = self.kernel in ("auto", "pallas") and not wide
-            if pallas_ok and fused_supported(
+            if (
+                pallas_ok
+                and self.rescore
+                and fused2_supported(
+                    corpus.n_padded, corpus.dim_padded, q.shape[0], k_eff
+                )
+            ):
+                # Keyed selection (ops.pallas_extract v2): quantized
+                # prescores covered by KEY_EPS in prescore_eps; only used
+                # under the verified rescore, where it's the fastest
+                # batched path (BENCHMARKS.md shootout 7).
+                packed_dev = score_topk_fused2_packed(
+                    corpus.data, q, n_valid, k_eff, interpret=interp
+                )
+            elif pallas_ok and fused_supported(
                 corpus.n_padded, corpus.dim_padded, q.shape[0], k_eff
             ):
                 # Single kernel: matmul + selection, score matrix never

@@ -25,8 +25,28 @@ from .quant import (
     score_topk_int8_packed,
 )
 from .pallas_topk import pallas_score_topk, pallas_score_topk_packed, pallas_supported
+from .pallas_extract import (
+    extract_supported,
+    extract_topk,
+    fused2_supported,
+    fused_supported,
+    score_topk_extract_packed,
+    score_topk_fused2_int8_packed,
+    score_topk_fused2_packed,
+    score_topk_fused_int8_packed,
+    score_topk_fused_packed,
+)
 
 __all__ = [
+    "extract_supported",
+    "extract_topk",
+    "fused2_supported",
+    "fused_supported",
+    "score_topk_extract_packed",
+    "score_topk_fused2_int8_packed",
+    "score_topk_fused2_packed",
+    "score_topk_fused_int8_packed",
+    "score_topk_fused_packed",
     "masked_topk",
     "merge_topk",
     "pack_vals_idx",

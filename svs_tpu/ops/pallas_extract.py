@@ -30,6 +30,13 @@ for the untaken branch).  With permuted rows, P(some subtile holds >8 of
 the top-400) is ~1e-4 per 256-query batch — the fallback exists for
 adversarial score distributions, and keeps the result exact even then.
 
+A second generation ("v2", keyed) of the fused kernels lives further
+down in this file: packed-key extraction plus a staged merge, measured
+(v5e, 1M x 1536, shootout 7) at b=256 top-100 6.9 ms bf16 / 5.1 ms int8
+per step vs 9.8 / 7.6 for v1, and never slower at b=1.  The engine
+dispatches to v2 whenever rescoring is on; v1 remains the exact-score
+path for rescore-off callers.
+
 Mosaic survival notes (see also ``pallas_topk``): float compares only
 (int iota cast to f32), indices ride as exact f32 values (n < 2^24 —
 larger corpora use the XLA path), ``jnp.where`` selects (never arithmetic
@@ -441,6 +448,417 @@ def score_topk_fused_int8_packed(
     v_k = vals[:, k - 1 : k]
     tails = ev[:, EXTRACT_H - 1 :: EXTRACT_H]
     covered = jnp.logical_not(jnp.any(tails > v_k))
+
+    def fast(_: None) -> Tuple[jax.Array, jax.Array]:
+        return vals, idx
+
+    def full(_: None) -> Tuple[jax.Array, jax.Array]:
+        from .quant import score_topk_int8
+
+        fv, fi = score_topk_int8(q_docs, row_scales, queries, n_valid, k)
+        return fv.astype(jnp.float32), fi
+
+    vals, idx = jax.lax.cond(covered, fast, full, None)
+    return pack_vals_idx(vals[:b], idx[:b], wide=wide)
+
+
+# --- keyed fused kernels (v2): packed-key extraction + staged merge --------
+#
+# Two measured facts drive this design (benchmarks/tpu_select5.py and
+# tpu_select6.py, v5e):
+#
+#   1. the extraction emit is pure VPU work and CANNOT overlap the MXU
+#      matmul (Mosaic serializes the units within a grid step; measured
+#      overlap ~0), so the only lever is fewer VPU passes per winner;
+#   2. the final ``lax.top_k`` merge costs ~2.4 ms at 16384 candidate
+#      lanes but only ~0.25 ms at ~4096 — the merge width matters.
+#
+# Keyed extraction: scores are biased positive and quantized onto a 2^-13
+# grid; the key ``floor((s + KEY_BIAS) * KEY_QSCALE) * 512 + lane`` is an
+# exact f32 integer < 2^24 ordering like (quantized score, lane).  Keys
+# are UNIQUE, so one winner costs ONE max-reduce plus ONE compare/select
+# clear (~3 VPU passes vs ~6 for the f32 max / index-recover / clear
+# sequence — measured 1.85x), and only the raw key is emitted: decode
+# happens outside the kernel over the small extracted array (in-kernel
+# [b,1] scalar decodes still burn full vregs; int32 VPU ops measured ~7x
+# slower than f32, hence the all-f32 scheme).
+#
+# A second tiny kernel then reduces each 128-lane group of extracted keys
+# to its top-H2 (H2 sized from the Poisson tail of k over the groups, in
+# multiples of 8 so output lanes stay 128-aligned), shrinking the host
+# merge from (N/SUBTILE)*H lanes to ~k-sized width.
+#
+# Decoded values sit within ``KEY_EPS`` BELOW the true score (floor grid
+# + pack-multiply rounding).  Exactness of the candidate SET is verified
+# in-graph exactly like the v1 kernels — any level-1 subtile tail or
+# level-2 group tail above ``v_k - KEY_EPS`` triggers the full top-k
+# fallback — and the engine adds KEY_EPS to its verified-rescore error
+# bound so end-to-end retrieval stays provably exact.  The engine only
+# dispatches here when rescoring is on (the raw op returns quantized
+# scores; reference parity of returned score VALUES comes from the f32
+# rescore, reference ``svs/kb.py:1185``).
+
+#: Score quantization grid for packed keys.  2^13 keeps the largest key
+#: (score ~2.03 biased, x512 lanes) an exact f32 integer below 2^24.
+KEY_QSCALE = float(1 << 13)
+#: Bias making cosine scores strictly positive pre-quantization (margin
+#: over the int8 path's ~2% quantization overshoot past |s|=1).
+KEY_BIAS = 1.0625
+#: Sound bound on (true score - decoded key value): one 2^-13 grid step
+#: plus pack rounding.  Also the coverage-check slack.
+KEY_EPS = 2.0**-12
+_KEY_LANES = float(FUSED_SUBTILE)  # lane-field width in pass-1 keys
+
+#: Pass-2 reduction: lanes per input group (one group = the H winners of
+#: EXTRACT_H=8 level-1 subtiles) and lanes per grid step.
+REDUCE_GROUP = 128
+REDUCE_BLOCK = 2048
+
+
+def _key_vals(keys: jax.Array) -> jax.Array:
+    """Decode packed keys to quantized scores (within KEY_EPS below the
+    true score).  Works for pass-1 and pass-2 keys alike: both carry the
+    score field in bits >= 2^9."""
+    vq = keys.astype(jnp.int32) // 512
+    return vq.astype(jnp.float32) / KEY_QSCALE - KEY_BIAS
+
+
+def _emit_keys(acc_block: jax.Array, lane: jax.Array, live_from: jax.Array,
+               out_ref, col0: int) -> None:
+    """Extract the top-EXTRACT_H of one subtile's scores as packed keys
+    into ``out_ref[:, col0:col0+EXTRACT_H]``.  ``live_from`` = number of
+    live lanes in this subtile (scalar f32, may be <=0 or >=SUBTILE)."""
+    keys = jnp.floor((acc_block + KEY_BIAS) * KEY_QSCALE) * _KEY_LANES + lane
+    keys = jnp.where(lane < live_from, keys, 0.0)
+    for h in range(EXTRACT_H):
+        mkey = jnp.max(keys, axis=1, keepdims=True)
+        out_ref[:, col0 + h : col0 + h + 1] = mkey
+        keys = jnp.where(keys == mkey, -1.0, keys)
+
+
+def _fused2_kernel(nv_ref, q_ref, docs_ref, out_ref, acc_ref) -> None:
+    j = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _zero() -> None:
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    acc_ref[:] += jax.lax.dot_general(
+        q_ref[:],
+        docs_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c == nc - 1)
+    def _emit() -> None:
+        nv = nv_ref[0]
+        b = acc_ref.shape[0]
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (b, FUSED_SUBTILE), 1
+        ).astype(jnp.float32)
+        block_base = (j * FUSED_BLOCK_N).astype(jnp.float32)
+        for s in range(FUSED_BLOCK_N // FUSED_SUBTILE):
+            lo = s * FUSED_SUBTILE
+            _emit_keys(
+                acc_ref[:, lo : lo + FUSED_SUBTILE],
+                lane,
+                nv - (block_base + float(lo)),
+                out_ref,
+                s * EXTRACT_H,
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused2_extract(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Matmul + keyed per-subtile top-H in one kernel; returns raw packed
+    keys ``[B, (N/FUSED_SUBTILE)*EXTRACT_H]`` (decode via the host-side
+    helpers)."""
+    n, d = docs.shape
+    b = queries.shape[0]
+    grid = (n // FUSED_BLOCK_N, d // DIM_CHUNK)
+    out_shape = (b, (n // FUSED_SUBTILE) * EXTRACT_H)
+    return pl.pallas_call(
+        _fused2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid [1] f32
+            pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
+            pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
+        ],
+        out_specs=pl.BlockSpec((b, _FUSED_OUT_LANES), lambda j, c: (0, j)),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, FUSED_BLOCK_N), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.float32), queries, docs)
+
+
+def _fused2_int8_kernel(
+    nv_ref, q_ref, qs_ref, docs_ref, rs_ref, out_ref, acc_ref
+) -> None:
+    """int8 variant: int8 x int8 MXU matmul with int32 accumulation; the
+    f32 rescale happens per subtile at emit (no full-width f32 buffer)."""
+    j = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _zero() -> None:
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.int32)
+
+    acc_ref[:] += jax.lax.dot_general(
+        q_ref[:],
+        docs_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(c == nc - 1)
+    def _emit() -> None:
+        nv = nv_ref[0]
+        b = acc_ref.shape[0]
+        qs = qs_ref[:]  # [b, 1] f32
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (b, FUSED_SUBTILE), 1
+        ).astype(jnp.float32)
+        block_base = (j * FUSED_BLOCK_N).astype(jnp.float32)
+        for s in range(FUSED_BLOCK_N // FUSED_SUBTILE):
+            lo = s * FUSED_SUBTILE
+            sub = (
+                acc_ref[:, lo : lo + FUSED_SUBTILE].astype(jnp.float32)
+                * rs_ref[:, lo : lo + FUSED_SUBTILE]
+                * qs
+            )
+            _emit_keys(
+                sub,
+                lane,
+                nv - (block_base + float(lo)),
+                out_ref,
+                s * EXTRACT_H,
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused2_extract_int8(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    q_int8: jax.Array,
+    q_scales: jax.Array,
+    n_valid: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    n, d = q_docs.shape
+    b = q_int8.shape[0]
+    grid = (n // FUSED_BLOCK_N, d // DIM_CHUNK)
+    out_shape = (b, (n // FUSED_SUBTILE) * EXTRACT_H)
+    return pl.pallas_call(
+        _fused2_int8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
+            pl.BlockSpec((b, 1), lambda j, c: (0, 0)),
+            pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
+            pl.BlockSpec((1, FUSED_BLOCK_N), lambda j, c: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((b, _FUSED_OUT_LANES), lambda j, c: (0, j)),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, FUSED_BLOCK_N), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.asarray([n_valid], jnp.float32),
+        q_int8,
+        q_scales[:, None].astype(jnp.float32),
+        q_docs,
+        row_scales[None, :].astype(jnp.float32),
+    )
+
+
+def _make_reduce_kernel(h2: int):
+    def kern(keys_ref, out_ref) -> None:
+        b = keys_ref.shape[0]
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (b, REDUCE_GROUP), 1
+        ).astype(jnp.float32)
+        inv = 1.0 / float(REDUCE_GROUP)
+        for g in range(REDUCE_BLOCK // REDUCE_GROUP):
+            grp = keys_ref[:, g * REDUCE_GROUP : (g + 1) * REDUCE_GROUP]
+            # Drop the low 7 lane bits of the level-1 key (exact: /128 is
+            # an exponent shift, the product stays < 2^24) and re-key by
+            # position-in-group; order still refines quantized-score order.
+            k2 = jnp.floor(grp * inv) * float(REDUCE_GROUP) + lane
+            for h in range(h2):
+                m = jnp.max(k2, axis=1, keepdims=True)
+                col = g * h2 + h
+                out_ref[:, col : col + 1] = m
+                k2 = jnp.where(k2 == m, -(2.0**24), k2)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("h2", "interpret"))
+def _reduce_keys(
+    keys: jax.Array, h2: int, interpret: bool = False
+) -> jax.Array:
+    """Top-``h2`` (as re-packed keys) of every 128-lane group of ``keys``.
+    Requires ``keys.shape[1] % REDUCE_BLOCK == 0`` and ``h2 % 8 == 0``."""
+    b, l1 = keys.shape
+    grid = (l1 // REDUCE_BLOCK,)
+    out_lanes = (REDUCE_BLOCK // REDUCE_GROUP) * h2
+    return pl.pallas_call(
+        _make_reduce_kernel(h2),
+        grid=grid,
+        in_specs=[pl.BlockSpec((b, REDUCE_BLOCK), lambda j: (0, j))],
+        out_specs=pl.BlockSpec((b, out_lanes), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, (l1 // REDUCE_GROUP) * h2), jnp.float32
+        ),
+        interpret=interpret,
+    )(keys)
+
+
+def _reduce_h2(n: int, k: int) -> int:
+    """Pass-2 winners kept per 128-lane group: Poisson mean ``k`` over the
+    ``n/FUSED_BLOCK_N`` groups plus four sigma plus slack, rounded up to a
+    multiple of 8 so output lanes stay 128-aligned."""
+    nb = max(1, n // FUSED_BLOCK_N)
+    lam = k / nb
+    h2 = lam + 4.0 * lam**0.5 + 8.0
+    return int(-(-h2 // 8) * 8)
+
+
+def fused2_supported(n: int, d: int, b: int, k: int) -> bool:
+    """Keyed-kernel shape support: v1 fused support plus a sane pass-2
+    width (H2 capped so the reduction doesn't degenerate when k is large
+    relative to the number of doc blocks)."""
+    if not fused_supported(n, d, b, k):
+        return False
+    nb = n // FUSED_BLOCK_N
+    h2 = _reduce_h2(n, k)
+    return nb >= 2 and h2 <= 48 and k <= nb * h2
+
+
+def _fused2_finish(
+    keys1: jax.Array,
+    n: int,
+    k: int,
+    h2: int,
+    b_real: int,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared pass-2 + merge + decode + coverage for the keyed kernels.
+    Returns ``(vals, idx, covered)`` over the padded batch.  Coverage is
+    evaluated over the first ``b_real`` rows only: zero-padded query rows
+    score 0 everywhere, so their quantized tails TIE the k-th value and
+    the KEY_EPS slack would trip the fallback on every padded batch."""
+    b_pad, l1 = keys1.shape
+    l1p = ((l1 + REDUCE_BLOCK - 1) // REDUCE_BLOCK) * REDUCE_BLOCK
+    keys1p = keys1 if l1p == l1 else jnp.concatenate(
+        [keys1, jnp.zeros((b_pad, l1p - l1), jnp.float32)], axis=1
+    )
+    keys2 = _reduce_keys(keys1p, h2, interpret=interpret)
+    sel_keys, sel_cols = jax.lax.top_k(keys2, k)
+    k2i = sel_keys.astype(jnp.int32)
+    vals = (k2i // 512).astype(jnp.float32) / KEY_QSCALE - KEY_BIAS
+    lane2 = k2i - (k2i // REDUCE_GROUP) * REDUCE_GROUP
+    pos = (sel_cols // h2) * REDUCE_GROUP + lane2
+    k1i = jnp.take_along_axis(keys1p, pos, axis=1).astype(jnp.int32)
+    lane1 = k1i - (k1i // int(_KEY_LANES)) * int(_KEY_LANES)
+    jb = pos // _FUSED_OUT_LANES
+    cb = pos - jb * _FUSED_OUT_LANES
+    s = cb // EXTRACT_H
+    idx = jb * FUSED_BLOCK_N + s * FUSED_SUBTILE + lane1
+    v_k = vals[:b_real, k - 1 : k]
+    tails1 = _key_vals(keys1[:b_real, EXTRACT_H - 1 :: EXTRACT_H])
+    tails2 = _key_vals(keys2[:b_real, h2 - 1 :: h2])
+    covered = jnp.logical_not(
+        jnp.logical_or(
+            jnp.any(tails1 > v_k - KEY_EPS),
+            jnp.any(tails2 > v_k - KEY_EPS),
+        )
+    )
+    # Domain guard: keys are exact f32 integers only while |key| < 2^24,
+    # i.e. scores within (-4-KEY_BIAS, 4-KEY_BIAS].  Unit-norm cosine
+    # scores (the engine's contract) sit at |key| <= ~8.5M, far inside;
+    # arbitrary raw-op inputs that overflow lose lane bits, so any key at
+    # the rounding horizon routes to the exact fallback instead.
+    horizon = float((1 << 24) - 512)
+    in_range = jnp.logical_and(
+        jnp.max(keys1) < horizon, jnp.min(keys1) > -horizon
+    )
+    return vals, idx, jnp.logical_and(covered, in_range)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wide", "interpret"))
+def score_topk_fused2_packed(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    wide: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Keyed single-kernel scoring + staged selection + verified merge +
+    packing.  Returned scores are quantized (within ``KEY_EPS`` below the
+    true value) unless the coverage fallback fires — pair with an exact
+    rescore for value parity.  Requires ``fused2_supported``."""
+    n, d = docs.shape
+    b = queries.shape[0]
+    b_pad = max(QBLOCK, ((b + QBLOCK - 1) // QBLOCK) * QBLOCK)
+    q = queries.astype(docs.dtype)
+    if b_pad != b:
+        q = jnp.concatenate([q, jnp.zeros((b_pad - b, d), q.dtype)], axis=0)
+    keys1 = _fused2_extract(docs, q, n_valid, interpret=interpret)
+    vals, idx, covered = _fused2_finish(
+        keys1, n, k, _reduce_h2(n, k), b, interpret
+    )
+
+    def fast(_: None) -> Tuple[jax.Array, jax.Array]:
+        return vals, idx
+
+    def full(_: None) -> Tuple[jax.Array, jax.Array]:
+        fv, fi = score_topk(docs, q, n_valid, k)
+        return fv.astype(jnp.float32), fi
+
+    vals, idx = jax.lax.cond(covered, fast, full, None)
+    return pack_vals_idx(vals[:b], idx[:b], wide=wide)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wide", "interpret"))
+def score_topk_fused2_int8_packed(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    wide: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 keyed single-kernel path; see :func:`score_topk_fused2_packed`.
+    Requires ``fused2_supported``."""
+    from .quant import quantize_rows_int8
+
+    n, d = q_docs.shape
+    b = queries.shape[0]
+    b_pad = max(QBLOCK, ((b + QBLOCK - 1) // QBLOCK) * QBLOCK)
+    if b_pad != b:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((b_pad - b, d), queries.dtype)], axis=0
+        )
+    q_int8, q_scales = quantize_rows_int8(queries)
+    keys1 = _fused2_extract_int8(
+        q_docs, row_scales, q_int8, q_scales, n_valid, interpret=interpret
+    )
+    vals, idx, covered = _fused2_finish(
+        keys1, n, k, _reduce_h2(n, k), b, interpret
+    )
 
     def fast(_: None) -> Tuple[jax.Array, jax.Array]:
         return vals, idx

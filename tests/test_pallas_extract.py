@@ -128,3 +128,207 @@ def test_fused_kernels_match_plain(unit_rows):
     v4, r4 = unpack_vals_idx(np.asarray(fused8), 25)
     np.testing.assert_array_equal(r3, r4)
     np.testing.assert_allclose(v3, v4, rtol=1e-5, atol=1e-6)
+
+
+# --- keyed (v2) kernels -----------------------------------------------------
+
+
+def _fused2_mods():
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        KEY_EPS,
+        _reduce_h2,
+        fused2_supported,
+        score_topk_fused2_int8_packed,
+        score_topk_fused2_packed,
+    )
+
+    return (
+        FUSED_BLOCK_N,
+        KEY_EPS,
+        _reduce_h2,
+        fused2_supported,
+        score_topk_fused2_int8_packed,
+        score_topk_fused2_packed,
+    )
+
+
+def test_fused2_supported_bounds():
+    (FUSED_BLOCK_N, _, _reduce_h2, fused2_supported, _, _) = _fused2_mods()
+    assert fused2_supported(4 * FUSED_BLOCK_N, 128, 8, 25)
+    assert not fused2_supported(FUSED_BLOCK_N, 128, 8, 25)  # nb < 2
+    assert not fused2_supported(4 * FUSED_BLOCK_N + 1, 128, 8, 25)
+    # k so large relative to block count that H2 degenerates
+    assert not fused2_supported(2 * FUSED_BLOCK_N, 128, 8, 120)
+    assert _reduce_h2(128 * FUSED_BLOCK_N, 400) % 8 == 0
+
+
+def test_fused2_candidate_set_covers_truth(unit_rows):
+    """Random corpus: returned candidates must (a) decode within KEY_EPS
+    below their true score, (b) contain every doc whose true score clears
+    the returned k-th value by KEY_EPS (the engine's margin contract)."""
+    import jax.numpy as jnp
+
+    (FUSED_BLOCK_N, KEY_EPS, _, fused2_supported, _, f2) = _fused2_mods()
+    n = 2 * FUSED_BLOCK_N
+    m = unit_rows(n, 128)
+    q = m[5:13].astype(np.float32)
+    nv = n - 99
+    k = 25
+    assert fused2_supported(n, 128, 8, k)
+    packed = f2(jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), k, interpret=True)
+    vals, rows = unpack_vals_idx(np.asarray(packed), k)
+    assert (rows < nv).all() and (rows >= 0).all()
+    exact = (m[:nv].astype(np.float32) @ q.T).T  # [8, nv]
+    for b in range(8):
+        true_of_returned = exact[b][rows[b]]
+        # decoded quantized values sit within KEY_EPS below the truth
+        assert (vals[b] <= true_of_returned + 1e-6).all()
+        assert (true_of_returned <= vals[b] + KEY_EPS).all()
+        # coverage: every doc clearly above the k-th returned value is in
+        v_k = vals[b][k - 1]
+        must_have = set(np.nonzero(exact[b] > v_k + KEY_EPS)[0].tolist())
+        assert must_have <= set(rows[b].tolist())
+        assert len(set(rows[b].tolist())) == k
+
+
+def test_fused2_well_separated_matches_plain():
+    """Scores spaced far beyond the key grid: the keyed path must agree
+    with the XLA reference exactly on indices."""
+    import jax.numpy as jnp
+
+    (FUSED_BLOCK_N, _, _, fused2_supported, _, f2) = _fused2_mods()
+    n = 2 * FUSED_BLOCK_N
+    d = 128
+    # 64 hot docs with scores 0.9, 0.899, ... (1e-3 spacing, far beyond
+    # the 2^-13 key grid), spread across subtiles; flat background.
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 1] = 1.0
+    hot_rows = (np.arange(64) * 997 + 5) % n
+    assert len(set(hot_rows.tolist())) == 64
+    hot = (0.9 - np.arange(64) * 1e-3).astype(np.float32)
+    m[hot_rows, 0] = hot
+    m[hot_rows, 1] = np.sqrt(1.0 - hot**2)
+    q = np.zeros((8, d), dtype=np.float32)
+    q[:, 0] = 1.0
+    k = 17
+    plain = score_topk_packed(jnp.asarray(m), jnp.asarray(q), jnp.int32(n), k)
+    got = f2(jnp.asarray(m), jnp.asarray(q), jnp.int32(n), k, interpret=True)
+    _, r1 = unpack_vals_idx(np.asarray(plain), k)
+    _, r2 = unpack_vals_idx(np.asarray(got), k)
+    for b in range(8):
+        assert list(r1[b]) == list(r2[b])  # exact order: no grid ties
+
+
+def test_fused2_level1_hidden_triggers_exact_fallback(unit_rows):
+    """More than EXTRACT_H true winners inside one 512-doc subtile: the
+    level-1 tail check must trip and the fallback returns exact scores."""
+    import jax.numpy as jnp
+
+    (FUSED_BLOCK_N, _, _, fused2_supported, _, f2) = _fused2_mods()
+    n = 2 * FUSED_BLOCK_N
+    d = 128
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 1] = 1.0  # background: orthogonal to the query
+    hot = np.linspace(0.99, 0.9, 4 * EXTRACT_H).astype(np.float32)
+    rows = 100 + np.arange(4 * EXTRACT_H)  # all inside subtile 0
+    m[rows, 0] = hot
+    m[rows, 1] = np.sqrt(1.0 - hot**2)
+    q = np.zeros((1, d), dtype=np.float32)
+    q[0, 0] = 1.0
+    k = 3 * EXTRACT_H
+    assert fused2_supported(n, d, 1, k)
+    got = f2(jnp.asarray(m), jnp.asarray(q), jnp.int32(n), k, interpret=True)
+    vals, ridx = unpack_vals_idx(np.asarray(got), k)
+    oracle = top_k_numpy((m @ q.T)[:, 0], k)
+    np.testing.assert_array_equal(vals[0], [s for s, _ in oracle])
+    assert list(ridx[0]) == [i for _, i in oracle]
+
+
+def test_fused2_level2_hidden_triggers_exact_fallback():
+    """Winners concentrated in ONE block, but no more than EXTRACT_H per
+    subtile — hidden only at the pass-2 group level; the level-2 tail
+    check must trip and the fallback returns the exact set."""
+    import jax.numpy as jnp
+
+    (FUSED_BLOCK_N, _, _reduce_h2, fused2_supported, _, f2) = _fused2_mods()
+    n = 4 * FUSED_BLOCK_N
+    d = 128
+    k = 40
+    h2 = _reduce_h2(n, k)
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 1] = 1.0
+    # 42 hot docs: 7 per subtile (UNDER EXTRACT_H, so level-1 tails stay
+    # at the background score) across 6 subtiles — all in block 0, whose
+    # pass-2 group can keep only h2 of them.
+    hot_rows = []
+    for s in range(6):
+        hot_rows.extend(range(s * 512, s * 512 + 7))
+    hot_rows = np.asarray(hot_rows)
+    hot = np.linspace(0.99, 0.8, len(hot_rows)).astype(np.float32)
+    m[hot_rows, 0] = hot
+    m[hot_rows, 1] = np.sqrt(1.0 - hot**2)
+    q = np.zeros((1, d), dtype=np.float32)
+    q[0, 0] = 1.0
+    assert k > h2, "test needs k beyond one group's kept winners"
+    assert fused2_supported(n, d, 1, k)
+    got = f2(jnp.asarray(m), jnp.asarray(q), jnp.int32(n), k, interpret=True)
+    vals, ridx = unpack_vals_idx(np.asarray(got), k)
+    oracle = top_k_numpy((m @ q.T)[:, 0], k)
+    np.testing.assert_array_equal(vals[0], [s for s, _ in oracle])
+    assert list(ridx[0]) == [i for _, i in oracle]
+
+
+def test_fused2_out_of_domain_scores_fall_back_exact():
+    """Scores past the key range (|key| >= 2^24, i.e. dots beyond ~2.9 —
+    impossible for unit-norm cosine but reachable by raw-op callers):
+    the overflow guard must route to the exact fallback."""
+    import jax.numpy as jnp
+
+    (FUSED_BLOCK_N, _, _, fused2_supported, _, f2) = _fused2_mods()
+    n = 2 * FUSED_BLOCK_N
+    d = 128
+    rng = np.random.default_rng(5)
+    m = (rng.standard_normal((n, d)) * 0.5).astype(np.float32)  # NOT unit
+    q = (rng.standard_normal((2, d)) * 1.5).astype(np.float32)
+    # dots reach well past the supported range
+    assert np.abs(m @ q.T).max() > 3.5
+    k = 20
+    assert fused2_supported(n, d, 2, k)
+    got = f2(jnp.asarray(m), jnp.asarray(q), jnp.int32(n), k, interpret=True)
+    vals, rows = unpack_vals_idx(np.asarray(got), k)
+    exact = m @ q.T
+    for b in range(2):
+        oracle = top_k_numpy(exact[:, b], k)
+        np.testing.assert_allclose(
+            vals[b], [s for s, _ in oracle], rtol=1e-6
+        )
+        assert list(rows[b]) == [i for _, i in oracle]
+
+
+def test_fused2_int8_candidate_set(unit_rows):
+    import jax.numpy as jnp
+    from svs_tpu.ops.quant import quantize_rows_int8, score_topk_int8_packed
+
+    (FUSED_BLOCK_N, KEY_EPS, _, fused2_supported, f2i8, _) = _fused2_mods()
+    n = 2 * FUSED_BLOCK_N
+    m = unit_rows(n, 128)
+    q = m[5:13].astype(np.float32)
+    nv = n - 99
+    k = 25
+    qd, scales = quantize_rows_int8(jnp.asarray(m))
+    got = f2i8(qd, scales, jnp.asarray(q), jnp.int32(nv), k, interpret=True)
+    vals, rows = unpack_vals_idx(np.asarray(got), k)
+    assert (rows < nv).all() and (rows >= 0).all()
+    # compare against the XLA int8 reference: same prescore domain, so the
+    # sets must agree up to key-grid ties at the boundary
+    plain = score_topk_int8_packed(qd, scales, jnp.asarray(q), jnp.int32(nv), k)
+    pv, pr = unpack_vals_idx(np.asarray(plain), k)
+    for b in range(8):
+        common = set(rows[b].tolist()) & set(pr[b].tolist())
+        assert len(common) >= k - 2  # boundary grid ties only
+        got_set = set(rows[b].tolist())
+        must_have = {
+            int(i) for v, i in zip(pv[b], pr[b]) if v > pv[b][k - 1] + KEY_EPS
+        }
+        assert must_have <= got_set
