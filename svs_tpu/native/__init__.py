@@ -23,7 +23,7 @@ log = logging.getLogger(__name__)
 _HERE = Path(__file__).parent
 _SRC = _HERE / "fastpack.cpp"
 _SO = _HERE / "_fastpack.so"
-_ABI = 1
+_ABI = 2
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_lock = threading.Lock()
@@ -94,6 +94,11 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_float), c.c_size_t, c.c_int,
         c.POINTER(c.c_float), c.POINTER(c.c_int32),
     ]
+    lib.fastpack_scan_embeddings.argtypes = [
+        c.c_char_p, c.c_longlong, c.c_longlong, c.c_longlong,
+        c.POINTER(c.c_longlong), c.POINTER(c.c_ubyte),
+    ]
+    lib.fastpack_scan_embeddings.restype = c.c_longlong
 
 
 def native_available() -> bool:
@@ -152,6 +157,30 @@ def normalize_rows(matrix: np.ndarray) -> np.ndarray:
         _N_THREADS,
     )
     return matrix
+
+
+def scan_embeddings(
+    path: str, after_id: int, n: int, dim: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Scan committed embedding rows with id > ``after_id`` straight into
+    NumPy buffers via the SQLite C API — no Python objects per row (the
+    cold-start bottleneck; see ``fastpack.cpp``).  Returns ``(matrix
+    [n, dim] f32, ids [n] int64)`` or ``None`` when the native library or
+    libsqlite3 is unavailable or the scan didn't see exactly ``n`` rows
+    (caller falls back to the Python streaming scan)."""
+    lib = _get_lib()
+    if lib is None or n <= 0 or dim <= 0:
+        return None
+    ids = np.empty((n,), dtype=np.int64)
+    matrix = np.empty((n, dim), dtype=np.float32)
+    got = lib.fastpack_scan_embeddings(
+        str(path).encode(), after_id, n, dim * 4,
+        _fptr(ids, ctypes.c_longlong), _fptr(matrix, ctypes.c_ubyte),
+    )
+    if got != n:
+        log.debug("native embedding scan declined (rc=%d, want %d)", got, n)
+        return None
+    return matrix, ids
 
 
 def topk_f32(scores: np.ndarray, k: int) -> List[Tuple[float, int]]:

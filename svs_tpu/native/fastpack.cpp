@@ -129,6 +129,134 @@ void fastpack_topk_f32(const float* scores, size_t n, int k, float* out_vals,
     }
 }
 
-int fastpack_abi_version() { return 1; }
+int fastpack_abi_version() { return 2; }
+
+}  // extern "C"
+
+// --- SQLite embedding scan --------------------------------------------------
+//
+// The cold-start bottleneck is not the disk: it is Python — sqlite3-module
+// row tuples, one bytes object per 6 KB blob, and interpreter-loop copies
+// (measured ~40 s per 200k x 1536 rows; the streaming Python rewrite got
+// it to ~7 s).  This scanner walks the statement with the SQLite C API and
+// memcpys blobs straight into the caller's preallocated buffer: no Python
+// objects at all.  libsqlite3 is resolved at runtime via dlopen (no
+// sqlite3.h needed at build time; the C ABI below is stable); if the
+// library is missing the entry point reports failure and Python falls
+// back to its streaming scan.
+//
+// Snapshot safety is the CALLER's job: the Python side holds a shared read
+// lock (non-WAL journal) for the duration and verifies row count + max id
+// against its own transaction snapshot, falling back on any mismatch.
+
+#include <dlfcn.h>
+
+namespace sqscan {
+
+struct sqlite3;
+struct sqlite3_stmt;
+
+struct Api {
+    int (*open_v2)(const char*, sqlite3**, int, const char*) = nullptr;
+    int (*prepare_v2)(sqlite3*, const char*, int, sqlite3_stmt**,
+                      const char**) = nullptr;
+    int (*bind_int64)(sqlite3_stmt*, int, long long) = nullptr;
+    int (*step)(sqlite3_stmt*) = nullptr;
+    long long (*column_int64)(sqlite3_stmt*, int) = nullptr;
+    const void* (*column_blob)(sqlite3_stmt*, int) = nullptr;
+    int (*column_bytes)(sqlite3_stmt*, int) = nullptr;
+    int (*finalize)(sqlite3_stmt*) = nullptr;
+    int (*close_fn)(sqlite3*) = nullptr;
+    bool ok = false;
+};
+
+const Api& api() {
+    static Api a = [] {
+        Api r;
+        void* h = dlopen("libsqlite3.so.0", RTLD_NOW | RTLD_GLOBAL);
+        if (!h) h = dlopen("libsqlite3.so", RTLD_NOW | RTLD_GLOBAL);
+        if (!h) return r;
+        auto sym = [h](const char* name) { return dlsym(h, name); };
+        r.open_v2 = reinterpret_cast<decltype(r.open_v2)>(sym("sqlite3_open_v2"));
+        r.prepare_v2 =
+            reinterpret_cast<decltype(r.prepare_v2)>(sym("sqlite3_prepare_v2"));
+        r.bind_int64 =
+            reinterpret_cast<decltype(r.bind_int64)>(sym("sqlite3_bind_int64"));
+        r.step = reinterpret_cast<decltype(r.step)>(sym("sqlite3_step"));
+        r.column_int64 = reinterpret_cast<decltype(r.column_int64)>(
+            sym("sqlite3_column_int64"));
+        r.column_blob = reinterpret_cast<decltype(r.column_blob)>(
+            sym("sqlite3_column_blob"));
+        r.column_bytes = reinterpret_cast<decltype(r.column_bytes)>(
+            sym("sqlite3_column_bytes"));
+        r.finalize = reinterpret_cast<decltype(r.finalize)>(sym("sqlite3_finalize"));
+        r.close_fn = reinterpret_cast<decltype(r.close_fn)>(sym("sqlite3_close"));
+        r.ok = r.open_v2 && r.prepare_v2 && r.bind_int64 && r.step &&
+               r.column_int64 && r.column_blob && r.column_bytes &&
+               r.finalize && r.close_fn;
+        return r;
+    }();
+    return a;
+}
+
+constexpr int kOpenReadonly = 0x1;
+constexpr int kRow = 100;
+constexpr int kDone = 101;
+
+}  // namespace sqscan
+
+extern "C" {
+
+// Scan embeddings with id > after_id (id order) into ids_out / buf_out
+// (caller-allocated for expect_n rows of row_bytes each).  Returns the
+// number of rows read, or a negative error: -1 libsqlite3 unavailable,
+// -2 open failed, -3 prepare failed, -4 blob size mismatch, -5 more rows
+// than expect_n, -6 step error.
+long long fastpack_scan_embeddings(const char* path, long long after_id,
+                                   long long expect_n, long long row_bytes,
+                                   long long* ids_out, unsigned char* buf_out) {
+    const sqscan::Api& api = sqscan::api();
+    if (!api.ok) return -1;
+    sqscan::sqlite3* db = nullptr;
+    if (api.open_v2(path, &db, sqscan::kOpenReadonly, nullptr) != 0 || !db) {
+        if (db) api.close_fn(db);
+        return -2;
+    }
+    sqscan::sqlite3_stmt* stmt = nullptr;
+    const char* sql =
+        "SELECT id, embedding FROM embeddings WHERE id > ?1 ORDER BY id";
+    if (api.prepare_v2(db, sql, -1, &stmt, nullptr) != 0 || !stmt) {
+        api.close_fn(db);
+        return -3;
+    }
+    api.bind_int64(stmt, 1, after_id);
+    long long n = 0;
+    long long rc_out = 0;
+    unsigned char* dst = buf_out;
+    for (;;) {
+        const int rc = api.step(stmt);
+        if (rc == sqscan::kDone) break;
+        if (rc != sqscan::kRow) {
+            rc_out = -6;
+            break;
+        }
+        if (n >= expect_n) {
+            rc_out = -5;
+            break;
+        }
+        const void* blob = api.column_blob(stmt, 1);
+        if (api.column_bytes(stmt, 1) != row_bytes || blob == nullptr) {
+            rc_out = -4;
+            break;
+        }
+        ids_out[n] = api.column_int64(stmt, 0);
+        std::memcpy(dst, blob, static_cast<size_t>(row_bytes));
+        dst += row_bytes;
+        ++n;
+    }
+    api.finalize(stmt);
+    api.close_fn(db);
+    return rc_out < 0 ? rc_out : n;
+}
 
 }  // extern "C"

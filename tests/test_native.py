@@ -60,3 +60,58 @@ def test_topk_matches_oracle_including_ties(rng):
     assert native.topk_f32(scores, 25) == top_k_numpy(scores, 25)
     assert native.topk_f32(scores, 0) == []
     assert native.topk_f32(scores[:3], 10) == top_k_numpy(scores[:3], 10)
+
+
+def test_scan_embeddings_matches_python_scan(tmp_path, unit_rows):
+    """The C SQLite scanner must return byte-identical matrices to the
+    Python streaming scan, and decline (-> None) on row-count mismatch."""
+    from svs_tpu.store import Database, embedding_to_bytes
+
+    db_file = tmp_path / "scan.sqlite"
+    m = unit_rows(300, 24)
+    db = Database(db_file)
+    with db.transaction() as tx:
+        for i, v in enumerate(m):
+            tx.add_doc(f"d{i}", None, None, embedding_to_bytes(v.tolist()))
+        tx.bump_matrix_version()
+
+    if native.native_available():
+        got = native.scan_embeddings(str(db_file), -1, 300, 24)
+        assert got is not None
+        nm, nids = got
+        np.testing.assert_array_equal(nm, m.astype(np.float32))
+        assert list(nids) == sorted(nids)
+        # partial scan from the middle
+        got2 = native.scan_embeddings(str(db_file), int(nids[99]), 200, 24)
+        assert got2 is not None
+        np.testing.assert_array_equal(got2[0], m[100:].astype(np.float32))
+        # wrong expected count -> declined
+        assert native.scan_embeddings(str(db_file), -1, 299, 24) is None
+        # wrong dim (blob size mismatch) -> declined
+        assert native.scan_embeddings(str(db_file), -1, 300, 23) is None
+
+    # the transaction-level entry point agrees regardless of which path ran
+    with db.transaction() as tx:
+        tm, tids = tx.build_embeddings_matrix()
+    np.testing.assert_array_equal(tm, m.astype(np.float32))
+    db.close()
+
+
+def test_build_matrix_sees_uncommitted_writes(tmp_path, unit_rows):
+    """A pack inside a transaction with uncommitted embedding writes must
+    include them — the native committed-state scanner must detect the
+    mismatch and yield to the in-transaction streaming scan."""
+    from svs_tpu.store import Database, embedding_to_bytes
+
+    db_file = tmp_path / "scan2.sqlite"
+    m = unit_rows(64, 8)
+    db = Database(db_file)
+    with db.transaction() as tx:
+        for i, v in enumerate(m):
+            tx.add_doc(f"d{i}", None, None, embedding_to_bytes(v.tolist()))
+    with db.transaction() as tx:
+        tx.add_doc("new", None, None, embedding_to_bytes([1.0] + [0.0] * 7))
+        got, ids = tx.build_embeddings_matrix()
+        assert got.shape == (65, 8)
+        np.testing.assert_array_equal(got[-1], [1.0] + [0.0] * 7)
+    db.close()
