@@ -6,6 +6,7 @@ Commands:
     query  <db> <text>      - retrieve top-n documents for a query
     pairs  <db>             - top pairwise-similar documents
     gzip   <db>             - publish the shareable .gz artifact
+    serve  <db>             - HTTP server with request micro-batching
     bench  [...]            - run the benchmark harness (see bench.py)
 """
 
@@ -118,6 +119,22 @@ def cmd_gzip(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    from .serve import run_server
+
+    run_server(
+        args.db,
+        host=args.host,
+        port=args.port,
+        writable=args.writable,
+        max_batch=args.max_batch,
+        window_ms=args.batch_window_ms,
+        precision=args.precision,
+        sidecar="auto",
+    )
+    return 0
+
+
 def cmd_bench(argv: List[str]) -> int:
     import runpy
     from pathlib import Path
@@ -174,6 +191,23 @@ def main(argv: Optional[list] = None) -> int:
     p = sub.add_parser("gzip", help="publish the .gz artifact")
     p.add_argument("db")
     p.set_defaults(fn=cmd_gzip)
+
+    p = sub.add_parser(
+        "serve",
+        help="serve the KB over HTTP with request micro-batching",
+    )
+    p.add_argument("db")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--writable", action="store_true",
+                   help="allow POST /add (default: read-only)")
+    p.add_argument("--max-batch", type=int, default=256,
+                   help="max queries per device step")
+    p.add_argument("--batch-window-ms", type=float, default=2.0,
+                   help="micro-batch coalescing window")
+    p.add_argument("--precision", choices=["f32", "bf16", "int8"],
+                   default="bf16")
+    p.set_defaults(fn=cmd_serve)
 
     sub.add_parser("bench", help="run the benchmark harness (see bench.py)")
 

@@ -1,0 +1,166 @@
+"""HTTP serving facade: routes, micro-batching, and write gating.
+
+Uses aiohttp's in-process TestServer/TestClient — no sockets are bound
+beyond loopback and no external services are touched.
+"""
+
+import asyncio
+
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+from svs_tpu import AsyncKB  # noqa: E402
+from svs_tpu.serve import MicroBatcher, make_app  # noqa: E402
+
+from kb_helpers import make_onehot_embedder  # noqa: E402
+
+
+async def _make_kb(db_path, n_docs=12):
+    kb = AsyncKB(db_path, make_onehot_embedder(), force_fresh_db=True)
+    async with kb.bulk_add_docs() as add:
+        for i in range(n_docs):
+            await add(f"vec:{i}")
+    return kb
+
+
+async def _client(kb, **kwargs):
+    app = make_app(kb, **kwargs)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    return client
+
+
+async def test_healthz_and_retrieve_single(db_path):
+    kb = await _make_kb(db_path)
+    client = await _client(kb)
+    try:
+        r = await client.get("/healthz")
+        assert r.status == 200
+        assert await r.json() == {"ok": True, "docs": 12}
+
+        r = await client.post("/retrieve", json={"query": "vec:3", "n": 2})
+        assert r.status == 200
+        body = await r.json()
+        hits = body["results"]
+        assert hits[0]["doc"]["text"] == "vec:3"
+        assert hits[0]["score"] == pytest.approx(1.0)
+        assert len(hits) == 2
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_retrieve_many_and_bad_requests(db_path):
+    kb = await _make_kb(db_path)
+    client = await _client(kb)
+    try:
+        r = await client.post(
+            "/retrieve", json={"queries": ["vec:1", "vec:7"], "n": 1}
+        )
+        body = await r.json()
+        assert [h[0]["doc"]["text"] for h in body["results"]] == [
+            "vec:1",
+            "vec:7",
+        ]
+
+        assert (await client.post("/retrieve", json={"n": 3})).status == 400
+        assert (
+            await client.post("/retrieve", json={"queries": [1, 2]})
+        ).status == 400
+        r = await client.post("/retrieve", data=b"not json")
+        assert r.status == 400
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_concurrent_requests_coalesce_into_batches(db_path):
+    kb = await _make_kb(db_path)
+    client = await _client(kb, window_ms=20.0)
+    try:
+        results = await asyncio.gather(
+            *(
+                client.post("/retrieve", json={"query": f"vec:{i % 12}", "n": 1})
+                for i in range(24)
+            )
+        )
+        for i, r in enumerate(results):
+            body = await r.json()
+            assert body["results"][0]["doc"]["text"] == f"vec:{i % 12}"
+
+        stats = await (await client.get("/stats")).json()
+        server = stats["server"]
+        assert server["requests"] == 24
+        assert server["batched_queries"] == 24
+        # 24 concurrent requests within one 20 ms window must coalesce
+        # into far fewer device steps than requests
+        assert server["batches"] < 24
+        assert server["avg_batch"] > 1.5
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_add_gated_by_writable(db_path):
+    kb = await _make_kb(db_path)
+    client = await _client(kb)  # read-only default
+    try:
+        r = await client.post("/add", json={"texts": ["vec:99"]})
+        assert r.status == 403
+    finally:
+        await client.close()
+
+    client = await _client(kb, writable=True)
+    try:
+        r = await client.post(
+            "/add", json={"texts": ["vec:13"], "metas": [{"a": 1}]}
+        )
+        assert r.status == 200
+        ids = (await r.json())["ids"]
+        assert len(ids) == 1
+
+        r = await client.post("/retrieve", json={"query": "vec:13", "n": 1})
+        hit = (await r.json())["results"][0]
+        assert hit["doc"]["text"] == "vec:13"
+        assert hit["doc"]["meta"] == {"a": 1}
+
+        assert (
+            await client.post("/add", json={"texts": "nope"})
+        ).status == 400
+        assert (
+            await client.post(
+                "/add", json={"texts": ["a"], "metas": [1, 2]}
+            )
+        ).status == 400
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_batcher_max_batch_splits_bursts(db_path):
+    kb = await _make_kb(db_path)
+    batcher = MicroBatcher(kb, max_batch=4, window_ms=50.0)
+    results = await asyncio.gather(
+        *(batcher.retrieve(f"vec:{i % 12}", 1) for i in range(10))
+    )
+    for i, res in enumerate(results):
+        assert res[0]["doc"]["text"] == f"vec:{i % 12}"
+    assert batcher.requests == 10
+    assert batcher.batches >= 3  # 4 + 4 + 2
+    await kb.close()
+
+
+async def test_batcher_propagates_errors(db_path):
+    kb = await _make_kb(db_path)
+    await kb.close()
+
+    async def boom(texts):
+        raise RuntimeError("embedder down")
+
+    kb2 = AsyncKB(db_path, boom)
+    batcher = MicroBatcher(kb2, max_batch=8, window_ms=1.0)
+    with pytest.raises(RuntimeError, match="embedder down"):
+        await batcher.retrieve("vec:1", 1)
+    await kb2.close()
