@@ -345,6 +345,12 @@ class RetrievalEngine:
         scale_max = old.scale_max
         if old.precision == "int8":
             scale_max = max(scale_max, float(np.max(s_new)))
+        host_f32 = None
+        if old.host_f32 is not None:
+            # keep the rescore gather source in step with the pack
+            host_f32 = np.concatenate(
+                [old.host_f32, new_rows.astype(np.float32, copy=False)]
+            )
         return PackedCorpus(
             data=data_new,
             row_scales=scales_new,
@@ -354,6 +360,7 @@ class RetrievalEngine:
             version=fingerprint[0],
             precision=old.precision,
             scale_max=scale_max,
+            host_f32=host_f32,
         )
 
     def _try_sidecar(

@@ -43,6 +43,25 @@ _PERMUTE_SEED = 0xC0FFEE
 
 Precision = str  # 'f32' | 'bf16' | 'int8'
 
+#: Keep the f32 scan matrix on the host (rescore gather source) up to this
+#: many bytes; beyond it, rescore falls back to store fetches.  The default
+#: (16 GB ~ 2.6M docs at dim 1536) mirrors the reference's own footprint —
+#: its only mode IS a host-RAM f32 matrix (``svs/kb.py:856-893``).
+_RESCORE_CACHE_DEFAULT = 16_000_000_000
+
+
+def rescore_cache_limit() -> int:
+    import os
+
+    try:
+        return int(
+            os.environ.get(
+                "SVS_TPU_RESCORE_CACHE_MAX_BYTES", _RESCORE_CACHE_DEFAULT
+            )
+        )
+    except ValueError:
+        return _RESCORE_CACHE_DEFAULT
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -115,6 +134,18 @@ class PackedCorpus:
     #: Largest per-row quantization scale (int8 only; 0.0 otherwise) — input
     #: to the engine's sound prescore-error bound for rescore verification.
     scale_max: float = 0.0
+    #: Host f32 rows in pack order (``[n_valid, dim]``, the exact bytes the
+    #: pack was built from) — the rescore stage's gather source.  A batched
+    #: rescore touches ~100k rows (256 queries x 400 candidates); fetching
+    #: them from SQLite measured 4-6 s vs 0.4-0.9 s from this array, and
+    #: the array is snapshot-consistent with the pack by construction
+    #: (store rows may have changed since).  ``None`` when the pack came
+    #: from a sidecar (no f32 scan happened) or exceeded
+    #: ``SVS_TPU_RESCORE_CACHE_MAX_BYTES`` — rescore then falls back to
+    #: store fetches.
+    host_f32: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
     # lazily-cached device copy of n_valid (one upload per pack; on
     # tunneled devices every host->device transfer is a full RPC)
     _n_valid_dev: Optional[jax.Array] = dataclasses.field(
@@ -204,6 +235,13 @@ def pack_corpus(
         scale_max=float(host_scales[:n].max()) if (
             host_scales is not None and n > 0
         ) else 0.0,
+        # the (possibly permuted) scan matrix is already in hand — keeping
+        # it costs no copy, just residency
+        host_f32=(
+            np.asarray(matrix, dtype=np.float32)
+            if matrix.nbytes <= rescore_cache_limit()
+            else None
+        ),
     )
     if keep_host:
         return corpus, HostPack(data=host_data, row_scales=host_scales)

@@ -511,3 +511,71 @@ def test_large_corpus_uses_extraction_kernel(db_path, unit_rows, precision):
             got_ids = {int(corpus.emb_ids[r]) for r in rows[b]}
             assert true_ids <= got_ids, (precision, b)
     db.close()
+
+
+def test_rescore_cache_attached_and_snapshot_consistent(db_path, unit_rows):
+    """Packs built from a scan carry the f32 rows in pack order — the
+    rescore gather source (SQLite IN-fetches measured 4-6 s per 256-query
+    batch at 1M docs; the cache is a NumPy take)."""
+    m = unit_rows(60, 12)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    corpus = eng.ensure_fresh(db)
+    assert corpus.host_f32 is not None
+    assert corpus.host_f32.shape == (60, 12)
+    # row i of the cache is the store row for emb_ids[i]
+    with db.transaction() as tx:
+        fetched = tx.fetch_embedding_rows([int(e) for e in corpus.emb_ids])
+    np.testing.assert_array_equal(corpus.host_f32, fetched)
+    db.close()
+
+
+def test_rescore_cache_size_gate(db_path, unit_rows, monkeypatch):
+    m = unit_rows(40, 8)
+    db = _fill(db_path, m)
+    monkeypatch.setenv("SVS_TPU_RESCORE_CACHE_MAX_BYTES", "0")
+    eng = RetrievalEngine(precision="bf16")
+    corpus = eng.ensure_fresh(db)
+    assert corpus.host_f32 is None
+    # rescore still works through the store-fetch fallback
+    q = m[3:4]
+    vals, rows = eng.topk(corpus, q, eng.candidate_count(5))
+    assert rows.shape[1] >= 5
+    db.close()
+
+
+def test_rescore_cache_follows_incremental_append(db_path, unit_rows):
+    m = unit_rows(50, 16)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    c1 = eng.ensure_fresh(db)
+    assert c1.host_f32 is not None
+    extra = unit_rows(7, 16)
+    with db.transaction() as tx:
+        for i, v in enumerate(extra):
+            tx.add_doc(
+                f"x{i}", None, None,
+                embedding_to_bytes(list(map(float, v))),
+            )
+        tx.bump_matrix_version()
+    c2 = eng.ensure_fresh(db)
+    assert c2.n_valid == 57 and c2.host_f32 is not None
+    assert c2.host_f32.shape == (57, 16)
+    with db.transaction() as tx:
+        fetched = tx.fetch_embedding_rows([int(e) for e in c2.emb_ids])
+    np.testing.assert_array_equal(c2.host_f32, fetched)
+    db.close()
+
+
+def test_sidecar_loaded_pack_has_no_rescore_cache(db_path, unit_rows, tmp_path):
+    m = unit_rows(30, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    eng.ensure_fresh(db)
+    side = tmp_path / "s.svsidecar"
+    eng.write_sidecar(side)
+
+    eng2 = RetrievalEngine(precision="bf16")
+    c2 = eng2.ensure_fresh(db, sidecar_path=side)
+    assert c2.host_f32 is None  # no f32 scan happened — fallback path
+    db.close()
