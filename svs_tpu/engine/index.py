@@ -346,11 +346,24 @@ class RetrievalEngine:
         if old.precision == "int8":
             scale_max = max(scale_max, float(np.max(s_new)))
         host_f32 = None
+        host_row_map = None
         if old.host_f32 is not None:
-            # keep the rescore gather source in step with the pack
+            # keep the rescore gather source in step with the pack:
+            # appended pack rows land at the cache's end in both layouts
             host_f32 = np.concatenate(
                 [old.host_f32, new_rows.astype(np.float32, copy=False)]
             )
+            if old.host_row_map is not None:
+                host_row_map = np.concatenate(
+                    [
+                        old.host_row_map,
+                        np.arange(
+                            len(old.host_f32),
+                            len(old.host_f32) + added,
+                            dtype=np.int64,
+                        ),
+                    ]
+                )
         return PackedCorpus(
             data=data_new,
             row_scales=scales_new,
@@ -361,6 +374,7 @@ class RetrievalEngine:
             precision=old.precision,
             scale_max=scale_max,
             host_f32=host_f32,
+            host_row_map=host_row_map,
         )
 
     def _try_sidecar(

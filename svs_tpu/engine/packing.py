@@ -146,6 +146,12 @@ class PackedCorpus:
     host_f32: Optional[np.ndarray] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    #: Pack row -> ``host_f32`` row (``None`` = identity: the cache is in
+    #: pack order).  Set when the fused native pack kept the scan matrix
+    #: unpermuted instead of paying a full-matrix gather copy.
+    host_row_map: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
     # lazily-cached device copy of n_valid (one upload per pack; on
     # tunneled devices every host->device transfer is a full RPC)
     _n_valid_dev: Optional[jax.Array] = dataclasses.field(
@@ -192,37 +198,61 @@ def pack_corpus(
     """
     assert matrix.ndim == 2
     n, d = matrix.shape
+    if precision not in ("f32", "bf16", "int8"):
+        raise ValueError(f"unknown precision: {precision!r}")
     emb_ids = np.asarray(emb_ids, dtype=np.int64)
+    perm = None
     if n >= PERMUTE_MIN_ROWS:
         perm = np.random.default_rng(_PERMUTE_SEED).permutation(n)
-        matrix = matrix[perm]
         emb_ids = emb_ids[perm]
-    padded = pad_matrix(matrix, row_multiple=row_multiple, dim_multiple=dim_multiple)
+    n_pad = max(_round_up(n, row_multiple), row_multiple)
+    d_pad = max(_round_up(d, dim_multiple), dim_multiple)
 
-    host_scales = None
-    if precision == "int8":
-        from ..native import quantize_int8
+    # Fused native pack: permute + pad + cast/quantize in ONE multithreaded
+    # pass (the separate gather/pad/cast passes measured 84 s at 1M x 1536;
+    # bit-identical to the step-by-step path, covered by tests).  Host f32
+    # stays UNPERMUTED in that case — the rescore cache maps pack rows
+    # through ``host_row_map`` instead of paying a 6 GB gather copy.
+    from ..native import permute_cast_pack
 
-        # Host-side quantization (bit-identical to the device quantizer,
-        # covered by tests) so only int8 bytes cross host->device, and
-        # sharded placements never bounce through a single device.
-        host_data, host_scales = quantize_int8(padded)
-        data = _put(host_data, placement)
-        row_scales = _put(host_scales, _scales_placement(placement))
-    elif precision == "bf16":
-        from ..native import f32_to_bf16
-
-        # Host-side RNE cast (multithreaded when the native lib is built)
-        # halves the host->device transfer vs shipping f32.
-        host_data = f32_to_bf16(padded)
-        data = _put(host_data, placement)
-        row_scales = None
-    elif precision == "f32":
-        host_data = padded
-        data = _put(padded, placement)
-        row_scales = None
+    host_row_map = None
+    fused = permute_cast_pack(
+        matrix,
+        perm if perm is not None else np.arange(n, dtype=np.int64),
+        precision,
+        n_pad,
+        d_pad,
+    )
+    if fused is not None:
+        host_data, host_scales = fused
+        host_row_map = perm  # None = cache already in pack order
     else:
-        raise ValueError(f"unknown precision: {precision!r}")
+        if perm is not None:
+            matrix = matrix[perm]
+        padded = pad_matrix(
+            matrix, row_multiple=row_multiple, dim_multiple=dim_multiple
+        )
+        if precision == "int8":
+            from ..native import quantize_int8
+
+            # Host-side quantization (bit-identical to the device
+            # quantizer) so only int8 bytes cross host->device, and
+            # sharded placements never bounce through a single device.
+            host_data, host_scales = quantize_int8(padded)
+        elif precision == "bf16":
+            from ..native import f32_to_bf16
+
+            # Host-side RNE cast halves the host->device transfer.
+            host_data, host_scales = f32_to_bf16(padded), None
+        else:
+            host_data, host_scales = padded, None
+
+    data = _put(host_data, placement)
+    row_scales = (
+        _put(host_scales, _scales_placement(placement))
+        if host_scales is not None
+        else None
+    )
 
     corpus = PackedCorpus(
         data=data,
@@ -235,12 +265,15 @@ def pack_corpus(
         scale_max=float(host_scales[:n].max()) if (
             host_scales is not None and n > 0
         ) else 0.0,
-        # the (possibly permuted) scan matrix is already in hand — keeping
-        # it costs no copy, just residency
+        # the scan matrix is already in hand — keeping it costs no copy,
+        # just residency
         host_f32=(
             np.asarray(matrix, dtype=np.float32)
             if matrix.nbytes <= rescore_cache_limit()
             else None
+        ),
+        host_row_map=(
+            host_row_map if matrix.nbytes <= rescore_cache_limit() else None
         ),
     )
     if keep_host:

@@ -224,7 +224,12 @@ def _finalize_batch(
     if rescore:
         unique_rows = np.unique(pre_rows)
         if corpus.host_f32 is not None:
-            sub_matrix = corpus.host_f32[unique_rows]
+            cache_rows = (
+                unique_rows
+                if corpus.host_row_map is None
+                else corpus.host_row_map[unique_rows]
+            )
+            sub_matrix = corpus.host_f32[cache_rows]
         else:
             sub_matrix = tx.fetch_embedding_rows(corpus.emb_ids[unique_rows])
         pos = {int(r): i for i, r in enumerate(unique_rows)}
@@ -292,8 +297,13 @@ def _finalize_pairwise(
     total_pairs = corpus.n_valid * (corpus.n_valid - 1) // 2
     if rescore:
         if corpus.host_f32 is not None:
-            va = corpus.host_f32[np.asarray(rows_a, dtype=np.int64)]
-            vb = corpus.host_f32[np.asarray(rows_b, dtype=np.int64)]
+            ra = np.asarray(rows_a, dtype=np.int64)
+            rb = np.asarray(rows_b, dtype=np.int64)
+            if corpus.host_row_map is not None:
+                ra = corpus.host_row_map[ra]
+                rb = corpus.host_row_map[rb]
+            va = corpus.host_f32[ra]
+            vb = corpus.host_f32[rb]
         else:
             unique = sorted(set(map(int, emb_a)) | set(map(int, emb_b)))
             vectors = tx.fetch_embedding_rows(unique)

@@ -23,7 +23,7 @@ log = logging.getLogger(__name__)
 _HERE = Path(__file__).parent
 _SRC = _HERE / "fastpack.cpp"
 _SO = _HERE / "_fastpack.so"
-_ABI = 2
+_ABI = 3
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_lock = threading.Lock()
@@ -99,6 +99,23 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_longlong), c.POINTER(c.c_ubyte),
     ]
     lib.fastpack_scan_embeddings.restype = c.c_longlong
+    lib.fastpack_scan_embeddings_range.argtypes = [
+        c.c_char_p, c.c_longlong, c.c_longlong, c.c_longlong, c.c_longlong,
+        c.POINTER(c.c_longlong), c.POINTER(c.c_ubyte),
+    ]
+    lib.fastpack_scan_embeddings_range.restype = c.c_longlong
+    lib.fastpack_permute_cast_bf16.argtypes = [
+        c.POINTER(c.c_float), c.POINTER(c.c_int64), c.POINTER(c.c_uint16),
+        c.c_size_t, c.c_size_t, c.c_size_t, c.c_int,
+    ]
+    lib.fastpack_permute_cast_f32.argtypes = [
+        c.POINTER(c.c_float), c.POINTER(c.c_int64), c.POINTER(c.c_float),
+        c.c_size_t, c.c_size_t, c.c_size_t, c.c_int,
+    ]
+    lib.fastpack_permute_cast_int8.argtypes = [
+        c.POINTER(c.c_float), c.POINTER(c.c_int64), c.POINTER(c.c_int8),
+        c.POINTER(c.c_float), c.c_size_t, c.c_size_t, c.c_size_t, c.c_int,
+    ]
 
 
 def native_available() -> bool:
@@ -181,6 +198,104 @@ def scan_embeddings(
         log.debug("native embedding scan declined (rc=%d, want %d)", got, n)
         return None
     return matrix, ids
+
+
+def scan_embeddings_parallel(
+    path: str, ranges: "List[Tuple[int, int, int]]", n: int, dim: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Parallel variant of :func:`scan_embeddings`: each ``(after_id,
+    upto_id, count)`` range is scanned on its own thread with its own
+    read-only SQLite connection (disjoint btree walks parallelize the
+    overflow-chain traversal that dominates the single-threaded scan).
+    ``ranges`` must partition the id space in ascending order with counts
+    summing to ``n``."""
+    lib = _get_lib()
+    if lib is None or n <= 0 or dim <= 0:
+        return None
+    assert sum(cnt for _, _, cnt in ranges) == n
+    ids = np.empty((n,), dtype=np.int64)
+    matrix = np.empty((n, dim), dtype=np.float32)
+    path_b = str(path).encode()
+    results: List[int] = [0] * len(ranges)
+
+    def scan_one(i: int, after: int, upto: int, off: int, cnt: int) -> None:
+        # row-sliced views are contiguous; ctypes releases the GIL
+        results[i] = lib.fastpack_scan_embeddings_range(
+            path_b, after, upto, cnt, dim * 4,
+            _fptr(ids[off : off + cnt], ctypes.c_longlong),
+            _fptr(matrix[off : off + cnt], ctypes.c_ubyte),
+        )
+
+    import concurrent.futures as cf
+
+    off = 0
+    jobs = []
+    with cf.ThreadPoolExecutor(max_workers=len(ranges)) as pool:
+        for i, (after, upto, cnt) in enumerate(ranges):
+            if cnt:
+                jobs.append(pool.submit(scan_one, i, after, upto, off, cnt))
+            off += cnt
+        for j in jobs:
+            j.result()
+    for i, (_, _, cnt) in enumerate(ranges):
+        if cnt and results[i] != cnt:
+            log.debug(
+                "parallel embedding scan declined (range %d rc=%d want %d)",
+                i, results[i], cnt,
+            )
+            return None
+    return matrix, ids
+
+
+def permute_cast_pack(
+    matrix: np.ndarray,
+    perm: np.ndarray,
+    precision: str,
+    n_pad: int,
+    d_pad: int,
+) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    """Fused permute + pad + cast into the packed host layout, one
+    multithreaded pass (the separate gather/pad/cast passes measured 84 s
+    at 1M x 1536 on slow-memory hosts).  Returns ``(data [n_pad, d_pad],
+    scales [n_pad] | None)`` or ``None`` when the native library is
+    unavailable.  Padding rows/cols are zero (int8 padding scales match
+    the reference quantizer's zero-row value)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    matrix = np.ascontiguousarray(matrix, dtype=np.float32)
+    n, d = matrix.shape
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    assert perm.shape == (n,)
+    if precision == "bf16":
+        import ml_dtypes
+
+        out = np.zeros((n_pad, d_pad), dtype=np.uint16)
+        lib.fastpack_permute_cast_bf16(
+            _fptr(matrix, ctypes.c_float), _fptr(perm, ctypes.c_int64),
+            _fptr(out, ctypes.c_uint16), n, d, d_pad, _N_THREADS,
+        )
+        return out.view(ml_dtypes.bfloat16), None
+    if precision == "f32":
+        out = np.zeros((n_pad, d_pad), dtype=np.float32)
+        lib.fastpack_permute_cast_f32(
+            _fptr(matrix, ctypes.c_float), _fptr(perm, ctypes.c_int64),
+            _fptr(out, ctypes.c_float), n, d, d_pad, _N_THREADS,
+        )
+        return out, None
+    if precision == "int8":
+        out = np.zeros((n_pad, d_pad), dtype=np.int8)
+        # zero rows quantize with scale 1e-30/127 — same as quantize_int8
+        scales = np.full(
+            (n_pad,), np.float32(1e-30) / np.float32(127.0), dtype=np.float32
+        )
+        lib.fastpack_permute_cast_int8(
+            _fptr(matrix, ctypes.c_float), _fptr(perm, ctypes.c_int64),
+            _fptr(out, ctypes.c_int8), _fptr(scales, ctypes.c_float),
+            n, d, d_pad, _N_THREADS,
+        )
+        return out, scales
+    raise ValueError(f"unknown precision: {precision!r}")
 
 
 def topk_f32(scores: np.ndarray, k: int) -> List[Tuple[float, int]]:

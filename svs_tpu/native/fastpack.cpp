@@ -129,7 +129,63 @@ void fastpack_topk_f32(const float* scores, size_t n, int k, float* out_vals,
     }
 }
 
-int fastpack_abi_version() { return 2; }
+// Fused permute + pad + cast: dst[r] = cast(src[perm[r]]) for r < n, in one
+// multithreaded pass.  Replaces three full-matrix passes (fancy-index
+// gather, zero-pad copy, cast) that measured 84 s at 1M x 1536 on slow-
+// memory hosts; the padding region of dst must be pre-zeroed by the caller
+// (np.zeros is kernel-lazy, touched here only where written).
+void fastpack_permute_cast_bf16(const float* src, const int64_t* perm,
+                                uint16_t* dst, size_t n, size_t d,
+                                size_t d_pad, int n_threads) {
+    run_parallel(n, n_threads, [&](size_t begin, size_t end) {
+        for (size_t r = begin; r < end; ++r) {
+            const float* in = src + static_cast<size_t>(perm[r]) * d;
+            uint16_t* out = dst + r * d_pad;
+            for (size_t c = 0; c < d; ++c) out[c] = f32_to_bf16_rne(in[c]);
+            for (size_t c = d; c < d_pad; ++c) out[c] = 0;
+        }
+    });
+}
+
+void fastpack_permute_cast_f32(const float* src, const int64_t* perm,
+                               float* dst, size_t n, size_t d, size_t d_pad,
+                               int n_threads) {
+    run_parallel(n, n_threads, [&](size_t begin, size_t end) {
+        for (size_t r = begin; r < end; ++r) {
+            const float* in = src + static_cast<size_t>(perm[r]) * d;
+            float* out = dst + r * d_pad;
+            std::memcpy(out, in, d * sizeof(float));
+            for (size_t c = d; c < d_pad; ++c) out[c] = 0.0f;
+        }
+    });
+}
+
+// int8 variant: per-row absmax + symmetric quantization fused into the
+// same pass (bit-identical to fastpack_quantize_int8 on the padded row:
+// the zero padding never changes absmax and quantizes to 0).
+void fastpack_permute_cast_int8(const float* src, const int64_t* perm,
+                                int8_t* dst, float* scales, size_t n,
+                                size_t d, size_t d_pad, int n_threads) {
+    run_parallel(n, n_threads, [&](size_t begin, size_t end) {
+        for (size_t r = begin; r < end; ++r) {
+            const float* in = src + static_cast<size_t>(perm[r]) * d;
+            float absmax = 0.0f;
+            for (size_t c = 0; c < d; ++c)
+                absmax = std::max(absmax, std::fabs(in[c]));
+            const float scale = std::max(absmax, 1e-30f) / 127.0f;
+            scales[r] = scale;
+            int8_t* out = dst + r * d_pad;
+            for (size_t c = 0; c < d; ++c) {
+                float q = std::nearbyint(in[c] / scale);
+                q = std::min(127.0f, std::max(-127.0f, q));
+                out[c] = static_cast<int8_t>(q);
+            }
+            for (size_t c = d; c < d_pad; ++c) out[c] = 0;
+        }
+    });
+}
+
+int fastpack_abi_version() { return 3; }
 
 }  // extern "C"
 
@@ -207,14 +263,19 @@ constexpr int kDone = 101;
 
 extern "C" {
 
-// Scan embeddings with id > after_id (id order) into ids_out / buf_out
-// (caller-allocated for expect_n rows of row_bytes each).  Returns the
-// number of rows read, or a negative error: -1 libsqlite3 unavailable,
+// Scan embeddings with after_id < id <= upto_id (id order) into ids_out /
+// buf_out (caller-allocated for expect_n rows of row_bytes each).  Returns
+// the number of rows read, or a negative error: -1 libsqlite3 unavailable,
 // -2 open failed, -3 prepare failed, -4 blob size mismatch, -5 more rows
-// than expect_n, -6 step error.
-long long fastpack_scan_embeddings(const char* path, long long after_id,
-                                   long long expect_n, long long row_bytes,
-                                   long long* ids_out, unsigned char* buf_out) {
+// than expect_n, -6 step error.  Disjoint id ranges scanned from separate
+// threads (each gets its own connection here) parallelize the btree walk —
+// the single-connection scan measured ~75 s at 1M x 6 KB blobs, dominated
+// by overflow-page chain traversal, which is CPU-parallel over ranges.
+long long fastpack_scan_embeddings_range(const char* path, long long after_id,
+                                         long long upto_id, long long expect_n,
+                                         long long row_bytes,
+                                         long long* ids_out,
+                                         unsigned char* buf_out) {
     const sqscan::Api& api = sqscan::api();
     if (!api.ok) return -1;
     sqscan::sqlite3* db = nullptr;
@@ -224,12 +285,14 @@ long long fastpack_scan_embeddings(const char* path, long long after_id,
     }
     sqscan::sqlite3_stmt* stmt = nullptr;
     const char* sql =
-        "SELECT id, embedding FROM embeddings WHERE id > ?1 ORDER BY id";
+        "SELECT id, embedding FROM embeddings "
+        "WHERE id > ?1 AND id <= ?2 ORDER BY id";
     if (api.prepare_v2(db, sql, -1, &stmt, nullptr) != 0 || !stmt) {
         api.close_fn(db);
         return -3;
     }
     api.bind_int64(stmt, 1, after_id);
+    api.bind_int64(stmt, 2, upto_id);
     long long n = 0;
     long long rc_out = 0;
     unsigned char* dst = buf_out;
@@ -257,6 +320,13 @@ long long fastpack_scan_embeddings(const char* path, long long after_id,
     api.finalize(stmt);
     api.close_fn(db);
     return rc_out < 0 ? rc_out : n;
+}
+
+long long fastpack_scan_embeddings(const char* path, long long after_id,
+                                   long long expect_n, long long row_bytes,
+                                   long long* ids_out, unsigned char* buf_out) {
+    return fastpack_scan_embeddings_range(
+        path, after_id, (1LL << 62), expect_n, row_bytes, ids_out, buf_out);
 }
 
 }  // extern "C"

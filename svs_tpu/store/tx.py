@@ -31,6 +31,10 @@ from .blob import embedding_from_bytes, matrix_from_blob_rows
 
 _MATRIX_VERSION_KEY = "svs_tpu_matrix_version"
 
+#: Use the multi-threaded native scan for corpora at least this large
+#: (below it the range bookkeeping costs more than it saves).
+_PARALLEL_SCAN_MIN_ROWS = 100_000
+
 
 class Tx:
     """All queries for one open transaction."""
@@ -339,9 +343,42 @@ class Tx:
         (mode,) = self._conn.execute("PRAGMA journal_mode;").fetchone()
         if str(mode).lower() == "wal":
             return None
-        from ..native import scan_embeddings
+        from ..native import scan_embeddings, scan_embeddings_parallel
 
-        res = scan_embeddings(path, after_id, n, dim)
+        res = None
+        if n >= _PARALLEL_SCAN_MIN_ROWS:
+            # Split the id space into K disjoint ranges and scan them on K
+            # threads/connections: the btree+overflow walk is CPU-bound and
+            # parallelizes near-linearly.  Range counts come from this
+            # transaction's snapshot (one extra index walk, ~2 s at 1M —
+            # vs a ~75 s single-threaded scan).
+            import os as _os
+
+            k_threads = min(8, _os.cpu_count() or 1)
+            (hi,) = self._conn.execute(
+                "SELECT max(id) FROM embeddings WHERE id > ?;", (after_id,)
+            ).fetchone()
+            if k_threads > 1 and hi is not None and hi > after_id:
+                edges = [
+                    after_id + (int(hi) - after_id) * i // k_threads
+                    for i in range(k_threads + 1)
+                ]
+                ranges = []
+                total = 0
+                for lo, up in zip(edges, edges[1:]):
+                    if up <= lo:
+                        continue
+                    (cnt,) = self._conn.execute(
+                        "SELECT count(*) FROM embeddings "
+                        "WHERE id > ? AND id <= ?;",
+                        (lo, up),
+                    ).fetchone()
+                    ranges.append((lo, up, int(cnt)))
+                    total += int(cnt)
+                if total == n:
+                    res = scan_embeddings_parallel(path, ranges, n, dim)
+        if res is None:
+            res = scan_embeddings(path, after_id, n, dim)
         if res is None:
             return None
         matrix, ids = res

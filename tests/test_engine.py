@@ -579,3 +579,47 @@ def test_sidecar_loaded_pack_has_no_rescore_cache(db_path, unit_rows, tmp_path):
     c2 = eng2.ensure_fresh(db, sidecar_path=side)
     assert c2.host_f32 is None  # no f32 scan happened — fallback path
     db.close()
+
+
+def test_fused_native_pack_matches_stepwise_and_maps_rows(
+    monkeypatch, unit_rows
+):
+    """The fused permute+pad+cast native pack must produce byte-identical
+    device data to the step-by-step path, and its unpermuted rescore cache
+    must map pack rows correctly through host_row_map."""
+    from svs_tpu.engine import packing
+    from svs_tpu import native as native_mod
+
+    monkeypatch.setattr(packing, "PERMUTE_MIN_ROWS", 64)
+    m = unit_rows(100, 16)
+    ids = np.arange(1, 101, dtype=np.int64)
+
+    for precision in ("f32", "bf16", "int8"):
+        c_native = packing.pack_corpus(m, ids, version=1, precision=precision)
+        monkeypatch.setenv("SVS_TPU_NO_NATIVE", "1")
+        c_plain = packing.pack_corpus(m, ids, version=1, precision=precision)
+        monkeypatch.delenv("SVS_TPU_NO_NATIVE")
+
+        np.testing.assert_array_equal(c_native.emb_ids, c_plain.emb_ids)
+        np.testing.assert_array_equal(
+            np.asarray(c_native.data).view(np.uint8),
+            np.asarray(c_plain.data).view(np.uint8),
+        )
+        if precision == "int8":
+            np.testing.assert_array_equal(
+                np.asarray(c_native.row_scales), np.asarray(c_plain.row_scales)
+            )
+
+        # rescore-cache row mapping: pack row r is the store row emb_ids[r]
+        for corpus in (c_native, c_plain):
+            assert corpus.host_f32 is not None
+            for r in (0, 7, 63, 99):
+                row = (
+                    corpus.host_f32[corpus.host_row_map[r]]
+                    if corpus.host_row_map is not None
+                    else corpus.host_f32[r]
+                )
+                np.testing.assert_array_equal(row, m[corpus.emb_ids[r] - 1])
+        if native_mod.native_available():
+            assert c_native.host_row_map is not None  # fused kept it unpermuted
+        assert c_plain.host_row_map is None  # fallback permuted the cache
