@@ -160,6 +160,7 @@ class RetrievalEngine:
         #: Sidecar file the current pack was loaded from (bytes on disk are
         #: known-identical, so re-writing it would be pure waste).
         self._sidecar_source: Optional[Path] = None
+        self._cache_rebuild_thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
 
     # -- freshness ----------------------------------------------------------
@@ -242,6 +243,10 @@ class RetrievalEngine:
             corpus = self._try_incremental_append(db, fingerprint)
             if corpus is None and sidecar_path is not None:
                 corpus = self._try_sidecar(sidecar_path, fingerprint)
+                if corpus is not None:
+                    self._spawn_rescore_cache_rebuild(
+                        db.path, corpus, fingerprint
+                    )
             if corpus is None:
                 log.info("packing corpus from store (fingerprint %s)", fingerprint)
                 self._sidecar_source = None
@@ -376,6 +381,65 @@ class RetrievalEngine:
             host_f32=host_f32,
             host_row_map=host_row_map,
         )
+
+    def _spawn_rescore_cache_rebuild(
+        self,
+        db_path: "Union[str, Path]",
+        corpus: PackedCorpus,
+        fingerprint: Tuple[int, int, int, int],
+    ) -> None:
+        """Sidecar-loaded packs carry no f32 rescore cache (no scan
+        happened), so batched rescores fall back to SQLite IN-fetches
+        (~5 s per 256-query batch at 1M).  Rebuild the cache from a
+        BACKGROUND scan and attach it to the live corpus — queries keep
+        flowing on the fallback meanwhile.  The scan runs in one
+        transaction and only attaches when the store fingerprint still
+        matches the pack (otherwise the pack is about to be rebuilt
+        anyway)."""
+        from .packing import rescore_cache_limit
+
+        if (
+            not self.rescore
+            or corpus.host_f32 is not None
+            or corpus.n_valid == 0
+            or corpus.n_valid * corpus.dim * 4 > rescore_cache_limit()
+        ):
+            return
+
+        def work() -> None:
+            try:
+                db2 = Database(db_path)
+                try:
+                    with db2.transaction() as tx:
+                        version = tx.matrix_version()
+                        count, max_id, generation = tx.embeddings_fingerprint()
+                        if (version, count, max_id, generation) != fingerprint:
+                            return
+                        matrix, ids = tx.build_embeddings_matrix()
+                finally:
+                    db2.close()
+                row_map = np.searchsorted(ids, corpus.emb_ids).astype(np.int64)
+                if not np.array_equal(ids[row_map], corpus.emb_ids):
+                    return  # ids diverged from the pack — never attach
+                with self._lock:
+                    if self._corpus is corpus:
+                        # readers gate on host_f32: set the map first
+                        object.__setattr__(corpus, "host_row_map", row_map)
+                        object.__setattr__(corpus, "host_f32", matrix)
+                        log.info(
+                            "rescore cache rebuilt in background (%d rows)",
+                            matrix.shape[0],
+                        )
+            except Exception:
+                log.debug(
+                    "background rescore-cache rebuild failed", exc_info=True
+                )
+
+        t = threading.Thread(
+            target=work, name="svs-tpu-rescore-cache", daemon=True
+        )
+        t.start()
+        self._cache_rebuild_thread = t  # joinable (tests, clean shutdown)
 
     def _try_sidecar(
         self, path: Union[str, Path], fingerprint: Tuple[int, int, int, int]

@@ -259,20 +259,18 @@ def _finalize_batch(
                 ]
             )
 
-    emb_to_doc: Dict[int, DocumentId] = {}
-    doc_cache: Dict[DocumentId, DocumentRecord] = {}
+    # one batched IN-query hydration for the whole batch's unique docs
+    # (point lookups measured seconds per 256-query batch at ~25k hits)
+    all_emb_ids = sorted({e for hits in per_query_hits for _, e in hits})
+    doc_by_emb = tx.fetch_docs_by_emb_ids(all_emb_ids)
     results: List[List[Retrieval]] = []
     for hits in per_query_hits:
-        out: List[Retrieval] = []
-        for score, emb_id in hits:
-            doc_id = emb_to_doc.get(emb_id)
-            if doc_id is None:
-                doc_id = emb_to_doc[emb_id] = tx.doc_id_for_emb_id(emb_id)
-                doc_cache[doc_id] = tx.fetch_doc(doc_id, False)
-            out.append(
-                {"score": float(score), "doc": copy.deepcopy(doc_cache[doc_id])}
-            )
-        results.append(out)
+        results.append(
+            [
+                {"score": float(score), "doc": copy.deepcopy(doc_by_emb[emb_id])}
+                for score, emb_id in hits
+            ]
+        )
     return results
 
 
@@ -324,15 +322,11 @@ def _finalize_pairwise(
             (float(pre_vals[i]), int(emb_a[i]), int(emb_b[i]))
             for i in range(min(k, n_pairs))
         ]
-    emb_to_doc: Dict[int, DocumentId] = {}
-    doc_cache: Dict[DocumentId, DocumentRecord] = {}
-    for e in {e for _, e1, e2 in triples for e in (e1, e2)}:
-        emb_to_doc[e] = tx.doc_id_for_emb_id(e)
-    for d in set(emb_to_doc.values()):
-        doc_cache[d] = tx.fetch_doc(d, False)
+    doc_by_emb = tx.fetch_docs_by_emb_ids(
+        sorted({e for _, e1, e2 in triples for e in (e1, e2)})
+    )
     return [
-        (score, doc_cache[emb_to_doc[e1]], doc_cache[emb_to_doc[e2]])
-        for score, e1, e2 in triples
+        (score, doc_by_emb[e1], doc_by_emb[e2]) for score, e1, e2 in triples
     ]
 
 

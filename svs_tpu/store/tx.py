@@ -235,6 +235,44 @@ class Tx:
             raise KeyError(emb_id)
         return int(row[0])
 
+    def fetch_docs_by_emb_ids(
+        self, emb_ids: Sequence[int]
+    ) -> Dict[int, DocumentRecord]:
+        """Hydrate the documents owning the given embedding ids in batched
+        IN queries (embeddings reported as presence booleans).
+
+        This is the batched-retrieval hydration path: a 256-query batch
+        rescoring 400 candidates each touches tens of thousands of docs —
+        point lookups per doc measured seconds per batch; chunked IN
+        queries amortize to milliseconds.
+        """
+        out: Dict[int, DocumentRecord] = {}
+        wanted = [int(e) for e in emb_ids]
+        CHUNK = 500  # SQLite default host-parameter limit is 999
+        for start in range(0, len(wanted), CHUNK):
+            chunk = wanted[start : start + CHUNK]
+            marks = ",".join("?" * len(chunk))
+            for row in self._conn.execute(
+                f"SELECT embedding, id, parent_id, level, text, meta "
+                f"FROM docs WHERE embedding IN ({marks});",
+                chunk,
+            ):
+                emb_id, rec_id, parent_id, level, text, meta_str = row
+                out[int(emb_id)] = {
+                    "id": rec_id,
+                    "parent_id": parent_id,
+                    "level": level,
+                    "text": text,
+                    "embedding": True,
+                    "meta": (
+                        json.loads(meta_str) if meta_str is not None else None
+                    ),
+                }
+        missing = set(wanted) - set(out)
+        if missing:
+            raise KeyError(sorted(missing)[0])
+        return out
+
     # -- embeddings ----------------------------------------------------------
 
     def _insert_embedding(self, blob: bytes) -> int:

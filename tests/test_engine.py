@@ -623,3 +623,50 @@ def test_fused_native_pack_matches_stepwise_and_maps_rows(
         if native_mod.native_available():
             assert c_native.host_row_map is not None  # fused kept it unpermuted
         assert c_plain.host_row_map is None  # fallback permuted the cache
+
+
+def test_sidecar_rescore_cache_rebuilt_in_background(
+    db_path, unit_rows, tmp_path
+):
+    """After a sidecar cold start the rescore cache is rebuilt by a
+    background scan and attached to the live corpus — mapped correctly
+    through host_row_map — but never attached if the store moved."""
+    m = unit_rows(30, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    eng.ensure_fresh(db)
+    side = tmp_path / "s.svsidecar"
+    eng.write_sidecar(side)
+
+    eng2 = RetrievalEngine(precision="bf16")
+    c2 = eng2.ensure_fresh(db, sidecar_path=side)
+    assert eng2._cache_rebuild_thread is not None
+    eng2._cache_rebuild_thread.join(timeout=30)
+    assert c2.host_f32 is not None
+    with db.transaction() as tx:
+        fetched = tx.fetch_embedding_rows([int(e) for e in c2.emb_ids])
+    rows = (
+        c2.host_f32
+        if c2.host_row_map is None
+        else c2.host_f32[c2.host_row_map]
+    )
+    np.testing.assert_array_equal(rows, fetched)
+
+    # store moves between load and rebuild -> cache must not attach
+    eng3 = RetrievalEngine(precision="bf16")
+
+    orig = eng3._spawn_rescore_cache_rebuild
+    captured = {}
+
+    def capture(db_path_, corpus, fingerprint):
+        captured["args"] = (db_path_, corpus, fingerprint)
+
+    eng3._spawn_rescore_cache_rebuild = capture  # defer the thread
+    c3 = eng3.ensure_fresh(db, sidecar_path=side)
+    with db.transaction() as tx:
+        tx.add_doc("new", None, None, embedding_to_bytes([1.0] + [0.0] * 7))
+        tx.bump_matrix_version()
+    orig(*captured["args"])  # now run the rebuild against the moved store
+    eng3._cache_rebuild_thread.join(timeout=30)
+    assert c3.host_f32 is None  # fingerprint mismatch -> never attached
+    db.close()
