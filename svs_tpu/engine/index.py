@@ -161,6 +161,9 @@ class RetrievalEngine:
         #: known-identical, so re-writing it would be pure waste).
         self._sidecar_source: Optional[Path] = None
         self._cache_rebuild_thread: Optional[threading.Thread] = None
+        #: Fingerprint at the last rebuild attempt — one attempt per store
+        #: state, so a failing rebuild can't respawn a scan per query.
+        self._cache_rebuild_fp: Optional[Tuple[int, int, int, int]] = None
         self._lock = threading.Lock()
 
     # -- freshness ----------------------------------------------------------
@@ -229,6 +232,7 @@ class RetrievalEngine:
             quick = (tx.matrix_version(), tx.data_version())
         with self._lock:
             if self._corpus is not None and self._quick_token == quick:
+                self._maybe_respawn_cache_rebuild(db)
                 return self._corpus
         fingerprint = self._store_fingerprint(db)
         with self._lock:
@@ -236,6 +240,7 @@ class RetrievalEngine:
                 # A foreign write happened, but not to the embeddings
                 # (e.g. doc meta or KV) — keep the pack, refresh the token.
                 self._quick_token = quick
+                self._maybe_respawn_cache_rebuild(db)
                 return self._corpus
 
             # Each pack path manages self._host_pack (bytes matching the
@@ -350,9 +355,16 @@ class RetrievalEngine:
         scale_max = old.scale_max
         if old.precision == "int8":
             scale_max = max(scale_max, float(np.max(s_new)))
+        from .packing import rescore_cache_limit
+
         host_f32 = None
         host_row_map = None
-        if old.host_f32 is not None:
+        grown_bytes = (
+            (old.host_f32.shape[0] + added) * old.host_f32.shape[1] * 4
+            if old.host_f32 is not None
+            else 0
+        )
+        if old.host_f32 is not None and grown_bytes <= rescore_cache_limit():
             # keep the rescore gather source in step with the pack:
             # appended pack rows land at the cache's end in both layouts
             host_f32 = np.concatenate(
@@ -381,6 +393,27 @@ class RetrievalEngine:
             host_f32=host_f32,
             host_row_map=host_row_map,
         )
+
+    def _maybe_respawn_cache_rebuild(self, db: Database) -> None:
+        """A live pack can lack its f32 rescore cache beyond the sidecar
+        cold start (rebuild rejected after a store move, incremental
+        appends onto a cache-less pack).  Re-attempt ONCE per store state
+        whenever queries keep flowing against such a pack — otherwise
+        batched rescores stay on the slow store-fetch path for the life
+        of the process.  Caller holds the engine lock."""
+        corpus, fp = self._corpus, self._fingerprint
+        if (
+            corpus is None
+            or fp is None
+            or corpus.host_f32 is not None
+            or not self.rescore
+            or fp == self._cache_rebuild_fp
+        ):
+            return
+        t = self._cache_rebuild_thread
+        if t is not None and t.is_alive():
+            return
+        self._spawn_rescore_cache_rebuild(db.path, corpus, fp)
 
     def _spawn_rescore_cache_rebuild(
         self,
@@ -435,6 +468,7 @@ class RetrievalEngine:
                     "background rescore-cache rebuild failed", exc_info=True
                 )
 
+        self._cache_rebuild_fp = fingerprint
         t = threading.Thread(
             target=work, name="svs-tpu-rescore-cache", daemon=True
         )
@@ -510,8 +544,30 @@ class RetrievalEngine:
             return k
         return max(k * CANDIDATE_MULTIPLIER, k + CANDIDATE_MIN_EXTRA)
 
+    def _keyed_selection_possible(
+        self, corpus: PackedCorpus, b: int, k: int
+    ) -> bool:
+        """Mirror of the topk() dispatch condition for the keyed (v2)
+        kernels — the only paths returning QUANTIZED prescores.  Growing
+        ``k`` (candidate widening) can only turn this off, so a bound
+        computed with the initial k stays sound across retries."""
+        from ..ops.pallas_extract import fused2_supported
+
+        if self.mesh is not None or not self.rescore:
+            return False
+        if corpus.n_padded >= WIDE_INDEX_MIN_ROWS:
+            return False
+        if corpus.precision == "int8":
+            if self.kernel != "auto":
+                return False
+        elif self.kernel not in ("auto", "pallas"):
+            return False
+        return fused2_supported(
+            corpus.n_padded, corpus.dim_padded, b, min(k, corpus.n_valid)
+        )
+
     def prescore_eps(
-        self, corpus: PackedCorpus, queries: np.ndarray
+        self, corpus: PackedCorpus, queries: np.ndarray, k: int
     ) -> np.ndarray:
         """Per-query bound on ``|device prescore - exact f32 score|``.
 
@@ -544,12 +600,17 @@ class RetrievalEngine:
         """
         from ..ops.pallas_extract import KEY_EPS
 
-        # The keyed selection kernels (ops.pallas_extract v2, used whenever
-        # rescoring is on) return scores quantized onto a 2^-13 grid;
-        # KEY_EPS soundly covers that on top of each precision's own term.
+        # The keyed selection kernels (ops.pallas_extract v2) return
+        # scores quantized onto a 2^-13 grid; KEY_EPS covers that on top
+        # of each precision's own term — added only when that dispatch is
+        # actually possible for this shape (an inflated bound on exact
+        # paths would trigger needless widen-and-retry loops).
         b = queries.shape[0]
+        key_eps = (
+            KEY_EPS if self._keyed_selection_possible(corpus, b, k) else 0.0
+        )
         if corpus.precision == "bf16":
-            eps = 2.0**-8 * (1.0 + 2.0**-9) + 3e-5 + KEY_EPS
+            eps = 2.0**-8 * (1.0 + 2.0**-9) + 3e-5 + key_eps
             return np.full((b,), eps, dtype=np.float64)
         if corpus.precision == "int8":
             d = corpus.dim
@@ -560,10 +621,10 @@ class RetrievalEngine:
                 0.5 * t * (s_q + s_d) * 1.001  # concentration terms
                 + 0.25 * d * s_q * s_d  # residual x residual (deterministic)
                 + 3e-5
-                + KEY_EPS
+                + key_eps
             )
             return eps
-        return np.full((b,), 1e-4 + KEY_EPS, dtype=np.float64)
+        return np.full((b,), 1e-4 + key_eps, dtype=np.float64)
 
     def pairwise_eps(self, corpus: PackedCorpus) -> float:
         """Bound on ``|device pairwise prescore - exact f32 score|`` (both

@@ -829,7 +829,7 @@ class AsyncKB:
             vectors = np.asarray(await self._embed(queries), dtype=np.float32)
         c = self.engine.candidate_count(n)
         pre_eps = (
-            self.engine.prescore_eps(corpus, vectors)
+            self.engine.prescore_eps(corpus, vectors, c)
             if self.engine.rescore
             else None
         )
@@ -1249,7 +1249,7 @@ class KB:
             vectors = np.asarray(self._embed(queries), dtype=np.float32)
         c = self.engine.candidate_count(n)
         pre_eps = (
-            self.engine.prescore_eps(corpus, vectors)
+            self.engine.prescore_eps(corpus, vectors, c)
             if self.engine.rescore
             else None
         )

@@ -508,6 +508,13 @@ KEY_BIAS = 1.0625
 #: plus pack rounding.  Also the coverage-check slack.
 KEY_EPS = 2.0**-12
 _KEY_LANES = float(FUSED_SUBTILE)  # lane-field width in pass-1 keys
+#: Dead-lane / cleared-lane marker: exactly -2^24 (f32-exact), strictly
+#: below every in-horizon live key — scores below -KEY_BIAS produce
+#: NEGATIVE keys, so a 0.0 marker would outrank them and silently promote
+#: padding.  The range guard treats == KEY_DEAD as fine (tail-padding
+#: subtiles legitimately emit markers) and only live keys beyond the
+#: horizon trip the exact fallback.
+KEY_DEAD = -float(1 << 24)
 
 #: Pass-2 reduction: lanes per input group (one group = the H winners of
 #: EXTRACT_H=8 level-1 subtiles) and lanes per grid step.
@@ -529,11 +536,11 @@ def _emit_keys(acc_block: jax.Array, lane: jax.Array, live_from: jax.Array,
     into ``out_ref[:, col0:col0+EXTRACT_H]``.  ``live_from`` = number of
     live lanes in this subtile (scalar f32, may be <=0 or >=SUBTILE)."""
     keys = jnp.floor((acc_block + KEY_BIAS) * KEY_QSCALE) * _KEY_LANES + lane
-    keys = jnp.where(lane < live_from, keys, 0.0)
+    keys = jnp.where(lane < live_from, keys, KEY_DEAD)
     for h in range(EXTRACT_H):
         mkey = jnp.max(keys, axis=1, keepdims=True)
         out_ref[:, col0 + h : col0 + h + 1] = mkey
-        keys = jnp.where(keys == mkey, -1.0, keys)
+        keys = jnp.where(keys == mkey, KEY_DEAD, keys)
 
 
 def _fused2_kernel(nv_ref, q_ref, docs_ref, out_ref, acc_ref) -> None:
@@ -766,7 +773,7 @@ def _fused2_finish(
     keys2 = _reduce_keys(keys1p, h2, interpret=interpret)
     sel_keys, sel_cols = jax.lax.top_k(keys2, k)
     k2i = sel_keys.astype(jnp.int32)
-    vals = (k2i // 512).astype(jnp.float32) / KEY_QSCALE - KEY_BIAS
+    vals = _key_vals(sel_keys)
     lane2 = k2i - (k2i // REDUCE_GROUP) * REDUCE_GROUP
     pos = (sel_cols // h2) * REDUCE_GROUP + lane2
     k1i = jnp.take_along_axis(keys1p, pos, axis=1).astype(jnp.int32)
@@ -788,10 +795,15 @@ def _fused2_finish(
     # i.e. scores within (-4-KEY_BIAS, 4-KEY_BIAS].  Unit-norm cosine
     # scores (the engine's contract) sit at |key| <= ~8.5M, far inside;
     # arbitrary raw-op inputs that overflow lose lane bits, so any key at
-    # the rounding horizon routes to the exact fallback instead.
+    # the rounding horizon routes to the exact fallback instead.  KEY_DEAD
+    # markers (exactly -2^24, from tail-padding subtiles) are expected and
+    # pass; only a LIVE key past the horizon trips.
     horizon = float((1 << 24) - 512)
     in_range = jnp.logical_and(
-        jnp.max(keys1) < horizon, jnp.min(keys1) > -horizon
+        jnp.max(keys1) < horizon,
+        jnp.logical_or(
+            jnp.min(keys1) > -horizon, jnp.min(keys1) == KEY_DEAD
+        ),
     )
     return vals, idx, jnp.logical_and(covered, in_range)
 

@@ -45,6 +45,10 @@ DEFAULT_WINDOW_MS = 2.0
 #: Matches the fused kernels' resident-batch ceiling
 #: (``ops.pallas_extract.FUSED_MAX_BATCH``).
 DEFAULT_MAX_BATCH = 256
+#: Upper bound on per-request result count (rescore over-provisions 4x
+#: on the device; an unbounded n would let one request drive an
+#: arbitrarily large device top-k).
+MAX_RETRIEVE_N = 1000
 
 
 class MicroBatcher:
@@ -169,7 +173,13 @@ def make_app(
             body = await request.json()
         except ValueError:
             raise web.HTTPBadRequest(text="body must be JSON")
-        n = int(body.get("n", 10))
+        n = body.get("n", 10)
+        if isinstance(n, bool) or not isinstance(n, int) or not (
+            0 < n <= MAX_RETRIEVE_N
+        ):
+            raise web.HTTPBadRequest(
+                text=f"'n' must be an integer in [1, {MAX_RETRIEVE_N}]"
+            )
         if "queries" in body:
             queries = body["queries"]
             single = False

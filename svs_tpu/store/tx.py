@@ -36,11 +36,46 @@ _MATRIX_VERSION_KEY = "svs_tpu_matrix_version"
 _PARALLEL_SCAN_MIN_ROWS = 100_000
 
 
+#: SQLite's default host-parameter limit is 999; IN-query chunks stay under.
+_IN_CHUNK = 500
+
+
+def _record(
+    rec_id: Any,
+    parent_id: Any,
+    level: Any,
+    text: Any,
+    embedding: Any,
+    meta_str: Any,
+) -> DocumentRecord:
+    """One place that shapes a docs row into a DocumentRecord."""
+    return {
+        "id": rec_id,
+        "parent_id": parent_id,
+        "level": level,
+        "text": text,
+        "embedding": embedding,
+        "meta": json.loads(meta_str) if meta_str is not None else None,
+    }
+
+
 class Tx:
     """All queries for one open transaction."""
 
     def __init__(self, conn: sqlite3.Connection):
         self._conn = conn
+
+    def _chunked_in(
+        self, sql_template: str, ids: Sequence[int]
+    ) -> Iterator[Tuple[Any, ...]]:
+        """Run ``sql_template`` (containing ``{marks}``) over ``ids`` in
+        chunks under the host-parameter limit, yielding all rows."""
+        for start in range(0, len(ids), _IN_CHUNK):
+            chunk = ids[start : start + _IN_CHUNK]
+            marks = ",".join("?" * len(chunk))
+            yield from self._conn.execute(
+                sql_template.format(marks=marks), chunk
+            )
 
     # -- internal keyval ----------------------------------------------------
 
@@ -196,14 +231,7 @@ class Tx:
             )
         else:
             embedding = emb_id is not None
-        return {
-            "id": rec_id,
-            "parent_id": parent_id,
-            "level": level,
-            "text": text,
-            "embedding": embedding,
-            "meta": json.loads(meta_str) if meta_str is not None else None,
-        }
+        return _record(rec_id, parent_id, level, text, embedding, meta_str)
 
     def fetch_doc_children(
         self, doc_id: DocumentId, include_embedding: bool
@@ -248,26 +276,14 @@ class Tx:
         """
         out: Dict[int, DocumentRecord] = {}
         wanted = [int(e) for e in emb_ids]
-        CHUNK = 500  # SQLite default host-parameter limit is 999
-        for start in range(0, len(wanted), CHUNK):
-            chunk = wanted[start : start + CHUNK]
-            marks = ",".join("?" * len(chunk))
-            for row in self._conn.execute(
-                f"SELECT embedding, id, parent_id, level, text, meta "
-                f"FROM docs WHERE embedding IN ({marks});",
-                chunk,
-            ):
-                emb_id, rec_id, parent_id, level, text, meta_str = row
-                out[int(emb_id)] = {
-                    "id": rec_id,
-                    "parent_id": parent_id,
-                    "level": level,
-                    "text": text,
-                    "embedding": True,
-                    "meta": (
-                        json.loads(meta_str) if meta_str is not None else None
-                    ),
-                }
+        for emb_id, rec_id, parent_id, level, text, meta_str in self._chunked_in(
+            "SELECT embedding, id, parent_id, level, text, meta "
+            "FROM docs WHERE embedding IN ({marks});",
+            wanted,
+        ):
+            out[int(emb_id)] = _record(
+                rec_id, parent_id, level, text, True, meta_str
+            )
         missing = set(wanted) - set(out)
         if missing:
             raise KeyError(sorted(missing)[0])
@@ -506,10 +522,18 @@ class Tx:
         ).fetchone()
         dim = self.embedding_dim()
         if n == 0 or dim == 0:
-            return (
-                np.zeros((n, dim), dtype=np.float32),
-                np.zeros((n,), dtype=np.int64),
+            ids = np.fromiter(
+                (
+                    r[0]
+                    for r in self._conn.execute(
+                        "SELECT id FROM embeddings WHERE id > ? ORDER BY id;",
+                        (after_emb_id,),
+                    )
+                ),
+                dtype=np.int64,
+                count=n,
             )
+            return np.zeros((n, dim), dtype=np.float32), ids
         native = self._native_matrix_scan(after_emb_id, n, dim)
         if native is not None:
             return native
@@ -526,15 +550,11 @@ class Tx:
         candidates touches tens of thousands of rows."""
         wanted = [int(e) for e in emb_ids]
         found: Dict[int, bytes] = {}
-        CHUNK = 500  # SQLite default host-parameter limit is 999
-        for start in range(0, len(wanted), CHUNK):
-            chunk = wanted[start : start + CHUNK]
-            marks = ",".join("?" * len(chunk))
-            for emb_id, blob in self._conn.execute(
-                f"SELECT id, embedding FROM embeddings WHERE id IN ({marks});",
-                chunk,
-            ):
-                found[emb_id] = blob
+        for emb_id, blob in self._chunked_in(
+            "SELECT id, embedding FROM embeddings WHERE id IN ({marks});",
+            wanted,
+        ):
+            found[emb_id] = blob
         try:
             blobs = [found[e] for e in wanted]
         except KeyError as exc:

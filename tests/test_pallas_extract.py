@@ -332,3 +332,36 @@ def test_fused2_int8_candidate_set(unit_rows):
             int(i) for v, i in zip(pv[b], pr[b]) if v > pv[b][k - 1] + KEY_EPS
         }
         assert must_have <= got_set
+
+
+def test_fused2_negative_score_band_with_padding():
+    """Scores in (-KEY_BIAS band, all negative keys) with dead padding
+    lanes: markers must NOT outrank live lanes (a 0.0 marker would) and
+    must not trip the domain guard."""
+    import jax.numpy as jnp
+
+    (FUSED_BLOCK_N, KEY_EPS, _, fused2_supported, _, f2) = _fused2_mods()
+    n = 2 * FUSED_BLOCK_N
+    d = 128
+    rng = np.random.default_rng(9)
+    # every dot lands in [-2.1, -1.2]: below -KEY_BIAS, inside the horizon
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 0] = 1.0
+    q = np.zeros((2, d), dtype=np.float32)
+    q[:, 0] = -(1.2 + 0.9 * rng.random(2)).astype(np.float32)
+    # give docs slight magnitude spread so there is a real top-k order
+    m[:, 0] *= (1.0 - 0.4 * rng.random(n)).astype(np.float32)
+    nv = n - 300  # dead tail lanes
+    k = 25
+    assert fused2_supported(n, d, 2, k)
+    got = f2(jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), k, interpret=True)
+    vals, rows = unpack_vals_idx(np.asarray(got), k)
+    assert (rows < nv).all() and (rows >= 0).all(), "padding promoted"
+    exact = (m[:nv] @ q.T).T
+    for b in range(2):
+        true_of_returned = exact[b][rows[b]]
+        assert (vals[b] <= true_of_returned + 1e-6).all()
+        assert (true_of_returned <= vals[b] + KEY_EPS).all()
+        v_k = vals[b][k - 1]
+        must_have = set(np.nonzero(exact[b] > v_k + KEY_EPS)[0].tolist())
+        assert must_have <= set(rows[b].tolist())

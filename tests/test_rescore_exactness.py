@@ -124,7 +124,7 @@ def test_prescore_eps_is_sound_empirically(db_path, unit_rows, precision):
     corpus = eng.ensure_fresh(db)
     q = unit_rows(8, 64)
     vals, rows = eng.topk(corpus, q, 50)
-    eps = eng.prescore_eps(corpus, q)
+    eps = eng.prescore_eps(corpus, q, 50)
     exact = m @ q.T  # [N, B] f32
     for b in range(q.shape[0]):
         observed = np.abs(vals[b] - exact[rows[b], b])
