@@ -232,23 +232,41 @@ def _finalize_batch(
             sub_matrix = corpus.host_f32[cache_rows]
         else:
             sub_matrix = tx.fetch_embedding_rows(corpus.emb_ids[unique_rows])
-        pos = {int(r): i for i, r in enumerate(unique_rows)}
-        verify = pre_eps is not None and pre_rows.shape[1] < corpus.n_valid
+        # Vectorized rescore (a per-query Python loop with dict lookups
+        # measured ~0.3 s per 256-query batch): positions via searchsorted,
+        # chunked batched einsum (bounds the [chunk, C, d] gather), and a
+        # reversed-stable argsort that reproduces the oracle's tie rule
+        # (score descending, larger candidate index first).
+        c_count = pre_rows.shape[1]
+        k_eff = min(k, c_count)
+        pos_arr = np.searchsorted(unique_rows, pre_rows)  # [B, C]
+        vec32 = vectors.astype(np.float32, copy=False)
+        exact = np.empty((n_queries, c_count), dtype=np.float32)
+        CH = 32
+        for s in range(0, n_queries, CH):
+            sl = slice(s, min(s + CH, n_queries))
+            exact[sl] = np.einsum(
+                "qcd,qd->qc", sub_matrix[pos_arr[sl]], vec32[sl]
+            )
+        rev = exact[:, ::-1]
+        order_rev = np.argsort(-rev, axis=1, kind="stable")[:, :k_eff]
+        order = c_count - 1 - order_rev  # larger candidate index wins ties
+        top_scores = np.take_along_axis(exact, order, axis=1)
+        top_rows = np.take_along_axis(pre_rows, order, axis=1)
+        verify = pre_eps is not None and c_count < corpus.n_valid
+        if verify and k_eff > 0:
+            # No non-candidate's true score can exceed its prescore
+            # (<= the lowest returned prescore) plus the error bound.
+            v_k = top_scores[:, k_eff - 1]
+            if np.any(v_k < pre_vals[:, -1] + np.asarray(pre_eps)):
+                return None
         for b in range(n_queries):
-            rows_b = pre_rows[b]
-            cand = sub_matrix[[pos[int(r)] for r in rows_b]]
-            exact = cand @ vectors[b].astype(np.float32)
-            hits = [
-                (score, int(corpus.emb_ids[rows_b[i]]))
-                for score, i in top_k_numpy(exact, k)
-            ]
-            if verify and hits:
-                # No non-candidate's true score can exceed its prescore
-                # (<= the lowest returned prescore) plus the error bound.
-                v_k = hits[-1][0]
-                if v_k < float(pre_vals[b][-1]) + float(pre_eps[b]):
-                    return None
-            per_query_hits.append(hits)
+            per_query_hits.append(
+                [
+                    (float(top_scores[b, i]), int(corpus.emb_ids[top_rows[b, i]]))
+                    for i in range(k_eff)
+                ]
+            )
     else:
         for b in range(n_queries):
             rows_b = pre_rows[b]
