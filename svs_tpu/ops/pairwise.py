@@ -7,17 +7,26 @@ cliff.  Here the computation streams over row blocks under one ``jit``:
   for each block of R rows:
       S = block @ docs.T                      # [R, N] lives only this step
       mask to the strict upper triangle (col > row) and valid docs
-      per-row top-k                            # exact: a row contributes
-                                               # at most k global top pairs
+      per-row top-m                            # m << k: a row RARELY holds
+                                               # many of the global top-k
       merge with the running global top-k carry
 
 Peak memory is O(R*N) instead of O(N^2), and the matmuls stay MXU-shaped.
+
+Exactness with ``m < k`` is *verified*, in the same style as the
+retrieval kernels: the scan carries the maximum per-row m-th value
+("tail"), and a row can only hide a true top-k pair if its tail reaches
+the merged k-th value.  When that check fails the host escalates m
+(64 -> 1024 -> k); the final stage is exact by construction.  The naive
+per-row top-k costs dominate at scale (lax.top_k at k=10000 over
+[256, 100k] per block measured ~18 s total at 100k docs; m=64 cuts the
+selection ~100x).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,38 +36,40 @@ from .topk import NEG_INF, scores_matmul
 #: Test hook: exercise the extraction path under the CPU interpreter.
 _FORCE_EXTRACT_INTERPRET = False
 
+#: Per-row selection widths tried in order; the last stage uses m = k and
+#: is exact by construction.  64 covers any plausible non-adversarial
+#: distribution (global top-k spread over >= n/2 rows).
+_ESCALATION = (64, 1024)
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
-def pairwise_topk_blocked(
+
+@functools.partial(jax.jit, static_argnames=("k", "per_row_k", "block_rows"))
+def _pairwise_attempt(
     docs: jax.Array,
     n_valid: jax.Array,
     k: int,
-    block_rows: int = 256,
+    per_row_k: int,
+    block_rows: int,
     row_scales: "jax.Array | None" = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Exact top-``k`` upper-triangle pairs of the row-wise similarity matrix.
-
-    ``docs`` is ``[N, d]`` with N a multiple of ``block_rows`` (pad rows are
-    ignored via ``n_valid``).  Returns ``(scores f32 [k], rows int32 [k],
-    cols int32 [k])`` sorted by score descending.  The caller must clamp
-    ``k`` to the number of real pairs, ``n_valid * (n_valid - 1) / 2``.
-
-    With ``row_scales`` (int8 corpora), each block runs an int8 x int8 MXU
-    matmul with int32 accumulation and rescales to f32 on the fly — no
-    dequantized copy of the corpus ever materializes (the extra HBM is
-    O(block x N) scores, same as the float path).
-    """
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One blocked pass with per-row top-``per_row_k`` selection.  Returns
+    ``(vals, rows, cols, covered)``; ``covered`` is False when some row's
+    per-row tail reached the merged k-th value (possible hidden pairs)."""
     n_padded, _ = docs.shape
     assert n_padded % block_rows == 0, "pad the corpus to a block multiple"
     n_blocks = n_padded // block_rows
-    per_row_k = min(k, n_padded)
+
+    # Collect-then-merge vs merge-per-step: a running global top-k carry
+    # pays a k-sized lax.top_k every block (measured ~16 s of a 16 s pass
+    # at 100k docs, k=10k), so when the collected winners fit a sane
+    # buffer, the scan just emits them and ONE final top_k merges.  The
+    # carry variant remains for sizes where the collect buffer would be
+    # GBs (1M docs at the escalated widths).
+    collect = n_blocks * block_rows * per_row_k <= (1 << 27)
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, n_padded), 1)
 
-    def step(
-        carry: Tuple[jax.Array, jax.Array, jax.Array], block_idx: jax.Array
-    ) -> Tuple[Tuple[jax.Array, jax.Array, jax.Array], None]:
-        c_vals, c_rows, c_cols = carry
+    def step(carry, block_idx):
+        c_vals, c_rows, c_cols, c_tail = carry
         row0 = block_idx * block_rows
         block = jax.lax.dynamic_slice(docs, (row0, 0), (block_rows, docs.shape[1]))
         if row_scales is not None:
@@ -78,40 +89,108 @@ def pairwise_topk_blocked(
         live = (col_ids > row_ids) & (col_ids < n_valid) & (row_ids < n_valid)
         scores = jnp.where(live, scores, NEG_INF)
 
+        from .pallas_extract import BLOCK_N as EX_BLOCK
         from .pallas_extract import extract_supported, extract_topk
 
         on_cpu = jax.default_backend() == "cpu"
-        if extract_supported(n_padded, block_rows, per_row_k) and (
+        # Route selection through the extraction kernel whenever possible:
+        # lax.top_k over [256, 100k] measured 40 ms per block even at
+        # k=64 (it is N-dominated), vs ~1 ms for matmul+extraction.  The
+        # kernel wants a BLOCK_N-aligned width, so pad the score columns
+        # with NEG_INF (never selected) — O(block x pad) per step.
+        sel_n = ((n_padded + EX_BLOCK - 1) // EX_BLOCK) * EX_BLOCK
+        if extract_supported(sel_n, block_rows, per_row_k) and (
             not on_cpu or _FORCE_EXTRACT_INTERPRET
         ):
-            # Per-row selection via the extraction kernel: at 1M docs the
-            # pairwise pass runs ~4000 of these selections, and lax.top_k
-            # over [256, 1M] is ~9x the block matmul (BENCHMARKS.md).
-            # Skipped on the CPU backend: interpret-mode pallas inside this
-            # scan is minutes-slow and never a win there.
+            # Skipped on the CPU backend: interpret-mode pallas inside
+            # this scan is minutes-slow and never a win there.
+            sel_scores = scores
+            if sel_n != n_padded:
+                sel_scores = jnp.concatenate(
+                    [
+                        scores,
+                        jnp.full(
+                            (block_rows, sel_n - n_padded),
+                            NEG_INF,
+                            scores.dtype,
+                        ),
+                    ],
+                    axis=1,
+                )
             blk_vals, blk_cols = extract_topk(
-                scores, per_row_k, interpret=on_cpu
+                sel_scores, per_row_k, interpret=on_cpu
             )
         else:
             blk_vals, blk_cols = jax.lax.top_k(scores, per_row_k)
         blk_rows = jnp.broadcast_to(row_ids[:, :1], blk_cols.shape)
+        # the m-th (smallest selected) value per row bounds anything hidden
+        c_tail = jnp.maximum(c_tail, jnp.max(blk_vals[:, -1]))
+        blk_cols = blk_cols.astype(jnp.int32)
 
+        if collect:
+            return (c_vals, c_rows, c_cols, c_tail), (
+                blk_vals.reshape(-1),
+                blk_rows.reshape(-1),
+                blk_cols.reshape(-1),
+            )
         all_vals = jnp.concatenate([c_vals, blk_vals.reshape(-1)])
         all_rows = jnp.concatenate([c_rows, blk_rows.reshape(-1)])
-        all_cols = jnp.concatenate([c_cols, blk_cols.reshape(-1).astype(jnp.int32)])
+        all_cols = jnp.concatenate([c_cols, blk_cols.reshape(-1)])
         top_vals, top_pos = jax.lax.top_k(all_vals, k)
         return (
             top_vals,
             jnp.take(all_rows, top_pos),
             jnp.take(all_cols, top_pos),
+            c_tail,
         ), None
 
     init = (
         jnp.full((k,), NEG_INF, dtype=jnp.float32),
         jnp.zeros((k,), dtype=jnp.int32),
         jnp.zeros((k,), dtype=jnp.int32),
+        jnp.float32(NEG_INF),
     )
-    (vals, rows, cols), _ = jax.lax.scan(
+    (vals, rows, cols, tail_max), collected = jax.lax.scan(
         step, init, jnp.arange(n_blocks, dtype=jnp.int32)
     )
-    return vals, rows, cols
+    if collect:
+        all_vals, all_rows, all_cols = (a.reshape(-1) for a in collected)
+        vals, pos = jax.lax.top_k(all_vals, k)
+        rows = jnp.take(all_rows, pos)
+        cols = jnp.take(all_cols, pos)
+    exact_by_construction = per_row_k >= min(k, n_padded)
+    covered = jnp.logical_or(
+        jnp.array(exact_by_construction), tail_max < vals[k - 1]
+    )
+    return vals, rows, cols, covered
+
+
+def pairwise_topk_blocked(
+    docs: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    block_rows: int = 256,
+    row_scales: "jax.Array | None" = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact top-``k`` upper-triangle pairs of the row-wise similarity matrix.
+
+    ``docs`` is ``[N, d]`` with N a multiple of ``block_rows`` (pad rows are
+    ignored via ``n_valid``).  Returns ``(scores f32 [k], rows int32 [k],
+    cols int32 [k])`` sorted by score descending.  The caller must clamp
+    ``k`` to the number of real pairs, ``n_valid * (n_valid - 1) / 2``.
+
+    With ``row_scales`` (int8 corpora), each block runs an int8 x int8 MXU
+    matmul with int32 accumulation and rescales to f32 on the fly — no
+    dequantized copy of the corpus ever materializes (the extra HBM is
+    O(block x N) scores, same as the float path).
+    """
+    n_padded = docs.shape[0]
+    widths = [m for m in _ESCALATION if m < min(k, n_padded)]
+    widths.append(min(k, n_padded))
+    for m in widths:
+        vals, rows, cols, covered = _pairwise_attempt(
+            docs, n_valid, k, m, block_rows, row_scales
+        )
+        if bool(covered):
+            return vals, rows, cols
+    return vals, rows, cols  # last stage was exact by construction

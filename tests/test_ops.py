@@ -353,3 +353,46 @@ def test_pairwise_blocked_extraction_path_matches_oracle(
     np.testing.assert_allclose(
         np.asarray(vals), [v for v, _, _ in oracle], atol=2e-6
     )
+
+
+def test_pairwise_escalates_when_rows_hoard_winners(unit_rows):
+    """Adversarial dedup shape: one doc near-duplicated hundreds of times,
+    so single rows hold far more than the per-row selection width — the
+    tail check must escalate until the result is exact."""
+    import jax.numpy as jnp
+    from svs_tpu.ops import pairwise as pw
+    from svs_tpu.ops.pairwise import pairwise_topk_blocked
+    from svs_tpu.utils.topk_np import top_k_numpy
+
+    rng = np.random.default_rng(3)
+    n, d = 512, 16
+    base = rng.standard_normal(d).astype(np.float32)
+    m = base[None, :] + 0.001 * rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    k = 200
+    assert k > pw._ESCALATION[0], "test must exceed the first stage width"
+    vals, rows, cols = pairwise_topk_blocked(
+        jnp.asarray(m), jnp.int32(n), k, block_rows=256
+    )
+    sims = m @ m.T
+    iu = np.triu_indices(n, 1)
+    flat = sims[iu]
+    oracle = top_k_numpy(flat, k)
+    # near-duplicates tie heavily (many pairs share identical f32 scores),
+    # so assert exactness, not a specific tie resolution: the k selected
+    # VALUES equal the oracle's, every returned pair really has its
+    # claimed score, and every pair strictly above the k-th is present.
+    np.testing.assert_array_equal(
+        np.asarray(vals), np.asarray([s for s, _ in oracle], np.float32)
+    )
+    got_pairs = set(
+        zip(np.asarray(rows).tolist(), np.asarray(cols).tolist())
+    )
+    rr, cc = np.asarray(rows), np.asarray(cols)
+    np.testing.assert_allclose(sims[rr, cc], np.asarray(vals), rtol=1e-6)
+    v_k = oracle[-1][0]
+    must_have = {
+        (int(iu[0][i]), int(iu[1][i]))
+        for i in np.nonzero(flat > v_k)[0]
+    }
+    assert must_have <= got_pairs
