@@ -151,3 +151,49 @@ def test_sharded_per_shard_extraction_matches_oracle(unit_rows):
     for b in range(3):
         oracle = [i for _, i in top_k_numpy(exact[:, b], 9)]
         assert list(np.asarray(idx)[b]) == oracle, b
+
+
+def test_sharded_pairwise_escalates_and_subblocks(devices_available, unit_rows):
+    """Sharded pairwise with (a) shard rows larger than the 256-row inner
+    block (exercising the streamed sub-block scan) and (b) a
+    near-duplicate cluster that overwhelms the first per-row width
+    (exercising the verified escalation)."""
+    from svs_tpu.parallel.pairwise_sharded import sharded_pairwise_topk
+    from svs_tpu.ops import pairwise as pw
+    from svs_tpu.utils.topk_np import top_pairs_numpy
+
+    rng = np.random.default_rng(7)
+    n = 4096  # 8 shards x 512 local rows -> 2 inner row-blocks per shard
+    d = 16
+    base = rng.standard_normal(d).astype(np.float32)
+    m = np.zeros((n, d), dtype=np.float32)
+    # 200 near-duplicates of one vector concentrated in the first rows,
+    # the rest random background
+    m[:200] = base[None, :] + 0.01 * rng.standard_normal((200, d))
+    m[200:] = rng.standard_normal((n - 200, d))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    k = 150
+    assert k > pw._ESCALATION[0]
+    mesh = default_mesh()
+    docs = jax.device_put(
+        jnp.asarray(m), NamedSharding(mesh, P("data", None))
+    )
+    vals, rows, cols = sharded_pairwise_topk(docs, jnp.int32(n), k, mesh=mesh)
+    oracle = top_pairs_numpy(m @ m.T, k)
+    # values must match exactly; pairs up to ties at equal scores
+    np.testing.assert_allclose(
+        np.asarray(vals), [s for s, _, _ in oracle], rtol=1e-5
+    )
+    v_k = oracle[-1][0]
+    sims = m @ m.T
+    got = set(zip(np.asarray(rows).tolist(), np.asarray(cols).tolist()))
+    np.testing.assert_allclose(
+        sims[np.asarray(rows), np.asarray(cols)], np.asarray(vals), rtol=1e-5
+    )
+    iu = np.triu_indices(n, 1)
+    flat = sims[iu]
+    must_have = {
+        (int(iu[0][i]), int(iu[1][i])) for i in np.nonzero(flat > v_k)[0]
+    }
+    assert must_have <= got
