@@ -20,12 +20,12 @@ Retrieval pipeline (vs the reference's NumPy dot at ``kb.py:1184-1190``):
 
 1. the engine keeps the corpus packed on device (bf16 by default) and runs
    a jitted matmul + masked top-k, over-provisioning candidates;
-2. candidates are **rescored in f32 against the source-of-truth BLOBs**
-   inside the hydration transaction, so returned scores are exactly the
+2. candidates are **rescored in f32** against the pack's host cache (the
+   exact bytes the pack was built from; store fetch when absent) with a
+   per-query verified margin, so returned scores are exactly the
    reference's float32 dot-product values and recall stays exact even with
    reduced-precision device storage;
-3. the winners are hydrated with two point queries each, like the
-   reference.
+3. the whole batch's winners are hydrated in chunked IN queries.
 """
 
 from __future__ import annotations
