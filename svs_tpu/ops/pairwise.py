@@ -42,6 +42,51 @@ _FORCE_EXTRACT_INTERPRET = False
 _ESCALATION = (64, 1024)
 
 
+def escalation_widths(k: int, n_rows_total: int, width_cap: int) -> list:
+    """The per-row widths to attempt: escalation stages capped at
+    ``width_cap`` (the per-row maximum), skipping widths whose total
+    selected lanes (``n_rows_total * m``) could not even hold ``k``
+    winners (the final merge would be ill-posed), ending at the
+    exact-by-construction ``min(k, width_cap)``."""
+    last = min(k, width_cap)
+    widths = [
+        m
+        for m in _ESCALATION
+        if m < last and n_rows_total * m >= k
+    ]
+    widths.append(last)
+    return widths
+
+
+def select_rows_topm(
+    scores: jax.Array, m: int, interpret_ok: bool = True
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-row top-``m`` of a ``[R, N]`` score block, routed through the
+    extraction kernel when worthwhile (``lax.top_k`` is N-dominated:
+    ~40 ms per [256, 100k] block even at k=64) — pads score columns to
+    the kernel's block with NEG_INF unless the padding would dominate
+    (small N is faster through plain top_k)."""
+    from .pallas_extract import BLOCK_N as EX_BLOCK
+    from .pallas_extract import extract_supported, extract_topk
+
+    rows, n = scores.shape
+    on_cpu = jax.default_backend() == "cpu"
+    sel_n = ((n + EX_BLOCK - 1) // EX_BLOCK) * EX_BLOCK
+    use_extract = (
+        sel_n <= 2 * n
+        and extract_supported(sel_n, rows, m)
+        and (not on_cpu or (_FORCE_EXTRACT_INTERPRET and interpret_ok))
+    )
+    if not use_extract:
+        return jax.lax.top_k(scores, m)
+    if sel_n != n:
+        scores = jnp.concatenate(
+            [scores, jnp.full((rows, sel_n - n), NEG_INF, scores.dtype)],
+            axis=1,
+        )
+    return extract_topk(scores, m, interpret=on_cpu)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "per_row_k", "block_rows"))
 def _pairwise_attempt(
     docs: jax.Array,
@@ -89,39 +134,7 @@ def _pairwise_attempt(
         live = (col_ids > row_ids) & (col_ids < n_valid) & (row_ids < n_valid)
         scores = jnp.where(live, scores, NEG_INF)
 
-        from .pallas_extract import BLOCK_N as EX_BLOCK
-        from .pallas_extract import extract_supported, extract_topk
-
-        on_cpu = jax.default_backend() == "cpu"
-        # Route selection through the extraction kernel whenever possible:
-        # lax.top_k over [256, 100k] measured 40 ms per block even at
-        # k=64 (it is N-dominated), vs ~1 ms for matmul+extraction.  The
-        # kernel wants a BLOCK_N-aligned width, so pad the score columns
-        # with NEG_INF (never selected) — O(block x pad) per step.
-        sel_n = ((n_padded + EX_BLOCK - 1) // EX_BLOCK) * EX_BLOCK
-        if extract_supported(sel_n, block_rows, per_row_k) and (
-            not on_cpu or _FORCE_EXTRACT_INTERPRET
-        ):
-            # Skipped on the CPU backend: interpret-mode pallas inside
-            # this scan is minutes-slow and never a win there.
-            sel_scores = scores
-            if sel_n != n_padded:
-                sel_scores = jnp.concatenate(
-                    [
-                        scores,
-                        jnp.full(
-                            (block_rows, sel_n - n_padded),
-                            NEG_INF,
-                            scores.dtype,
-                        ),
-                    ],
-                    axis=1,
-                )
-            blk_vals, blk_cols = extract_topk(
-                sel_scores, per_row_k, interpret=on_cpu
-            )
-        else:
-            blk_vals, blk_cols = jax.lax.top_k(scores, per_row_k)
+        blk_vals, blk_cols = select_rows_topm(scores, per_row_k)
         blk_rows = jnp.broadcast_to(row_ids[:, :1], blk_cols.shape)
         # the m-th (smallest selected) value per row bounds anything hidden
         c_tail = jnp.maximum(c_tail, jnp.max(blk_vals[:, -1]))
@@ -185,8 +198,7 @@ def pairwise_topk_blocked(
     O(block x N) scores, same as the float path).
     """
     n_padded = docs.shape[0]
-    widths = [m for m in _ESCALATION if m < min(k, n_padded)]
-    widths.append(min(k, n_padded))
+    widths = escalation_widths(k, n_padded, n_padded)
     for m in widths:
         vals, rows, cols, covered = _pairwise_attempt(
             docs, n_valid, k, m, block_rows, row_scales

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops.pairwise import _ESCALATION
+from ..ops.pairwise import escalation_widths, select_rows_topm
 from ..ops.topk import NEG_INF, scores_matmul
 
 
@@ -52,8 +52,7 @@ def sharded_pairwise_topk(
     """
     n_shards = int(mesh.shape[data_axis])
     n_local = docs.shape[0] // n_shards
-    widths = [m for m in _ESCALATION if m < min(k, n_local)]
-    widths.append(min(k, n_local))
+    widths = escalation_widths(k, docs.shape[0], n_local)
     for m in widths:
         fn = _build(mesh, data_axis, int(k), int(m))
         vals, rows, cols, covered = fn(docs, n_valid)
@@ -73,8 +72,9 @@ def _build(
         docs_local: jax.Array, n_valid: jax.Array
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
         n_local = docs_local.shape[0]
-        rb = n_local if n_local < 256 else 256
-        assert n_local % rb == 0, "shard rows must split into row blocks"
+        # largest power-of-two row-block <= 256 dividing the shard (any
+        # shard size works; engine-packed corpora always divide by 256)
+        rb = next(c for c in (256, 128, 64, 32, 16, 8, 4, 2, 1) if n_local % c == 0)
         n_rblocks = n_local // rb
         m_eff = min(per_row_k, n_local)
         me = jax.lax.axis_index(data_axis).astype(jnp.int32)
@@ -85,13 +85,6 @@ def _build(
         carry_c = jnp.zeros((k,), jnp.int32)
         tail_max = jnp.float32(NEG_INF)
         block = docs_local  # the visiting shard (starts as our own)
-
-        from ..ops.pallas_extract import BLOCK_N as EX_BLOCK
-        from ..ops.pallas_extract import extract_supported, extract_topk
-
-        on_cpu = jax.default_backend() == "cpu"
-        sel_n = ((n_local + EX_BLOCK - 1) // EX_BLOCK) * EX_BLOCK
-        use_extract = extract_supported(sel_n, rb, m_eff) and not on_cpu
 
         for ring_step in range(n_shards):
             src = (me + ring_step) % n_shards
@@ -115,23 +108,7 @@ def _build(
                     (cols_g > rows_g) & (cols_g < n_valid) & (rows_g < n_valid)
                 )
                 scores = jnp.where(live, scores, NEG_INF)
-                if use_extract:
-                    sel_scores = scores
-                    if sel_n != n_local:
-                        sel_scores = jnp.concatenate(
-                            [
-                                scores,
-                                jnp.full(
-                                    (rb, sel_n - n_local),
-                                    NEG_INF,
-                                    scores.dtype,
-                                ),
-                            ],
-                            axis=1,
-                        )
-                    blk_v, blk_c = extract_topk(sel_scores, m_eff)
-                else:
-                    blk_v, blk_c = jax.lax.top_k(scores, m_eff)
+                blk_v, blk_c = select_rows_topm(scores, m_eff)
                 c_tail = jnp.maximum(c_tail, jnp.max(blk_v[:, -1]))
                 blk_cg = col_base + blk_c.astype(jnp.int32)
                 blk_r = jnp.broadcast_to(rows_g[:, :1], blk_cg.shape)

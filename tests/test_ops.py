@@ -396,3 +396,24 @@ def test_pairwise_escalates_when_rows_hoard_winners(unit_rows):
         for i in np.nonzero(flat > v_k)[0]
     }
     assert must_have <= got_pairs
+
+
+def test_pairwise_huge_k_skips_too_narrow_widths(unit_rows):
+    """k larger than n_padded * first_width: the escalation must skip
+    widths whose total selected lanes could not hold k (the final merge
+    would be ill-posed) instead of crashing."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pairwise import escalation_widths, pairwise_topk_blocked
+    from svs_tpu.utils.topk_np import top_pairs_numpy
+
+    n = 512
+    k = 40_000  # > 512 * 64, < max_pairs = 130816
+    assert escalation_widths(k, n, n) == [min(k, n)]
+    m = unit_rows(n, 8)
+    vals, rows, cols = pairwise_topk_blocked(
+        jnp.asarray(m), jnp.int32(n), k, block_rows=256
+    )
+    oracle = top_pairs_numpy(m @ m.T, k)
+    np.testing.assert_allclose(
+        np.asarray(vals), [s for s, _, _ in oracle], rtol=1e-5
+    )
