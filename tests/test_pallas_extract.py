@@ -365,3 +365,37 @@ def test_fused2_negative_score_band_with_padding():
         v_k = vals[b][k - 1]
         must_have = set(np.nonzero(exact[b] > v_k + KEY_EPS)[0].tolist())
         assert must_have <= set(rows[b].tolist())
+
+
+@pytest.mark.parametrize(
+    "nv_off,b,k",
+    [
+        (1, 3, 1),      # n_valid just past a block boundary; k=1; odd batch
+        (513, 1, 40),   # dead tail crossing a subtile boundary
+        (0, 5, 40),     # fully dense corpus
+    ],
+)
+def test_fused2_edge_shapes(unit_rows, nv_off, b, k):
+    """Boundary sweep: odd batches, k=1, n_valid at awkward offsets —
+    candidate coverage and index hygiene must hold everywhere."""
+    import jax.numpy as jnp
+
+    (FUSED_BLOCK_N, KEY_EPS, _, fused2_supported, _, f2) = _fused2_mods()
+    n = 2 * FUSED_BLOCK_N
+    m = unit_rows(n, 128)
+    q = m[20 : 20 + b].astype(np.float32)
+    nv = n - nv_off
+    assert fused2_supported(n, 128, b, k)
+    got = f2(jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), k, interpret=True)
+    vals, rows = unpack_vals_idx(np.asarray(got), k)
+    assert vals.shape == (b, k)
+    assert (rows >= 0).all() and (rows < nv).all()
+    exact = (m[:nv].astype(np.float32) @ q.T).T
+    for bb in range(b):
+        assert len(set(rows[bb].tolist())) == k
+        true_of_returned = exact[bb][rows[bb]]
+        assert (vals[bb] <= true_of_returned + 1e-6).all()
+        assert (true_of_returned <= vals[bb] + KEY_EPS).all()
+        v_k = vals[bb][k - 1]
+        must = set(np.nonzero(exact[bb] > v_k + KEY_EPS)[0].tolist())
+        assert must <= set(rows[bb].tolist())
