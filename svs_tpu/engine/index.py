@@ -547,10 +547,12 @@ class RetrievalEngine:
     def _keyed_selection_possible(
         self, corpus: PackedCorpus, b: int, k: int
     ) -> bool:
-        """Mirror of the topk() dispatch condition for the keyed (v2)
-        kernels — the only paths returning QUANTIZED prescores.  Growing
-        ``k`` (candidate widening) can only turn this off, so a bound
-        computed with the initial k stays sound across retries."""
+        """THE dispatch condition for the keyed (v2) kernels — the only
+        paths returning quantized prescores.  ``topk`` consults this for
+        its dispatch and ``prescore_eps`` for the KEY_EPS term, so the
+        two can never drift.  Growing ``k`` (candidate widening) can only
+        turn this off, so a bound computed with the initial k stays
+        sound across retries."""
         from ..ops.pallas_extract import fused2_supported
 
         if self.mesh is not None or not self.rescore:
@@ -692,7 +694,6 @@ class RetrievalEngine:
         elif corpus.precision == "int8":
             from ..ops.pallas_extract import (
                 extract_supported,
-                fused2_supported,
                 fused_supported,
                 score_topk_fused2_int8_packed,
                 score_topk_fused_int8_packed,
@@ -704,13 +705,7 @@ class RetrievalEngine:
 
             interp = jax.default_backend() == "cpu"
             int8_pallas_ok = self.kernel == "auto" and not wide
-            if (
-                int8_pallas_ok
-                and self.rescore
-                and fused2_supported(
-                    corpus.n_padded, corpus.dim_padded, q.shape[0], k_eff
-                )
-            ):
+            if self._keyed_selection_possible(corpus, q.shape[0], k_eff):
                 # Keyed selection: quantized prescores (covered by KEY_EPS
                 # in prescore_eps), only used under the verified rescore.
                 packed_dev = score_topk_fused2_int8_packed(
@@ -738,7 +733,6 @@ class RetrievalEngine:
         else:
             from ..ops.pallas_extract import (
                 extract_supported,
-                fused2_supported,
                 fused_supported,
                 score_topk_extract_packed,
                 score_topk_fused2_packed,
@@ -748,13 +742,7 @@ class RetrievalEngine:
 
             interp = jax.default_backend() == "cpu"
             pallas_ok = self.kernel in ("auto", "pallas") and not wide
-            if (
-                pallas_ok
-                and self.rescore
-                and fused2_supported(
-                    corpus.n_padded, corpus.dim_padded, q.shape[0], k_eff
-                )
-            ):
+            if self._keyed_selection_possible(corpus, q.shape[0], k_eff):
                 # Keyed selection (ops.pallas_extract v2): quantized
                 # prescores covered by KEY_EPS in prescore_eps; only used
                 # under the verified rescore, where it's the fastest
