@@ -59,3 +59,8 @@ def test_dad_jokes_with_mock(tmp_path):
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert (tmp_path / "j.sqlite.gz").exists()
+
+
+def test_serving_example(tmp_path):
+    result = _run("serving.py", cwd=tmp_path)
+    assert "device steps" in result.stdout, result.stderr
