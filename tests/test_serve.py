@@ -164,3 +164,40 @@ async def test_batcher_propagates_errors(db_path):
     with pytest.raises(RuntimeError, match="embedder down"):
         await batcher.retrieve("vec:1", 1)
     await kb2.close()
+
+
+async def test_concurrent_writes_and_reads(db_path):
+    """Writes through /add interleaved with concurrent /retrieve bursts:
+    the per-KB lock + engine invalidation must keep every response
+    consistent (no stale-corpus index errors, new docs retrievable)."""
+    kb = await _make_kb(db_path)
+    client = await _client(kb, writable=True, window_ms=5.0)
+    try:
+        async def reader(i):
+            r = await client.post(
+                "/retrieve", json={"query": f"vec:{i % 12}", "n": 1}
+            )
+            assert r.status == 200
+            return (await r.json())["results"][0]["doc"]["text"]
+
+        async def writer(wave):
+            r = await client.post(
+                "/add", json={"texts": [f"vec:{12 + wave}"]}
+            )
+            assert r.status == 200
+
+        for wave in range(3):
+            results = await asyncio.gather(
+                writer(wave), *(reader(i) for i in range(10))
+            )
+            assert results[1:] == [f"vec:{i % 12}" for i in range(10)]
+            # the newly added doc is immediately retrievable
+            r = await client.post(
+                "/retrieve", json={"query": f"vec:{12 + wave}", "n": 1}
+            )
+            assert (await r.json())["results"][0]["doc"]["text"] == (
+                f"vec:{12 + wave}"
+            )
+    finally:
+        await client.close()
+        await kb.close()
