@@ -86,7 +86,9 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--k", type=int, default=None)
     parser.add_argument("--chain", type=int, default=6,
-                        help="chained iterations for device-time isolation")
+                        help="chained iterations for device-time isolation "
+                        "(min 2: device time is the slope between chain "
+                        "lengths)")
     parser.add_argument(
         "--kernel",
         choices=["auto", "extract", "topk", "fast"],
@@ -96,6 +98,7 @@ def main() -> None:
         "'fast' = verified approx_max_k",
     )
     args = parser.parse_args()
+    args.chain = max(2, args.chain)
 
     import jax
     import jax.numpy as jnp

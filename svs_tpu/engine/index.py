@@ -288,6 +288,10 @@ class RetrievalEngine:
         old = self._corpus
         if old is None or self._fingerprint is None or self.mesh is not None:
             return None
+        if old.n_valid == 0:
+            # an empty pack has no established dim (dim=0, padded buffers
+            # sized for nothing) — appends onto it must be full packs
+            return None
         _, old_count, old_max, old_gen = self._fingerprint
         _, new_count, new_max, new_gen = fingerprint
         added = new_count - old_count

@@ -247,11 +247,20 @@ def _finalize_batch(
         exact = np.empty((n_queries, c_count), dtype=np.float32)
         for b in range(n_queries):
             exact[b] = sub_matrix[pos_arr[b]] @ vec32[b]
-        rev = exact[:, ::-1]
+        # Reference tie rule: equal scores break toward the LARGER matrix
+        # index, and the reference's matrix is in embedding-id order
+        # (``svs/util.py:190-203``).  Pack rows are permuted at scale, so
+        # order candidates by emb id first; the reversed-stable argsort
+        # then resolves ties to the larger emb id.
+        emb_of = corpus.emb_ids[pre_rows]  # [B, C]
+        id_order = np.argsort(emb_of, axis=1, kind="stable")
+        exact_o = np.take_along_axis(exact, id_order, axis=1)
+        rows_o = np.take_along_axis(pre_rows, id_order, axis=1)
+        rev = exact_o[:, ::-1]
         order_rev = np.argsort(-rev, axis=1, kind="stable")[:, :k_eff]
-        order = c_count - 1 - order_rev  # larger candidate index wins ties
-        top_scores = np.take_along_axis(exact, order, axis=1)
-        top_rows = np.take_along_axis(pre_rows, order, axis=1)
+        order = c_count - 1 - order_rev  # ties -> larger emb id
+        top_scores = np.take_along_axis(exact_o, order, axis=1)
+        top_rows = np.take_along_axis(rows_o, order, axis=1)
         verify = pre_eps is not None and c_count < corpus.n_valid
         if verify and k_eff > 0:
             # No non-candidate's true score can exceed its prescore

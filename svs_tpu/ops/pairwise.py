@@ -59,7 +59,7 @@ def escalation_widths(k: int, n_rows_total: int, width_cap: int) -> list:
 
 
 def select_rows_topm(
-    scores: jax.Array, m: int, interpret_ok: bool = True
+    scores: jax.Array, m: int, force_interp: "bool | None" = None
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-row top-``m`` of a ``[R, N]`` score block, routed through the
     extraction kernel when worthwhile (``lax.top_k`` is N-dominated:
@@ -71,11 +71,13 @@ def select_rows_topm(
 
     rows, n = scores.shape
     on_cpu = jax.default_backend() == "cpu"
+    if force_interp is None:
+        force_interp = _FORCE_EXTRACT_INTERPRET
     sel_n = ((n + EX_BLOCK - 1) // EX_BLOCK) * EX_BLOCK
     use_extract = (
         sel_n <= 2 * n
         and extract_supported(sel_n, rows, m)
-        and (not on_cpu or (_FORCE_EXTRACT_INTERPRET and interpret_ok))
+        and (not on_cpu or force_interp)
     )
     if not use_extract:
         return jax.lax.top_k(scores, m)
@@ -87,7 +89,10 @@ def select_rows_topm(
     return extract_topk(scores, m, interpret=on_cpu)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "per_row_k", "block_rows"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "per_row_k", "block_rows", "force_interp"),
+)
 def _pairwise_attempt(
     docs: jax.Array,
     n_valid: jax.Array,
@@ -95,6 +100,7 @@ def _pairwise_attempt(
     per_row_k: int,
     block_rows: int,
     row_scales: "jax.Array | None" = None,
+    force_interp: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One blocked pass with per-row top-``per_row_k`` selection.  Returns
     ``(vals, rows, cols, covered)``; ``covered`` is False when some row's
@@ -134,7 +140,9 @@ def _pairwise_attempt(
         live = (col_ids > row_ids) & (col_ids < n_valid) & (row_ids < n_valid)
         scores = jnp.where(live, scores, NEG_INF)
 
-        blk_vals, blk_cols = select_rows_topm(scores, per_row_k)
+        blk_vals, blk_cols = select_rows_topm(
+            scores, per_row_k, force_interp=force_interp
+        )
         blk_rows = jnp.broadcast_to(row_ids[:, :1], blk_cols.shape)
         # the m-th (smallest selected) value per row bounds anything hidden
         c_tail = jnp.maximum(c_tail, jnp.max(blk_vals[:, -1]))
@@ -201,7 +209,8 @@ def pairwise_topk_blocked(
     widths = escalation_widths(k, n_padded, n_padded)
     for m in widths:
         vals, rows, cols, covered = _pairwise_attempt(
-            docs, n_valid, k, m, block_rows, row_scales
+            docs, n_valid, k, m, block_rows, row_scales,
+            force_interp=_FORCE_EXTRACT_INTERPRET,
         )
         if bool(covered):
             return vals, rows, cols

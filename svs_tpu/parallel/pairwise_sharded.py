@@ -52,9 +52,14 @@ def sharded_pairwise_topk(
     """
     n_shards = int(mesh.shape[data_axis])
     n_local = docs.shape[0] // n_shards
+    from ..ops import pairwise as _pw
+
     widths = escalation_widths(k, docs.shape[0], n_local)
     for m in widths:
-        fn = _build(mesh, data_axis, int(k), int(m))
+        fn = _build(
+            mesh, data_axis, int(k), int(m),
+            bool(_pw._FORCE_EXTRACT_INTERPRET),
+        )
         vals, rows, cols, covered = fn(docs, n_valid)
         if bool(covered):
             return vals, rows, cols
@@ -63,7 +68,11 @@ def sharded_pairwise_topk(
 
 @functools.lru_cache(maxsize=None)
 def _build(
-    mesh: jax.sharding.Mesh, data_axis: str, k: int, per_row_k: int
+    mesh: jax.sharding.Mesh,
+    data_axis: str,
+    k: int,
+    per_row_k: int,
+    force_interp: bool = False,
 ) -> "Any":
     n_shards = int(mesh.shape[data_axis])
     ring = [(j, (j - 1) % n_shards) for j in range(n_shards)]
@@ -108,7 +117,9 @@ def _build(
                     (cols_g > rows_g) & (cols_g < n_valid) & (rows_g < n_valid)
                 )
                 scores = jnp.where(live, scores, NEG_INF)
-                blk_v, blk_c = select_rows_topm(scores, m_eff)
+                blk_v, blk_c = select_rows_topm(
+                    scores, m_eff, force_interp=force_interp
+                )
                 c_tail = jnp.maximum(c_tail, jnp.max(blk_v[:, -1]))
                 blk_cg = col_base + blk_c.astype(jnp.int32)
                 blk_r = jnp.broadcast_to(rows_g[:, :1], blk_cg.shape)

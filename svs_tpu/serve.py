@@ -215,9 +215,13 @@ def make_app(
             isinstance(t, str) for t in texts
         ):
             raise web.HTTPBadRequest(text="'texts' must be a list of strings")
-        metas = body.get("metas") or [None] * len(texts)
-        if len(metas) != len(texts):
-            raise web.HTTPBadRequest(text="'metas' length must match 'texts'")
+        metas = body.get("metas")
+        if metas is None:
+            metas = [None] * len(texts)
+        if not isinstance(metas, list) or len(metas) != len(texts):
+            raise web.HTTPBadRequest(
+                text="'metas' must be a list matching 'texts'"
+            )
         ids: List[int] = []
         async with kb.bulk_add_docs() as add_doc:
             for text, meta in zip(texts, metas):

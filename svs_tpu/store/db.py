@@ -114,8 +114,29 @@ class Database:
             check_same_thread=False,  # serialized by the owning KB's lock
         )
         try:
-            conn.executescript(_DDL + _GENERATION_DDL)
-            conn.commit()
+            try:
+                conn.executescript(_DDL + _GENERATION_DDL)
+                conn.commit()
+            except sqlite3.OperationalError as exc:
+                # Read-only media (baked image, ro-mount): a pre-existing
+                # database can still be SERVED — no one can write it, so
+                # the generation triggers (foreign-writer detection) and
+                # schema creation are unnecessary.  Fail only if the
+                # schema genuinely isn't there.
+                if "readonly" not in str(exc).lower():
+                    raise
+                tables = {
+                    row[0]
+                    for row in conn.execute(
+                        "SELECT name FROM sqlite_master WHERE type='table';"
+                    )
+                }
+                if not {"docs", "embeddings", "keyval"} <= tables:
+                    raise
+                log.info(
+                    "opened read-only database %s without DDL "
+                    "(schema present; triggers skipped)", path,
+                )
         except BaseException:
             conn.close()
             raise

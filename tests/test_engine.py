@@ -670,3 +670,24 @@ def test_sidecar_rescore_cache_rebuilt_in_background(
     eng3._cache_rebuild_thread.join(timeout=30)
     assert c3.host_f32 is None  # fingerprint mismatch -> never attached
     db.close()
+
+
+def test_incremental_append_declined_on_empty_pack(db_path, unit_rows):
+    """An empty pack has no established dim — appending onto it must
+    trigger a full repack, not a crash."""
+    db = Database(db_path)
+    with db.transaction() as tx:
+        tx.bump_matrix_version()
+    eng = RetrievalEngine(precision="bf16")
+    c0 = eng.ensure_fresh(db)
+    assert c0.n_valid == 0
+    m = unit_rows(5, 8)
+    with db.transaction() as tx:
+        for i, v in enumerate(m):
+            tx.add_doc(f"d{i}", None, None, embedding_to_bytes(list(map(float, v))))
+        tx.bump_matrix_version()
+    c1 = eng.ensure_fresh(db)
+    assert c1.n_valid == 5 and c1.dim == 8
+    vals, rows = eng.topk(c1, m[2:3], 3)
+    assert rows.shape == (1, 3)
+    db.close()

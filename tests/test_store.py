@@ -273,3 +273,26 @@ def test_generation_fires_for_foreign_connections(db_path):
     with db.transaction() as tx:
         assert tx.embeddings_generation() == 2
     db.close()
+
+
+def test_open_readonly_media_existing_db(tmp_path):
+    """A pre-existing database on read-only media must open (the trigger
+    DDL is a write, but nothing can write the file anyway)."""
+    import os
+    from svs_tpu.store import Database, embedding_to_bytes
+
+    p = tmp_path / "ro.sqlite"
+    db = Database(p)
+    with db.transaction() as tx:
+        tx.add_doc("a", None, None, embedding_to_bytes([1.0, 0.0]))
+    db.close()
+    os.chmod(p, 0o444)
+    try:
+        db2 = Database(p)
+        with db2.transaction() as tx:
+            assert tx.count_docs() == 1
+            m, ids = tx.build_embeddings_matrix()
+            assert m.shape == (1, 2)
+        db2.close()
+    finally:
+        os.chmod(p, 0o644)
