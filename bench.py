@@ -159,11 +159,23 @@ def main() -> None:
         dtype = jnp.bfloat16 if args.precision != "f32" else jnp.float32
         return x.astype(dtype)
 
-    docs = jax.jit(synth)(0)
-    row_scales = None
-    if args.precision == "int8":
-        docs, row_scales = jax.jit(quantize_rows_int8)(docs)
-    _ = np.asarray(docs[0, :1])  # force materialization
+    # The first materialization of the corpus moves GBs through the dev
+    # tunnel over several minutes — long enough to hit transient tunnel
+    # errors (observed: FAILED_PRECONDITION mid-fetch).  Retry with a
+    # fresh buffer; a failed fetch can leave the old one poisoned.
+    docs = row_scales = None
+    for attempt in range(3):
+        try:
+            docs = jax.jit(synth)(attempt)
+            row_scales = None
+            if args.precision == "int8":
+                docs, row_scales = jax.jit(quantize_rows_int8)(docs)
+            _ = np.asarray(docs[0, :1])  # force materialization
+            break
+        except Exception as exc:
+            if attempt == 2:
+                raise
+            log(f"corpus materialization failed ({exc}); retrying")
     corpus_bytes = docs.size * docs.dtype.itemsize
     log(f"corpus generation+pack: {time.perf_counter() - t0:.2f}s "
         f"({corpus_bytes / 1e9:.2f} GB on device)")
