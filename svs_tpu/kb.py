@@ -182,6 +182,58 @@ def _open_database(
         raise
 
 
+class DocRowCache:
+    """Host cache of raw doc rows keyed by embedding id — the hydration
+    analog of the pack's f32 rescore cache.
+
+    The reference hydrates each hit with two SQLite point queries
+    (``svs/kb.py:1192-1206``); at this framework's batch sizes (256
+    queries x top-100 = ~25k hits) even batched IN-queries measured
+    ~100 ms per batch, all of it re-reading rows the previous batch just
+    read.  Rows cached here are raw ``(id, parent_id, level, text,
+    meta_json)`` tuples: minting a result record is one dict literal +
+    ``json.loads`` of the meta text, so callers get fresh, never-aliased
+    objects without per-hit ``copy.deepcopy``.
+
+    Staleness: guarded by ``Tx.change_token()`` — O(1), and moves on ANY
+    write from this connection (including doc-meta updates) or any other
+    writer of the file.  The cache empties whenever the token moves; a
+    correctness-over-cleverness choice (writes also invalidate the device
+    pack, which costs far more).
+    """
+
+    def __init__(self, max_rows: Optional[int] = None) -> None:
+        if max_rows is None:
+            import os
+
+            try:
+                max_rows = int(
+                    os.environ.get("SVS_TPU_DOC_CACHE_MAX_ROWS", 4_000_000)
+                )
+            except ValueError:
+                max_rows = 4_000_000
+        self.max_rows = max_rows
+        self._rows: Dict[int, Tuple[Any, Any, Any, Any, Any]] = {}
+        self._token: Optional[Tuple[int, int]] = None
+
+    def rows_for(
+        self, tx: Tx, emb_ids: List[int]
+    ) -> Dict[int, Tuple[Any, Any, Any, Any, Any]]:
+        """Raw doc rows for ``emb_ids``, reading through the cache."""
+        token = tx.change_token()
+        if token != self._token:
+            self._rows.clear()
+            self._token = token
+        rows = self._rows
+        missing = [e for e in emb_ids if e not in rows]
+        if missing:
+            fetched = tx.fetch_doc_rows_by_emb_ids(missing)
+            if len(rows) + len(fetched) > self.max_rows:
+                rows.clear()
+            rows.update(fetched)
+        return rows
+
+
 def _finalize_batch(
     tx: Tx,
     corpus: PackedCorpus,
@@ -191,6 +243,7 @@ def _finalize_batch(
     k: int,
     rescore: bool,
     pre_eps: Optional[np.ndarray] = None,
+    doc_cache: Optional[DocRowCache] = None,
 ) -> Optional[List[List[Retrieval]]]:
     """Turn device candidates for a query batch into hydrated results.
 
@@ -199,12 +252,10 @@ def _finalize_batch(
     reference's CPU math regardless of the device storage precision.  The
     gather prefers the pack's host f32 cache (``corpus.host_f32`` — the
     exact bytes the pack was built from, snapshot-consistent, and
-    memory-bandwidth-fast: measured 0.4-0.9 s vs 4-6 s SQLite for a
-    batch-256 candidate union at 1M docs); packs without one
-    (sidecar cold starts, cache-size limit) fall back to one batched
-    IN-query fetch for the union of candidate embeddings.  Doc hydration
-    is shared across the batch (deep-copied per hit so results never
-    alias).
+    memory-bandwidth-fast); packs without one (sidecar cold starts,
+    cache-size limit) fall back to one batched IN-query fetch for the
+    union of candidate embeddings.  Hits are minted as fresh dicts from
+    raw cached rows — results never alias each other or the cache.
 
     ``pre_eps`` (per-query prescore-error bounds from
     ``RetrievalEngine.prescore_eps``) turns the rescore into *verified*
@@ -214,39 +265,35 @@ def _finalize_batch(
     candidates and retries.  Skipped when every document is already a
     candidate (exact by construction).
     """
-    import copy
-
     n_queries = vectors.shape[0]
     if pre_rows.size == 0:
         return [[] for _ in range(n_queries)]
 
-    per_query_hits: List[List[Tuple[float, int]]] = []
     if rescore:
-        unique_rows = np.unique(pre_rows)
-        if corpus.host_f32 is not None:
-            cache_rows = (
-                unique_rows
-                if corpus.host_row_map is None
-                else corpus.host_row_map[unique_rows]
-            )
-            sub_matrix = corpus.host_f32[cache_rows]
-        else:
-            sub_matrix = tx.fetch_embedding_rows(corpus.emb_ids[unique_rows])
-        # Vectorized rescore bookkeeping (a per-query Python loop with
-        # dict lookups measured ~0.3 s per 256-query batch): positions
-        # via searchsorted, vectorized gathers, and a reversed-stable
-        # argsort that reproduces the oracle's tie rule (score
-        # descending, larger candidate index first).  The dot itself
-        # stays a per-query BLAS matvec — the SAME accumulation order as
-        # the reference's np.dot, keeping returned scores bit-identical
-        # (a batched einsum reorders the f32 accumulation).
         c_count = pre_rows.shape[1]
         k_eff = min(k, c_count)
-        pos_arr = np.searchsorted(unique_rows, pre_rows)  # [B, C]
         vec32 = vectors.astype(np.float32, copy=False)
         exact = np.empty((n_queries, c_count), dtype=np.float32)
-        for b in range(n_queries):
-            exact[b] = sub_matrix[pos_arr[b]] @ vec32[b]
+        if corpus.host_f32 is not None:
+            # Per-query direct gather+matvec: the earlier union-dedup pass
+            # (np.unique + one big sub-matrix copy) read the candidate
+            # bytes TWICE (600 MB union copy, then per-query gathers out
+            # of it); candidates barely overlap across queries, so dedup
+            # saved ~2% of bytes and doubled the traffic.  The dot stays
+            # a per-query BLAS matvec — the SAME per-row accumulation as
+            # the reference's np.dot, keeping returned scores
+            # bit-identical (a batched einsum reorders the f32
+            # accumulation).
+            hf, rm = corpus.host_f32, corpus.host_row_map
+            for b in range(n_queries):
+                rows_b = pre_rows[b] if rm is None else rm[pre_rows[b]]
+                exact[b] = hf[rows_b] @ vec32[b]
+        else:
+            unique_rows = np.unique(pre_rows)
+            sub_matrix = tx.fetch_embedding_rows(corpus.emb_ids[unique_rows])
+            pos_arr = np.searchsorted(unique_rows, pre_rows)  # [B, C]
+            for b in range(n_queries):
+                exact[b] = sub_matrix[pos_arr[b]] @ vec32[b]
         # Reference tie rule: equal scores break toward the LARGER matrix
         # index, and the reference's matrix is in embedding-id order
         # (``svs/util.py:190-203``).  Pack rows are permuted at scale, so
@@ -268,35 +315,43 @@ def _finalize_batch(
             v_k = top_scores[:, k_eff - 1]
             if np.any(v_k < pre_vals[:, -1] + np.asarray(pre_eps)):
                 return None
-        for b in range(n_queries):
-            per_query_hits.append(
-                [
-                    (float(top_scores[b, i]), int(corpus.emb_ids[top_rows[b, i]]))
-                    for i in range(k_eff)
-                ]
-            )
+        top_emb = corpus.emb_ids[top_rows]  # [B, k_eff]
     else:
-        for b in range(n_queries):
-            rows_b = pre_rows[b]
-            per_query_hits.append(
-                [
-                    (float(pre_vals[b][i]), int(corpus.emb_ids[rows_b[i]]))
-                    for i in range(min(k, len(rows_b)))
-                ]
-            )
+        k_eff = min(k, pre_rows.shape[1])
+        top_scores = pre_vals[:, :k_eff]
+        top_emb = corpus.emb_ids[pre_rows[:, :k_eff]]
 
-    # one batched IN-query hydration for the whole batch's unique docs
-    # (point lookups measured seconds per 256-query batch at ~25k hits)
-    all_emb_ids = sorted({e for hits in per_query_hits for _, e in hits})
-    doc_by_emb = tx.fetch_docs_by_emb_ids(all_emb_ids)
+    # one batched hydration for the whole batch's unique docs, through the
+    # generation-gated row cache when the caller has one
+    unique_emb = np.unique(top_emb)
+    emb_list: List[List[int]] = top_emb.tolist()
+    score_list: List[List[float]] = np.asarray(
+        top_scores, dtype=np.float32
+    ).tolist()
+    if doc_cache is not None:
+        row_by_emb = doc_cache.rows_for(tx, [int(e) for e in unique_emb])
+    else:
+        row_by_emb = tx.fetch_doc_rows_by_emb_ids([int(e) for e in unique_emb])
+    loads = json.loads
     results: List[List[Retrieval]] = []
-    for hits in per_query_hits:
-        results.append(
-            [
-                {"score": float(score), "doc": copy.deepcopy(doc_by_emb[emb_id])}
-                for score, emb_id in hits
-            ]
-        )
+    for scores_b, embs_b in zip(score_list, emb_list):
+        hits: List[Retrieval] = []
+        for score, emb_id in zip(scores_b, embs_b):
+            rec_id, parent_id, level, text, meta_str = row_by_emb[emb_id]
+            hits.append(
+                {
+                    "score": score,
+                    "doc": {
+                        "id": rec_id,
+                        "parent_id": parent_id,
+                        "level": level,
+                        "text": text,
+                        "embedding": True,
+                        "meta": loads(meta_str) if meta_str is not None else None,
+                    },
+                }
+            )
+        results.append(hits)
     return results
 
 
@@ -404,6 +459,7 @@ class AsyncKB:
         )
         self.sidecar = sidecar
         self._stats = QueryStats()
+        self._doc_cache = DocRowCache()
 
     def stats(self) -> Dict[str, Dict[str, float]]:
         """Rolling per-phase timing stats (pack/embed/search/finalize)."""
@@ -879,6 +935,7 @@ class AsyncKB:
                                 n,
                                 self.engine.rescore,
                                 pre_eps,
+                                doc_cache=self._doc_cache,
                             )
 
                     results = await loop.run_in_executor(None, heavy)
@@ -971,6 +1028,7 @@ class KB:
         )
         self.sidecar = sidecar
         self._stats = QueryStats()
+        self._doc_cache = DocRowCache()
         self._lock = threading.Lock()
         self._loop = EventLoopThread()
         self.db: Optional[Database] = None
@@ -1288,6 +1346,7 @@ class KB:
                     results = _finalize_batch(
                         tx, corpus, vectors, pre_vals, pre_rows, n,
                         self.engine.rescore, pre_eps,
+                        doc_cache=self._doc_cache,
                     )
             if results is not None:
                 return results

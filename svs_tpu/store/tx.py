@@ -64,6 +64,10 @@ class Tx:
 
     def __init__(self, conn: sqlite3.Connection):
         self._conn = conn
+        #: Snapshot of ``total_changes`` at transaction start: a non-zero
+        #: delta later means THIS transaction has uncommitted writes, so
+        #: out-of-connection readers (the native parallel scan) must not run.
+        self._changes_at_begin = int(conn.total_changes)
 
     def _chunked_in(
         self, sql_template: str, ids: Sequence[int]
@@ -263,31 +267,53 @@ class Tx:
             raise KeyError(emb_id)
         return int(row[0])
 
-    def fetch_docs_by_emb_ids(
+    def fetch_doc_rows_by_emb_ids(
         self, emb_ids: Sequence[int]
-    ) -> Dict[int, DocumentRecord]:
-        """Hydrate the documents owning the given embedding ids in batched
-        IN queries (embeddings reported as presence booleans).
+    ) -> Dict[int, Tuple[Any, Any, Any, Any, Any]]:
+        """Raw ``(id, parent_id, level, text, meta_json)`` rows for the
+        documents owning the given embedding ids, in batched IN queries.
 
         This is the batched-retrieval hydration path: a 256-query batch
         rescoring 400 candidates each touches tens of thousands of docs —
         point lookups per doc measured seconds per batch; chunked IN
-        queries amortize to milliseconds.
+        queries amortize to milliseconds.  Rows stay raw (meta as its JSON
+        text) so callers can cache them and mint a *fresh*
+        ``DocumentRecord`` per hit — ``json.loads`` per hit replaces the
+        per-hit ``copy.deepcopy`` that dominated finalize profiles.
         """
-        out: Dict[int, DocumentRecord] = {}
+        out: Dict[int, Tuple[Any, Any, Any, Any, Any]] = {}
         wanted = [int(e) for e in emb_ids]
         for emb_id, rec_id, parent_id, level, text, meta_str in self._chunked_in(
             "SELECT embedding, id, parent_id, level, text, meta "
             "FROM docs WHERE embedding IN ({marks});",
             wanted,
         ):
-            out[int(emb_id)] = _record(
-                rec_id, parent_id, level, text, True, meta_str
-            )
+            out[int(emb_id)] = (rec_id, parent_id, level, text, meta_str)
         missing = set(wanted) - set(out)
         if missing:
             raise KeyError(sorted(missing)[0])
         return out
+
+    def fetch_docs_by_emb_ids(
+        self, emb_ids: Sequence[int]
+    ) -> Dict[int, DocumentRecord]:
+        """Hydrate the documents owning the given embedding ids (embeddings
+        reported as presence booleans).  See
+        :meth:`fetch_doc_rows_by_emb_ids` for the raw-row variant."""
+        return {
+            emb_id: _record(rec_id, parent_id, level, text, True, meta_str)
+            for emb_id, (rec_id, parent_id, level, text, meta_str)
+            in self.fetch_doc_rows_by_emb_ids(emb_ids).items()
+        }
+
+    def change_token(self) -> Tuple[int, int]:
+        """O(1) staleness token covering EVERY kind of database change:
+        SQLite's ``data_version`` moves when any *other* connection writes
+        the file, and this connection's ``total_changes`` counts every row
+        this process inserted/updated/deleted (including doc-meta updates,
+        which the embeddings fingerprint deliberately ignores).  Used to
+        gate host-side hydration caches."""
+        return (self.data_version(), int(self._conn.total_changes))
 
     # -- embeddings ----------------------------------------------------------
 
@@ -385,11 +411,19 @@ class Tx:
           under a non-WAL journal this connection holds a shared lock and
           no writer can commit until our transaction ends (WAL databases
           skip the native path: their readers don't block writers);
-        - our own uncommitted writes (or any residual mismatch) are caught
-          by verifying row count and max id against this transaction's
-          view, falling back to the in-transaction streaming scan.
+        - a transaction with ANY uncommitted write of its own skips the
+          native path outright (``total_changes`` probe below): count and
+          max id cannot distinguish a same-transaction delete+reinsert
+          that reuses the max rowid, so pending writes always take the
+          in-transaction streaming scan;
+        - residual mismatches on read-only transactions are still caught
+          by verifying the max id against this transaction's view.
         """
         if n <= 0 or dim <= 0:
+            return None
+        if int(self._conn.total_changes) != self._changes_at_begin:
+            # Uncommitted writes in THIS transaction: the separate
+            # connection would read stale committed blobs.
             return None
         (_, _, path) = self._conn.execute("PRAGMA database_list;").fetchone()
         if not path:  # in-memory or temp database
