@@ -1,4 +1,8 @@
-"""Pallas TPU kernel: fused streaming scores + running top-k.
+"""SUPERSEDED (round-1) Pallas kernel: fused streaming scores + bitonic
+running top-k.  Both successors in ``svs_tpu/ops/pallas_extract.py`` (tile
+extraction, then packed-key extraction) beat it on every measured shape
+(BENCHMARKS.md shootouts 4-7); it is kept here, out of the package, for
+benchmark archaeology only.
 
 The XLA two-phase path (matmul -> [B, N] scores in HBM -> top-k) moves the
 full score matrix through HBM twice (write + read) on top of the corpus

@@ -1,4 +1,6 @@
-"""Pallas fused streaming top-k kernel: oracle equivalence in interpreter
+"""SUPERSEDED round-1 bitonic kernel (see benchmarks/pallas_topk_v1.py):
+kept runnable for benchmark archaeology, not collected by pytest (lives
+outside tests/).  Oracle equivalence in interpreter
 mode (the CPU stand-in for Mosaic; the compiled path is exercised on real
 TPU by the benchmark harness)."""
 
@@ -7,7 +9,7 @@ import numpy as np
 import pytest
 
 from svs_tpu.engine.packing import pad_matrix, pad_queries
-from svs_tpu.ops.pallas_topk import (
+from pallas_topk_v1 import (
     CARRY_K,
     TILE_ROWS,
     pallas_score_topk,

@@ -129,6 +129,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         writable=args.writable,
         max_batch=args.max_batch,
         window_ms=args.batch_window_ms,
+        max_queue=args.max_queue,
         precision=args.precision,
         sidecar="auto",
     )
@@ -205,6 +206,9 @@ def main(argv: Optional[list] = None) -> int:
                    help="max queries per device step")
     p.add_argument("--batch-window-ms", type=float, default=2.0,
                    help="micro-batch coalescing window")
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="pending-request bound before 429 shedding "
+                   "(default: 16 x max-batch)")
     p.add_argument("--precision", choices=["f32", "bf16", "int8"],
                    default="bf16")
     p.set_defaults(fn=cmd_serve)

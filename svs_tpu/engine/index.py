@@ -361,30 +361,31 @@ class RetrievalEngine:
             scale_max = max(scale_max, float(np.max(s_new)))
         from .packing import rescore_cache_limit
 
-        host_f32 = None
-        host_row_map = None
+        host_cache = None
+        old_cache = old.host_cache  # one read: (f32, row_map) or None
         grown_bytes = (
-            (old.host_f32.shape[0] + added) * old.host_f32.shape[1] * 4
-            if old.host_f32 is not None
+            (old_cache[0].shape[0] + added) * old_cache[0].shape[1] * 4
+            if old_cache is not None
             else 0
         )
-        if old.host_f32 is not None and grown_bytes <= rescore_cache_limit():
+        if old_cache is not None and grown_bytes <= rescore_cache_limit():
             # keep the rescore gather source in step with the pack:
             # appended pack rows land at the cache's end in both layouts
+            old_f32, old_map = old_cache
             host_f32 = np.concatenate(
-                [old.host_f32, new_rows.astype(np.float32, copy=False)]
+                [old_f32, new_rows.astype(np.float32, copy=False)]
             )
-            if old.host_row_map is not None:
+            host_row_map = None
+            if old_map is not None:
                 host_row_map = np.concatenate(
                     [
-                        old.host_row_map,
+                        old_map,
                         np.arange(
-                            len(old.host_f32),
-                            len(old.host_f32) + added,
-                            dtype=np.int64,
+                            len(old_f32), len(old_f32) + added, dtype=np.int64
                         ),
                     ]
                 )
+            host_cache = (host_f32, host_row_map)
         return PackedCorpus(
             data=data_new,
             row_scales=scales_new,
@@ -394,8 +395,7 @@ class RetrievalEngine:
             version=fingerprint[0],
             precision=old.precision,
             scale_max=scale_max,
-            host_f32=host_f32,
-            host_row_map=host_row_map,
+            host_cache=host_cache,
         )
 
     def _maybe_respawn_cache_rebuild(self, db: Database) -> None:
@@ -460,9 +460,11 @@ class RetrievalEngine:
                     return  # ids diverged from the pack — never attach
                 with self._lock:
                     if self._corpus is corpus:
-                        # readers gate on host_f32: set the map first
-                        object.__setattr__(corpus, "host_row_map", row_map)
-                        object.__setattr__(corpus, "host_f32", matrix)
+                        # ONE store publishes the whole pair — readers can
+                        # never see a torn (f32, row_map) combination
+                        object.__setattr__(
+                            corpus, "host_cache", (matrix, row_map)
+                        )
                         log.info(
                             "rescore cache rebuilt in background (%d rows)",
                             matrix.shape[0],

@@ -143,20 +143,32 @@ class PackedCorpus:
     #: from a sidecar (no f32 scan happened) or exceeded
     #: ``SVS_TPU_RESCORE_CACHE_MAX_BYTES`` — rescore then falls back to
     #: store fetches.
-    host_f32: Optional[np.ndarray] = dataclasses.field(
-        default=None, repr=False, compare=False
-    )
-    #: Pack row -> ``host_f32`` row (``None`` = identity: the cache is in
-    #: pack order).  Set when the fused native pack kept the scan matrix
-    #: unpermuted instead of paying a full-matrix gather copy.
-    host_row_map: Optional[np.ndarray] = dataclasses.field(
-        default=None, repr=False, compare=False
+    #: Published as ONE atomically-assigned ``(host_f32, host_row_map)``
+    #: tuple so the background rescore-cache rebuild can attach it to a
+    #: live corpus with a single store — readers (``_finalize_batch``,
+    #: pairwise) can never observe a torn pair, GIL or no GIL.  The
+    #: second element is the pack-row -> ``host_f32``-row map (``None`` =
+    #: identity: the cache is in pack order; set when the fused native
+    #: pack kept the scan matrix unpermuted instead of paying a
+    #: full-matrix gather copy).
+    host_cache: Optional[Tuple[np.ndarray, Optional[np.ndarray]]] = (
+        dataclasses.field(default=None, repr=False, compare=False)
     )
     # lazily-cached device copy of n_valid (one upload per pack; on
     # tunneled devices every host->device transfer is a full RPC)
     _n_valid_dev: Optional[jax.Array] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+
+    @property
+    def host_f32(self) -> Optional[np.ndarray]:
+        cache = self.host_cache
+        return cache[0] if cache is not None else None
+
+    @property
+    def host_row_map(self) -> Optional[np.ndarray]:
+        cache = self.host_cache
+        return cache[1] if cache is not None else None
 
     def n_valid_device(self) -> jax.Array:
         if self._n_valid_dev is None:
@@ -267,13 +279,10 @@ def pack_corpus(
         ) else 0.0,
         # the scan matrix is already in hand — keeping it costs no copy,
         # just residency
-        host_f32=(
-            np.asarray(matrix, dtype=np.float32)
+        host_cache=(
+            (np.asarray(matrix, dtype=np.float32), host_row_map)
             if matrix.nbytes <= rescore_cache_limit()
             else None
-        ),
-        host_row_map=(
-            host_row_map if matrix.nbytes <= rescore_cache_limit() else None
         ),
     )
     if keep_host:

@@ -24,7 +24,6 @@ from .quant import (
     score_topk_int8_fast,
     score_topk_int8_packed,
 )
-from .pallas_topk import pallas_score_topk, pallas_score_topk_packed, pallas_supported
 from .pallas_extract import (
     extract_supported,
     extract_topk,
@@ -60,7 +59,9 @@ __all__ = [
     "score_topk_int8",
     "score_topk_int8_fast",
     "score_topk_int8_packed",
-    "pallas_score_topk",
-    "pallas_score_topk_packed",
-    "pallas_supported",
 ]
+
+# The round-1 bitonic streaming kernel (``pallas_score_topk``) lives in
+# ``benchmarks/pallas_topk_v1.py`` now: both successor generations (tile
+# extraction and packed-key extraction) beat it on every measured shape
+# (BENCHMARKS.md shootouts), and nothing dispatches to it.

@@ -37,7 +37,8 @@ per step vs 9.8 / 7.6 for v1, and never slower at b=1.  The engine
 dispatches to v2 whenever rescoring is on; v1 remains the exact-score
 path for rescore-off callers.
 
-Mosaic survival notes (see also ``pallas_topk``): float compares only
+Mosaic survival notes (see also ``benchmarks/pallas_topk_v1.py``):
+float compares only
 (int iota cast to f32), indices ride as exact f32 values (n < 2^24 —
 larger corpora use the XLA path), ``jnp.where`` selects (never arithmetic
 blends with -inf), no reshapes inside the kernel.
@@ -799,11 +800,9 @@ def _fused2_finish(
     # markers (exactly -2^24, from tail-padding subtiles) are expected and
     # pass; only a LIVE key past the horizon trips.
     horizon = float((1 << 24) - 512)
+    live_min = jnp.min(jnp.where(keys1 == KEY_DEAD, 0.0, keys1))
     in_range = jnp.logical_and(
-        jnp.max(keys1) < horizon,
-        jnp.logical_or(
-            jnp.min(keys1) > -horizon, jnp.min(keys1) == KEY_DEAD
-        ),
+        jnp.max(keys1) < horizon, live_min > -horizon
     )
     return vals, idx, jnp.logical_and(covered, in_range)
 

@@ -9,15 +9,28 @@ BENCHMARKS.md), so the right server shape is a **micro-batcher** —
 concurrent ``/retrieve`` requests coalesce into single
 :meth:`AsyncKB.retrieve_batch` steps bounded by a small time window.
 
+Overload behavior: the batcher's queue is bounded (``max_queue``,
+default 16 batches deep); a request arriving at a full queue is shed
+immediately with **429 Too Many Requests** instead of growing the queue
+without bound — on a saturated device, queueing further only converts
+overload into timeout storms.
+
 Routes (JSON in/out):
 
-- ``GET  /healthz``   -> ``{"ok": true, "docs": N}``
+- ``GET  /healthz``   -> ``{"ok": true, "docs": N}`` (doc count cached
+  ~1 s so health probes never add store queries under load)
 - ``GET  /stats``     -> KB phase timings + server batching counters
 - ``POST /retrieve``  -> ``{"query": str | "queries": [str], "n": int}``
   -> one result list per query; each hit is ``{"score": float, "doc":
   DocumentRecord}`` (embeddings reported as presence booleans)
+- ``POST /pairwise``  -> ``{"n": int}`` -> top-n most-similar document
+  pairs (the reference's ``document_top_pairwise_scores``)
 - ``POST /add``       -> ``{"texts": [str], "metas": [obj]?}`` (only with
-  ``writable=True``) -> ``{"ids": [int]}``
+  ``writable=True``; at most ``MAX_ADD_TEXTS`` per request) -> ``{"ids":
+  [int]}``
+- ``POST /delete``    -> ``{"ids": [int]}`` (writable only)
+- ``GET  /kv/{key}``, ``PUT /kv/{key}`` (JSON body = value, writable
+  only), ``DELETE /kv/{key}`` (writable only) — the user key/value store
 
 Start from the CLI: ``svs-tpu serve kb.sqlite --port 8080``.
 """
@@ -25,8 +38,10 @@ Start from the CLI: ``svs-tpu serve kb.sqlite --port 8080``.
 from __future__ import annotations
 
 import asyncio
-import logging
+import time
 from typing import Any, Dict, List, Optional, Tuple
+
+import logging
 
 from .kb import AsyncKB
 from .types import Retrieval
@@ -45,10 +60,39 @@ DEFAULT_WINDOW_MS = 2.0
 #: Matches the fused kernels' resident-batch ceiling
 #: (``ops.pallas_extract.FUSED_MAX_BATCH``).
 DEFAULT_MAX_BATCH = 256
+#: Default queue bound, in batches: past this the server sheds (429)
+#: rather than queueing — see module docstring.
+DEFAULT_MAX_QUEUE_BATCHES = 16
 #: Upper bound on per-request result count (rescore over-provisions 4x
 #: on the device; an unbounded n would let one request drive an
 #: arbitrarily large device top-k).
 MAX_RETRIEVE_N = 1000
+#: Upper bound on texts per /add request: one request is one transaction
+#: (and one embedding-provider burst); callers with more chunk client-side.
+MAX_ADD_TEXTS = 1000
+#: Upper bound on /pairwise n (pair hydration is 2 docs per pair).
+MAX_PAIRWISE_N = 10_000
+#: /healthz doc-count cache lifetime.
+HEALTH_CACHE_S = 1.0
+
+
+class Overloaded(Exception):
+    """Raised by :meth:`MicroBatcher.retrieve` when the queue is full."""
+
+
+def _n_bucket(n: int) -> int:
+    """Next power of two >= n: requests in the same bucket co-batch.
+
+    ``retrieve_batch`` runs the whole batch at one candidate width, so one
+    n=1000 request co-batched with 255 n=10 requests would multiply the
+    device candidate count (and the rescore gather) for everyone by 100x.
+    Bucketing bounds that inflation at 2x while keeping the batching win
+    for the (typical) homogeneous-n traffic.
+    """
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
 
 
 class MicroBatcher:
@@ -56,7 +100,8 @@ class MicroBatcher:
 
     Single-event-loop discipline: all state is touched only from loop
     callbacks, so no locks are needed.  A request either rides the next
-    flush (queue below ``max_batch``) or triggers an immediate one.
+    flush (queue below ``max_batch``) or triggers an immediate one; a
+    request arriving at a full queue raises :class:`Overloaded`.
     """
 
     def __init__(
@@ -64,18 +109,28 @@ class MicroBatcher:
         kb: AsyncKB,
         max_batch: int = DEFAULT_MAX_BATCH,
         window_ms: float = DEFAULT_WINDOW_MS,
+        max_queue: Optional[int] = None,
     ) -> None:
         self._kb = kb
         self._max_batch = max(1, int(max_batch))
         self._window_s = max(0.0, float(window_ms)) / 1e3
+        if max_queue is None:
+            max_queue = DEFAULT_MAX_QUEUE_BATCHES * self._max_batch
+        self._max_queue = max(1, int(max_queue))
         self._queue: List[Tuple[str, int, "asyncio.Future[List[Retrieval]]"]] = []
         self._timer: Optional[asyncio.TimerHandle] = None
         # observability
         self.requests = 0
         self.batches = 0
         self.batched_queries = 0
+        self.shed = 0
 
     async def retrieve(self, query: str, n: int) -> List[Retrieval]:
+        if len(self._queue) >= self._max_queue:
+            self.shed += 1
+            raise Overloaded(
+                f"retrieve queue full ({self._max_queue} pending)"
+            )
         loop = asyncio.get_running_loop()
         fut: "asyncio.Future[List[Retrieval]]" = loop.create_future()
         self._queue.append((query, n, fut))
@@ -105,17 +160,29 @@ class MicroBatcher:
             asyncio.ensure_future(self._flush())
         self.batches += 1
         self.batched_queries += len(batch)
-        n_max = max(n for _, n, _ in batch)
+        # co-batch per n-bucket: a single outlier n must not multiply the
+        # device candidate width for the whole batch (see _n_bucket)
+        groups: Dict[int, List[Tuple[str, int, Any]]] = {}
+        for item in batch:
+            groups.setdefault(_n_bucket(item[1]), []).append(item)
+        await asyncio.gather(
+            *(self._run_group(bucket_n, items)
+              for bucket_n, items in groups.items())
+        )
+
+    async def _run_group(
+        self, bucket_n: int, items: List[Tuple[str, int, Any]]
+    ) -> None:
         try:
             results = await self._kb.retrieve_batch(
-                [q for q, _, _ in batch], n_max
+                [q for q, _, _ in items], bucket_n
             )
         except Exception as exc:  # propagate to every waiter
-            for _, _, fut in batch:
+            for _, _, fut in items:
                 if not fut.done():
                     fut.set_exception(exc)
             return
-        for (_, n, fut), res in zip(batch, results):
+        for (_, n, fut), res in zip(items, results):
             if not fut.done():
                 fut.set_result(res[:n])
 
@@ -129,26 +196,46 @@ def _doc_json(doc: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+async def _json_body(request: "web.Request") -> Dict[str, Any]:
+    try:
+        body = await request.json()
+    except ValueError:
+        raise web.HTTPBadRequest(text="body must be JSON")
+    if not isinstance(body, dict):
+        raise web.HTTPBadRequest(text="body must be a JSON object")
+    return body
+
+
 def make_app(
     kb: AsyncKB,
     *,
     writable: bool = False,
     max_batch: int = DEFAULT_MAX_BATCH,
     window_ms: float = DEFAULT_WINDOW_MS,
+    max_queue: Optional[int] = None,
 ) -> "web.Application":
     """Build the aiohttp application serving ``kb``."""
     if web is None:  # pragma: no cover
         raise RuntimeError(
             "aiohttp is required for serving: pip install 'svs-tpu[http]'"
         )
-    batcher = MicroBatcher(kb, max_batch=max_batch, window_ms=window_ms)
+    batcher = MicroBatcher(
+        kb, max_batch=max_batch, window_ms=window_ms, max_queue=max_queue
+    )
     app = web.Application()
     app["kb"] = kb
     app["batcher"] = batcher
+    # (count, monotonic deadline); shared mutable cell for the health cache
+    health_cache: List[Tuple[int, float]] = []
 
     async def healthz(request: "web.Request") -> "web.Response":
-        async with kb.bulk_query_docs() as q:
-            docs = await q.count()
+        now = time.monotonic()
+        if health_cache and now < health_cache[0][1]:
+            docs = health_cache[0][0]
+        else:
+            async with kb.bulk_query_docs() as q:
+                docs = await q.count()
+            health_cache[:] = [(docs, now + HEALTH_CACHE_S)]
         return web.json_response({"ok": True, "docs": docs})
 
     async def stats(request: "web.Request") -> "web.Response":
@@ -159,6 +246,7 @@ def make_app(
                     "requests": batcher.requests,
                     "batches": batcher.batches,
                     "batched_queries": batcher.batched_queries,
+                    "shed": batcher.shed,
                     "avg_batch": (
                         batcher.batched_queries / batcher.batches
                         if batcher.batches
@@ -169,10 +257,7 @@ def make_app(
         )
 
     async def retrieve(request: "web.Request") -> "web.Response":
-        try:
-            body = await request.json()
-        except ValueError:
-            raise web.HTTPBadRequest(text="body must be JSON")
+        body = await _json_body(request)
         n = body.get("n", 10)
         if isinstance(n, bool) or not isinstance(n, int) or not (
             0 < n <= MAX_RETRIEVE_N
@@ -192,9 +277,12 @@ def make_app(
             isinstance(q, str) for q in queries
         ):
             raise web.HTTPBadRequest(text="'queries' must be a list of strings")
-        results = await asyncio.gather(
-            *(batcher.retrieve(q, n) for q in queries)
-        )
+        try:
+            results = await asyncio.gather(
+                *(batcher.retrieve(q, n) for q in queries)
+            )
+        except Overloaded as exc:
+            raise web.HTTPTooManyRequests(text=str(exc))
         payload = [
             [{"score": r["score"], "doc": _doc_json(dict(r["doc"]))} for r in res]
             for res in results
@@ -203,18 +291,42 @@ def make_app(
             {"results": payload[0] if single else payload}
         )
 
-    async def add(request: "web.Request") -> "web.Response":
+    async def pairwise(request: "web.Request") -> "web.Response":
+        body = await _json_body(request)
+        n = body.get("n", 10)
+        if isinstance(n, bool) or not isinstance(n, int) or not (
+            0 < n <= MAX_PAIRWISE_N
+        ):
+            raise web.HTTPBadRequest(
+                text=f"'n' must be an integer in [1, {MAX_PAIRWISE_N}]"
+            )
+        pairs = await kb.document_top_pairwise_scores(n)
+        payload = [
+            {
+                "score": score,
+                "doc_a": _doc_json(dict(a)),
+                "doc_b": _doc_json(dict(b)),
+            }
+            for score, a, b in pairs
+        ]
+        return web.json_response({"pairs": payload})
+
+    def _require_writable() -> None:
         if not writable:
             raise web.HTTPForbidden(text="server started read-only")
-        try:
-            body = await request.json()
-        except ValueError:
-            raise web.HTTPBadRequest(text="body must be JSON")
+
+    async def add(request: "web.Request") -> "web.Response":
+        _require_writable()
+        body = await _json_body(request)
         texts = body.get("texts")
         if not isinstance(texts, list) or not all(
             isinstance(t, str) for t in texts
         ):
             raise web.HTTPBadRequest(text="'texts' must be a list of strings")
+        if len(texts) > MAX_ADD_TEXTS:
+            raise web.HTTPRequestEntityTooLarge(
+                max_size=MAX_ADD_TEXTS, actual_size=len(texts)
+            )
         metas = body.get("metas")
         if metas is None:
             metas = [None] * len(texts)
@@ -228,10 +340,74 @@ def make_app(
                 ids.append(await add_doc(text, meta=meta))
         return web.json_response({"ids": ids})
 
+    async def delete(request: "web.Request") -> "web.Response":
+        _require_writable()
+        body = await _json_body(request)
+        ids = body.get("ids")
+        if not isinstance(ids, list) or not all(
+            isinstance(i, int) and not isinstance(i, bool) for i in ids
+        ):
+            raise web.HTTPBadRequest(text="'ids' must be a list of integers")
+        if len(ids) > MAX_ADD_TEXTS:
+            raise web.HTTPRequestEntityTooLarge(
+                max_size=MAX_ADD_TEXTS, actual_size=len(ids)
+            )
+        try:
+            async with kb.bulk_del_docs() as del_doc:
+                for doc_id in ids:
+                    await del_doc(doc_id)
+        except RuntimeError as exc:  # delete-with-children etc.
+            raise web.HTTPConflict(text=str(exc))
+        except KeyError as exc:
+            raise web.HTTPNotFound(text=f"no such document: {exc}")
+        return web.json_response({"deleted": len(ids)})
+
+    async def kv_get(request: "web.Request") -> "web.Response":
+        key = request.match_info["key"]
+        async with kb.bulk_keyval_update() as kv:
+            if not await kv.has(key):
+                raise web.HTTPNotFound(text=f"no such key: {key!r}")
+            val = await kv.get(key)
+        return web.json_response({"key": key, "value": val})
+
+    async def kv_put(request: "web.Request") -> "web.Response":
+        _require_writable()
+        key = request.match_info["key"]
+        try:
+            value = await request.json()
+        except ValueError:
+            raise web.HTTPBadRequest(text="body must be JSON (the value)")
+        if isinstance(value, bool) or not isinstance(
+            value, (str, int, float, type(None))
+        ):
+            # KV values are SQLite-bindable scalars (reference semantics:
+            # whatever `keyval_user.val` accepts) — a dict/list/bool would
+            # come back as something else on read
+            raise web.HTTPBadRequest(
+                text="value must be a JSON string, number, or null"
+            )
+        async with kb.bulk_keyval_update() as kv:
+            await kv.set(key, value)
+        return web.json_response({"key": key, "ok": True})
+
+    async def kv_delete(request: "web.Request") -> "web.Response":
+        _require_writable()
+        key = request.match_info["key"]
+        async with kb.bulk_keyval_update() as kv:
+            if not await kv.has(key):
+                raise web.HTTPNotFound(text=f"no such key: {key!r}")
+            await kv.remove(key)
+        return web.json_response({"key": key, "ok": True})
+
     app.router.add_get("/healthz", healthz)
     app.router.add_get("/stats", stats)
     app.router.add_post("/retrieve", retrieve)
+    app.router.add_post("/pairwise", pairwise)
     app.router.add_post("/add", add)
+    app.router.add_post("/delete", delete)
+    app.router.add_get("/kv/{key}", kv_get)
+    app.router.add_put("/kv/{key}", kv_put)
+    app.router.add_delete("/kv/{key}", kv_delete)
     return app
 
 
@@ -243,6 +419,7 @@ def run_server(
     writable: bool = False,
     max_batch: int = DEFAULT_MAX_BATCH,
     window_ms: float = DEFAULT_WINDOW_MS,
+    max_queue: Optional[int] = None,
     **kb_kwargs: Any,
 ) -> None:
     """Open ``db_path`` and serve it until interrupted (CLI entry)."""
@@ -255,7 +432,11 @@ def run_server(
         kb = AsyncKB(db_path, **kb_kwargs)
         await kb.load()  # pack the corpus before accepting traffic
         app = make_app(
-            kb, writable=writable, max_batch=max_batch, window_ms=window_ms
+            kb,
+            writable=writable,
+            max_batch=max_batch,
+            window_ms=window_ms,
+            max_queue=max_queue,
         )
         runner = web.AppRunner(app)
         await runner.setup()

@@ -201,3 +201,139 @@ async def test_concurrent_writes_and_reads(db_path):
     finally:
         await client.close()
         await kb.close()
+
+async def test_queue_bound_sheds_with_429(db_path):
+    """A burst beyond the queue bound is shed with 429, not queued
+    without limit; accepted requests still complete correctly."""
+    kb = await _make_kb(db_path)
+    # tiny bound: 4 per batch, 8 queued max; a slow embedder keeps the
+    # queue occupied long enough for the burst to pile up
+    slow_gate = asyncio.Event()
+    inner = kb.embedding_func
+
+    async def slow_embed(texts):
+        await slow_gate.wait()
+        return await inner(texts)
+
+    slow_embed.__embedding_func_params__ = getattr(
+        inner, "__embedding_func_params__", None
+    )
+    kb.embedding_func = slow_embed
+    client = await _client(kb, max_batch=4, max_queue=8, window_ms=1.0)
+    try:
+        tasks = [
+            asyncio.ensure_future(
+                client.post("/retrieve", json={"query": f"vec:{i % 12}", "n": 1})
+            )
+            for i in range(20)
+        ]
+        await asyncio.sleep(0.1)  # let the queue fill and shedding begin
+        slow_gate.set()
+        responses = await asyncio.gather(*tasks)
+        statuses = [r.status for r in responses]
+        assert statuses.count(429) > 0, statuses
+        assert statuses.count(200) > 0, statuses
+        for r in responses:
+            if r.status == 200:
+                body = await r.json()
+                assert body["results"][0]["score"] == pytest.approx(1.0)
+        stats = await (await client.get("/stats")).json()
+        assert stats["server"]["shed"] == statuses.count(429)
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_n_bucketing_isolates_outlier_n(db_path):
+    """An n=64 outlier co-arriving with n=1 requests must not change the
+    n=1 responses (they flush as separate retrieve_batch groups)."""
+    kb = await _make_kb(db_path)
+    batcher = MicroBatcher(kb, max_batch=16, window_ms=20.0)
+    results = await asyncio.gather(
+        batcher.retrieve("vec:0", 64),
+        *(batcher.retrieve(f"vec:{i % 12}", 1) for i in range(8)),
+    )
+    assert len(results[0]) == 12  # n=64 capped by corpus size
+    for i, res in enumerate(results[1:]):
+        assert len(res) == 1 and res[0]["doc"]["text"] == f"vec:{i % 12}"
+    assert batcher.batches == 1  # one flush, grouped internally
+    await kb.close()
+
+
+async def test_pairwise_route(db_path):
+    kb = await _make_kb(db_path)
+    client = await _client(kb)
+    try:
+        r = await client.post("/pairwise", json={"n": 3})
+        assert r.status == 200
+        pairs = (await r.json())["pairs"]
+        assert len(pairs) == 3
+        for p in pairs:
+            assert set(p) == {"score", "doc_a", "doc_b"}
+            assert p["doc_a"]["id"] != p["doc_b"]["id"]
+        assert (await client.post("/pairwise", json={"n": 0})).status == 400
+        assert (
+            await client.post("/pairwise", json={"n": 10**9})
+        ).status == 400
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_delete_route(db_path):
+    kb = await _make_kb(db_path)
+    client = await _client(kb, writable=True)
+    try:
+        r = await client.post("/retrieve", json={"query": "vec:5", "n": 1})
+        doc_id = (await r.json())["results"][0]["doc"]["id"]
+        r = await client.post("/delete", json={"ids": [doc_id]})
+        assert r.status == 200 and (await r.json()) == {"deleted": 1}
+        r = await client.get("/healthz")
+        # healthz count may be cached ~1s; wait out the TTL
+        await asyncio.sleep(1.1)
+        r = await client.get("/healthz")
+        assert (await r.json())["docs"] == 11
+        # bad input + read-only gating
+        assert (await client.post("/delete", json={"ids": "x"})).status == 400
+        r = await client.post("/delete", json={"ids": [999999]})
+        assert r.status == 404
+    finally:
+        await client.close()
+        await kb.close()
+
+    client = await _client(kb)  # read-only
+    try:
+        assert (await client.post("/delete", json={"ids": [1]})).status == 403
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_kv_routes(db_path):
+    kb = await _make_kb(db_path)
+    client = await _client(kb, writable=True)
+    try:
+        assert (await client.get("/kv/color")).status == 404
+        # KV values are SQLite-bindable scalars (reference semantics)
+        assert (
+            await client.put("/kv/color", json={"hue": "red"})
+        ).status == 400
+        r = await client.put("/kv/color", json="red")
+        assert r.status == 200
+        r = await client.get("/kv/color")
+        assert (await r.json()) == {"key": "color", "value": "red"}
+        r = await client.delete("/kv/color")
+        assert r.status == 200
+        assert (await client.get("/kv/color")).status == 404
+        assert (await client.delete("/kv/none")).status == 404
+    finally:
+        await client.close()
+        await kb.close()
+
+    client = await _client(kb)  # read-only: reads ok, writes gated
+    try:
+        assert (await client.put("/kv/x", json=1)).status == 403
+        assert (await client.delete("/kv/x")).status == 403
+    finally:
+        await client.close()
+        await kb.close()
