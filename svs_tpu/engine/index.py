@@ -514,6 +514,15 @@ class RetrievalEngine:
         self._host_pack = HostPack(data=data, row_scales=row_scales)
         self._sidecar_source = Path(path)
         n_valid = int(header["n_valid"])
+        # Publish-time sidecars carry the f32 rescore cache (mmap'd):
+        # zero-scan cold start — no background rebuild thread either.
+        host_cache = None
+        if "_f32_cache" in header:
+            from .packing import rescore_cache_limit
+
+            cache = header["_f32_cache"]
+            if cache.nbytes <= rescore_cache_limit():
+                host_cache = (cache, header.get("_f32_row_map"))
         return PackedCorpus(
             data=device_data,
             row_scales=scales_arr,
@@ -525,6 +534,7 @@ class RetrievalEngine:
             scale_max=float(np.max(row_scales[:n_valid])) if (
                 row_scales is not None and n_valid > 0
             ) else 0.0,
+            host_cache=host_cache,
         )
 
     def write_sidecar(self, path: Union[str, Path]) -> None:
@@ -541,6 +551,67 @@ class RetrievalEngine:
         save_sidecar(
             path, self._corpus, fingerprint=self._fingerprint, host_pack=host
         )
+
+    def write_sidecar_from_store(
+        self, db: Database, path: Union[str, Path], *, min_docs: int = 0
+    ) -> bool:
+        """Write/refresh the sidecar at ``path`` to match the store's
+        CURRENT embeddings — the publish flow (``close()``): a builder who
+        bulk-adds and closes pays the pack once here so no consumer ever
+        pays the cold-start BLOB rescan (reference publish flow:
+        ``svs/kb.py:969-995``, which ships nothing and leaves every
+        consumer a ~100 s rebuild at 1M docs).
+
+        Device-free: reuses the live host pack when it is current,
+        otherwise scans + packs on the host only (``packing.pack_host``).
+        Skips corpora below ``min_docs`` and files already current.
+        Returns True iff a current sidecar exists at ``path`` on return.
+        """
+        from .packing import pack_host
+        from .sidecar import save_sidecar_arrays, sidecar_fingerprint
+
+        fingerprint = self._store_fingerprint(db)
+        if fingerprint[1] < max(1, min_docs):
+            return False
+        if sidecar_fingerprint(path) == list(fingerprint):
+            return True  # already current — skip the rewrite
+        with self._lock:
+            corpus, host = self._corpus, self._host_pack
+            if (
+                corpus is not None
+                and host is not None
+                and self._fingerprint == fingerprint
+            ):
+                save_sidecar(
+                    path, corpus, fingerprint=fingerprint, host_pack=host
+                )
+                return True
+        # No usable pack in hand (fresh writes invalidated it, or the pack
+        # came from a sidecar of another path): host-only scan + pack.
+        log.info("publish: packing corpus for sidecar %s", path)
+        with db.transaction() as tx:
+            matrix, emb_ids = tx.build_embeddings_matrix()
+        host_data, host_scales, emb_ids, cache_f32, row_map, n, d = pack_host(
+            matrix,
+            emb_ids,
+            self.precision,
+            row_multiple=self._row_multiple(matrix.shape[0]),
+            dim_multiple=self._dim_multiple(),
+        )
+        save_sidecar_arrays(
+            path,
+            n_valid=n,
+            dim=d,
+            precision=self.precision,
+            matrix_version=fingerprint[0],
+            fingerprint=fingerprint,
+            emb_ids=emb_ids,
+            row_scales=host_scales,
+            data=host_data,
+            f32_cache=cache_f32,
+            f32_row_map=row_map,
+        )
+        return True
 
     # -- search ---------------------------------------------------------------
 

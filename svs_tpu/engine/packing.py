@@ -190,23 +190,30 @@ class PackedCorpus:
         return n
 
 
-def pack_corpus(
+def pack_host(
     matrix: np.ndarray,
     emb_ids: np.ndarray,
-    version: int,
-    precision: Precision = "bf16",
-    placement: Union[jax.Device, jax.sharding.Sharding, None] = None,
+    precision: Precision,
     row_multiple: int = ROW_MULTIPLE,
     dim_multiple: int = DIM_MULTIPLE,
-    keep_host: bool = False,
-) -> "Union[PackedCorpus, Tuple[PackedCorpus, HostPack]]":
-    """Pack a host f32 ``[n, d]`` matrix for device search.
+) -> Tuple[
+    np.ndarray,
+    Optional[np.ndarray],
+    np.ndarray,
+    np.ndarray,
+    Optional[np.ndarray],
+    int,
+    int,
+]:
+    """Permute + pad + cast/quantize on the HOST only — no device touch.
 
-    ``placement`` may be a device (single chip), a Sharding (corpus split
-    over a mesh), or ``None`` (JAX default device).  With ``keep_host``,
-    also return the host-side packed arrays (same bytes that went to the
-    device) so a sidecar write never has to pull them back off the device
-    — a 3 GB device->host read costs minutes on tunneled setups.
+    The shared front half of :func:`pack_corpus`, also used standalone by
+    publish-time sidecar writes (``close()`` leaves a ``.svsx`` behind
+    without paying a device upload).  Returns ``(host_data, host_scales,
+    emb_ids, cache_f32, host_row_map, n, d)`` where ``cache_f32`` is the
+    f32 matrix aligned with the rescore-cache layout (pack order when the
+    fallback path permuted it, scan order + ``host_row_map`` when the
+    fused native pack kept it unpermuted).
     """
     assert matrix.ndim == 2
     n, d = matrix.shape
@@ -258,7 +265,42 @@ def pack_corpus(
             host_data, host_scales = f32_to_bf16(padded), None
         else:
             host_data, host_scales = padded, None
+    return host_data, host_scales, emb_ids, matrix, host_row_map, n, d
 
+
+def pack_corpus(
+    matrix: np.ndarray,
+    emb_ids: np.ndarray,
+    version: int,
+    precision: Precision = "bf16",
+    placement: Union[jax.Device, jax.sharding.Sharding, None] = None,
+    row_multiple: int = ROW_MULTIPLE,
+    dim_multiple: int = DIM_MULTIPLE,
+    keep_host: bool = False,
+) -> "Union[PackedCorpus, Tuple[PackedCorpus, HostPack]]":
+    """Pack a host f32 ``[n, d]`` matrix for device search.
+
+    ``placement`` may be a device (single chip), a Sharding (corpus split
+    over a mesh), or ``None`` (JAX default device).  With ``keep_host``,
+    also return the host-side packed arrays (same bytes that went to the
+    device) so a sidecar write never has to pull them back off the device
+    — a 3 GB device->host read costs minutes on tunneled setups.
+    """
+    (
+        host_data,
+        host_scales,
+        emb_ids,
+        matrix,
+        host_row_map,
+        n,
+        d,
+    ) = pack_host(
+        matrix,
+        emb_ids,
+        precision,
+        row_multiple=row_multiple,
+        dim_multiple=dim_multiple,
+    )
     data = _put(host_data, placement)
     row_scales = (
         _put(host_scales, _scales_placement(placement))

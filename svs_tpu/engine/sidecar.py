@@ -12,10 +12,20 @@ Layout (little-endian):
     8 bytes   magic ``SVSTPUSC``
     4 bytes   u32 JSON header length L
     L bytes   JSON: {format, n_valid, dim, n_padded, dim_padded,
-                      precision, matrix_version}
+                      precision, matrix_version, fingerprint,
+                      f32_cache, f32_row_map}
     n_valid*8 emb_ids (int64)
     [n_padded*4 row_scales (f32) — int8 precision only]
     n_padded*dim_padded*itemsize packed matrix (row-major)
+    [n_valid*8 f32_row_map (int64) — when header.f32_row_map]
+    [n_valid*dim*4 f32 rescore cache (row-major) — when header.f32_cache]
+
+The trailing f32 sections (publish-time writes include them for
+reduced-precision corpora) carry the exact scan bytes the pack was built
+from: consumers mmap them as the rescore-gather source, so a published KB
+cold-starts with ZERO store scans — no blocking matrix build AND no
+background rescore-cache rebuild.  Readers ignore unknown absent
+sections, so pre-cache files stay loadable.
 
 All writes go through a ``.tmp`` + ``os.replace`` so a crash never leaves a
 torn sidecar.
@@ -67,17 +77,6 @@ def save_sidecar(
     ``host_pack`` (a ``packing.HostPack``) supplies the bytes without
     reading them back from the device.
     """
-    header = {
-        "format": _FORMAT,
-        "n_valid": corpus.n_valid,
-        "dim": corpus.dim,
-        "n_padded": corpus.n_padded,
-        "dim_padded": corpus.dim_padded,
-        "precision": corpus.precision,
-        "matrix_version": corpus.version,
-        "fingerprint": list(fingerprint) if fingerprint is not None else None,
-    }
-    header_bytes = json.dumps(header).encode()
     if host_pack is not None:
         # The packer's host-side bytes — avoids a device->host pull of the
         # whole matrix (minutes over tunneled links).
@@ -90,17 +89,103 @@ def save_sidecar(
             if corpus.row_scales is not None
             else None
         )
+    cache = corpus.host_cache
+    save_sidecar_arrays(
+        path,
+        n_valid=corpus.n_valid,
+        dim=corpus.dim,
+        precision=corpus.precision,
+        matrix_version=corpus.version,
+        fingerprint=fingerprint,
+        emb_ids=corpus.emb_ids,
+        row_scales=scales_np,
+        data=data_np,
+        f32_cache=cache[0] if cache is not None else None,
+        f32_row_map=cache[1] if cache is not None else None,
+    )
+
+
+def save_sidecar_arrays(
+    path: Union[str, Path],
+    *,
+    n_valid: int,
+    dim: int,
+    precision: str,
+    matrix_version: int,
+    fingerprint: Optional[Sequence[int]],
+    emb_ids: np.ndarray,
+    row_scales: Optional[np.ndarray],
+    data: np.ndarray,
+    f32_cache: Optional[np.ndarray] = None,
+    f32_row_map: Optional[np.ndarray] = None,
+) -> None:
+    """Raw-array sidecar write — the device-free core of
+    :func:`save_sidecar`, used directly by publish-time writes where only
+    host bytes exist (``engine.write_sidecar_from_store``).
+
+    ``f32_cache``/``f32_row_map`` (the engine's host rescore cache pair)
+    append the zero-scan sections — see the module docstring.  The cache
+    is skipped for f32 precision, where the pack already IS the exact
+    bytes.
+    """
+    n_padded, dim_padded = data.shape
+    if precision == "f32":
+        f32_cache = f32_row_map = None
+    if f32_cache is None:
+        f32_row_map = None  # a map without a cache is meaningless
+    header = {
+        "format": _FORMAT,
+        "n_valid": int(n_valid),
+        "dim": int(dim),
+        "n_padded": int(n_padded),
+        "dim_padded": int(dim_padded),
+        "precision": precision,
+        "matrix_version": int(matrix_version),
+        "fingerprint": list(fingerprint) if fingerprint is not None else None,
+        "f32_cache": f32_cache is not None,
+        "f32_row_map": f32_row_map is not None,
+    }
+    header_bytes = json.dumps(header).encode()
     tmp = Path(f"{path}.tmp")
     with open(tmp, "wb") as f:
         f.write(_MAGIC)
         f.write(struct.pack("<I", len(header_bytes)))
         f.write(header_bytes)
-        f.write(np.asarray(corpus.emb_ids, dtype="<i8").tobytes())
-        if corpus.row_scales is not None:
-            f.write(np.asarray(scales_np, dtype="<f4").tobytes())
-        f.write(np.ascontiguousarray(data_np).tobytes())
+        f.write(np.asarray(emb_ids, dtype="<i8").tobytes())
+        if row_scales is not None:
+            f.write(np.asarray(row_scales, dtype="<f4").tobytes())
+        f.write(np.ascontiguousarray(data).tobytes())
+        if f32_row_map is not None:
+            f.write(np.asarray(f32_row_map, dtype="<i8").tobytes())
+        if f32_cache is not None:
+            assert f32_cache.shape == (n_valid, dim), f32_cache.shape
+            f.write(
+                np.ascontiguousarray(f32_cache, dtype="<f4").tobytes()
+            )
     os.replace(tmp, path)
-    log.info("wrote sidecar %s (%d docs, %s)", path, corpus.n_valid, corpus.precision)
+    log.info(
+        "wrote sidecar %s (%d docs, %s%s)",
+        path, n_valid, precision,
+        ", +f32 cache" if f32_cache is not None else "",
+    )
+
+
+def sidecar_fingerprint(path: Union[str, Path]) -> Optional[list]:
+    """The stored fingerprint of the sidecar at ``path`` (header-only
+    read), or ``None`` when missing/unreadable.  Lets publish-time writes
+    skip rewriting an already-current file without mapping its data."""
+    try:
+        with open(path, "rb") as f:
+            if f.read(8) != _MAGIC:
+                return None
+            (header_len,) = struct.unpack("<I", f.read(4))
+            header = json.loads(f.read(header_len))
+    except (OSError, ValueError, json.JSONDecodeError, struct.error):
+        return None
+    if header.get("format") != _FORMAT:
+        return None
+    stored = header.get("fingerprint")
+    return list(stored) if stored is not None else None
 
 
 def load_sidecar(
@@ -154,11 +239,29 @@ def load_sidecar(
     if header["precision"] == "int8":
         row_scales = np.fromfile(path, dtype="<f4", count=n_padded, offset=offset)
         offset += n_padded * 4
-    expected_bytes = offset + n_padded * dim_padded * dtype.itemsize
+    data_bytes = n_padded * dim_padded * dtype.itemsize
+    dim = header["dim"]
+    expected_bytes = offset + data_bytes
+    if header.get("f32_row_map"):
+        expected_bytes += n_valid * 8
+    if header.get("f32_cache"):
+        expected_bytes += n_valid * dim * 4
     if path.stat().st_size < expected_bytes:
         log.warning("sidecar %s: truncated; ignoring", path)
         return None
     data = np.memmap(
         path, dtype=dtype, mode="r", offset=offset, shape=(n_padded, dim_padded)
     )
+    # optional zero-scan rescore-cache sections ride along in the header
+    # dict (keeps the 4-tuple return stable for existing callers)
+    tail = offset + data_bytes
+    if header.get("f32_row_map"):
+        header["_f32_row_map"] = np.fromfile(
+            path, dtype="<i8", count=n_valid, offset=tail
+        )
+        tail += n_valid * 8
+    if header.get("f32_cache"):
+        header["_f32_cache"] = np.memmap(
+            path, dtype="<f4", mode="r", offset=tail, shape=(n_valid, dim)
+        )
     return data, row_scales, emb_ids, header

@@ -85,6 +85,7 @@ from .utils import (
     delete_file_if_exists,
     atomic_gzip_file,
     resolve_to_local_uncompressed_file,
+    try_fetch_remote_sidecar,
 )
 from .utils.topk_np import top_k_numpy
 from .utils.trace import QueryStats, phase, profiler_trace
@@ -180,6 +181,28 @@ def _open_database(
     except BaseException:
         db.close()
         raise
+
+
+def _publish_sidecar(
+    engine: "RetrievalEngine",
+    policy: Union[bool, str],
+    db: Database,
+    override: Optional[bool],
+) -> None:
+    """Close-time sidecar policy shared by both facades: leave a current
+    ``<db>.svsx`` behind so consumers skip the cold-start rescan.  Never
+    fatal — a failed write only costs the next opener a rebuild."""
+    if override is False or (override is None and policy is False):
+        return
+    min_docs = SIDECAR_AUTO_MIN_DOCS if (
+        override is None and policy == "auto"
+    ) else 0
+    try:
+        engine.write_sidecar_from_store(
+            db, sidecar_path_for(db.path), min_docs=min_docs
+        )
+    except Exception:
+        log.warning("publish-time sidecar write failed", exc_info=True)
 
 
 class DocRowCache:
@@ -477,6 +500,13 @@ class AsyncKB:
             local_path = await resolve_to_local_uncompressed_file(
                 self.local_path_or_remote_url
             )
+            if self.sidecar is not False and not self.force_fresh_db:
+                # publishers upload <db>.svsx next to <db>.gz; grabbing it
+                # skips the cold-start BLOB rescan (stale ones are ignored
+                # by the sidecar fingerprint check)
+                await try_fetch_remote_sidecar(
+                    self.local_path_or_remote_url, local_path
+                )
             loop = asyncio.get_running_loop()
 
             def heavy() -> Tuple[Database, EmbeddingFunc]:
@@ -515,14 +545,28 @@ class AsyncKB:
                 loop = asyncio.get_running_loop()
                 await loop.run_in_executor(None, self.engine.write_sidecar, path)
 
-    async def close(self, vacuum: bool = False, also_gzip: bool = False) -> None:
+    async def close(
+        self,
+        vacuum: bool = False,
+        also_gzip: bool = False,
+        write_sidecar: Optional[bool] = None,
+    ) -> None:
         """Flush and close.  ``vacuum`` compacts the file; ``also_gzip``
-        atomically writes the shareable ``<path>.gz`` artifact."""
+        atomically writes the shareable ``<path>.gz`` artifact.
+
+        ``write_sidecar`` controls the publish-time sidecar: by default
+        (``None``) the instance's sidecar policy decides — ``True`` always
+        writes, ``'auto'`` writes for corpora past the auto threshold —
+        so a builder who adds documents and closes leaves a current
+        ``<path>.svsx`` behind and no consumer ever pays the cold-start
+        BLOB rescan (upload it next to the ``.gz``).  Pass ``False`` to
+        skip, ``True`` to force regardless of policy."""
         async with self._get_lock():
             db = await self._ensure_db()
             loop = asyncio.get_running_loop()
 
             def heavy() -> Union[str, Path]:
+                _publish_sidecar(self.engine, self.sidecar, db, write_sidecar)
                 if vacuum:
                     db.vacuum()
                 db.close()
@@ -1035,6 +1079,11 @@ class KB:
         local_path = self._loop.run(
             resolve_to_local_uncompressed_file(local_path_or_remote_url)
         )
+        if sidecar is not False and not force_fresh_db:
+            # see AsyncKB._ensure_db: publishers ship <db>.svsx siblings
+            self._loop.run(
+                try_fetch_remote_sidecar(local_path_or_remote_url, local_path)
+            )
         try:
             self.db, self.embedding_func = _open_database(
                 local_path, force_fresh_db, embedding_func
@@ -1072,12 +1121,20 @@ class KB:
             ):
                 self.engine.write_sidecar(path)
 
-    def close(self, vacuum: bool = False, also_gzip: bool = False) -> None:
+    def close(
+        self,
+        vacuum: bool = False,
+        also_gzip: bool = False,
+        write_sidecar: Optional[bool] = None,
+    ) -> None:
+        """See :meth:`AsyncKB.close` — same ``vacuum`` / ``also_gzip`` /
+        publish-time ``write_sidecar`` semantics."""
         self._loop.stop()
         with self._lock:
             if self.db is None:
                 return
             db = self.db
+            _publish_sidecar(self.engine, self.sidecar, db, write_sidecar)
             if vacuum:
                 db.vacuum()
             db.close()

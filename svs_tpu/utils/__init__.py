@@ -10,6 +10,7 @@ from .files import (
     delete_file_if_exists,
     file_cached_wget,
     resolve_to_local_uncompressed_file,
+    try_fetch_remote_sidecar,
 )
 from .topk_np import top_k_numpy, top_pairs_numpy
 
@@ -23,6 +24,7 @@ __all__ = [
     "delete_file_if_exists",
     "file_cached_wget",
     "resolve_to_local_uncompressed_file",
+    "try_fetch_remote_sidecar",
     "top_k_numpy",
     "top_pairs_numpy",
 ]

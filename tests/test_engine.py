@@ -567,7 +567,11 @@ def test_rescore_cache_follows_incremental_append(db_path, unit_rows):
     db.close()
 
 
-def test_sidecar_loaded_pack_has_no_rescore_cache(db_path, unit_rows, tmp_path):
+def test_sidecar_loaded_pack_mmaps_published_rescore_cache(
+    db_path, unit_rows, tmp_path
+):
+    """Sidecars written from a scan-built pack carry the f32 rescore
+    cache; loading one attaches it (mmap) with NO background rebuild."""
     m = unit_rows(30, 8)
     db = _fill(db_path, m)
     eng = RetrievalEngine(precision="bf16")
@@ -577,7 +581,16 @@ def test_sidecar_loaded_pack_has_no_rescore_cache(db_path, unit_rows, tmp_path):
 
     eng2 = RetrievalEngine(precision="bf16")
     c2 = eng2.ensure_fresh(db, sidecar_path=side)
-    assert c2.host_f32 is None  # no f32 scan happened — fallback path
+    assert c2.host_f32 is not None  # published cache, mmap'd
+    assert eng2._cache_rebuild_thread is None  # nothing to rebuild
+    rows = (
+        c2.host_f32
+        if c2.host_row_map is None
+        else c2.host_f32[c2.host_row_map]
+    )
+    with db.transaction() as tx:
+        fetched = tx.fetch_embedding_rows([int(e) for e in c2.emb_ids])
+    np.testing.assert_array_equal(rows, fetched)
     db.close()
 
 
@@ -628,14 +641,18 @@ def test_fused_native_pack_matches_stepwise_and_maps_rows(
 def test_sidecar_rescore_cache_rebuilt_in_background(
     db_path, unit_rows, tmp_path
 ):
-    """After a sidecar cold start the rescore cache is rebuilt by a
-    background scan and attached to the live corpus — mapped correctly
-    through host_row_map — but never attached if the store moved."""
+    """After a cold start from a CACHE-LESS sidecar (pre-publish format,
+    or one that exceeded the cache size limit) the rescore cache is
+    rebuilt by a background scan and attached to the live corpus — mapped
+    correctly through host_row_map — but never attached if the store
+    moved."""
     m = unit_rows(30, 8)
     db = _fill(db_path, m)
     eng = RetrievalEngine(precision="bf16")
     eng.ensure_fresh(db)
     side = tmp_path / "s.svsidecar"
+    # strip the pack's host cache so the written sidecar has no f32 section
+    object.__setattr__(eng._corpus, "host_cache", None)
     eng.write_sidecar(side)
 
     eng2 = RetrievalEngine(precision="bf16")
