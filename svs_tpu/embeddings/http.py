@@ -29,7 +29,9 @@ _RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
 class ProviderHTTPError(RuntimeError):
     """An embeddings backend rejected the request (terminally)."""
 
-    def __init__(self, provider: str, status: Optional[int], detail: str):
+    def __init__(
+        self, provider: str, status: Optional[int], detail: str
+    ) -> None:
         self.provider = provider
         self.status = status
         super().__init__(

@@ -190,7 +190,7 @@ def sidecar_fingerprint(path: Union[str, Path]) -> Optional[list]:
 
 def load_sidecar(
     path: Union[str, Path],
-    expected_version: Optional[int] = None,
+    expected_version: Union[int, Sequence[int], None] = None,
 ) -> Optional[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray, dict]]:
     """Load a sidecar as memory-mapped arrays.
 

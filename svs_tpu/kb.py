@@ -88,6 +88,7 @@ from .utils import (
     try_fetch_remote_sidecar,
 )
 from .utils.topk_np import top_k_numpy
+from .utils.typecheck import typeguard_exempt
 from .utils.trace import QueryStats, phase, profiler_trace
 
 log = logging.getLogger(__name__)
@@ -466,7 +467,7 @@ class AsyncKB:
         device: Optional[Any] = None,
         sidecar: Union[bool, str] = "auto",
         kernel: str = "auto",
-    ):
+    ) -> None:
         self.local_path_or_remote_url = local_path_or_remote_url
         self.db: Optional[Database] = None
         self.db_lock: Optional[asyncio.Lock] = None
@@ -599,6 +600,7 @@ class AsyncKB:
 
     # -- bulk operations -------------------------------------------------------
 
+    @typeguard_exempt
     @asynccontextmanager
     async def bulk_add_docs(self) -> AsyncIterator[AsyncDocumentAdder]:
         """One transaction: add documents, then fetch + store their
@@ -655,6 +657,7 @@ class AsyncKB:
                 )
                 log.info("bulk-add: transaction %s", "committed" if ok else "rolled back")
 
+    @typeguard_exempt
     @asynccontextmanager
     async def bulk_del_docs(self) -> AsyncIterator[AsyncDocumentDeleter]:
         """One transaction deleting documents (with their embeddings and
@@ -686,6 +689,7 @@ class AsyncKB:
                     None, txn.__exit__, None if ok else type(exc), exc, None
                 )
 
+    @typeguard_exempt
     @asynccontextmanager
     async def bulk_query_docs(self) -> AsyncIterator[AsyncDocumentQuerier]:
         loop = asyncio.get_running_loop()
@@ -770,6 +774,7 @@ class AsyncKB:
                     None, txn.__exit__, None if ok else type(exc), exc, None
                 )
 
+    @typeguard_exempt
     @asynccontextmanager
     async def bulk_graph_update(self) -> AsyncIterator[AsyncGraphInterface]:
         loop = asyncio.get_running_loop()
@@ -844,6 +849,7 @@ class AsyncKB:
                     None, txn.__exit__, None if ok else type(exc), exc, None
                 )
 
+    @typeguard_exempt
     @asynccontextmanager
     async def bulk_keyval_update(self) -> AsyncIterator[AsyncKeyValueInterface]:
         loop = asyncio.get_running_loop()
@@ -1059,7 +1065,7 @@ class KB:
         device: Optional[Any] = None,
         sidecar: Union[bool, str] = "auto",
         kernel: str = "auto",
-    ):
+    ) -> None:
         self.local_path_or_remote_url = local_path_or_remote_url
         self.embedding_func = embedding_func
         self.embedding_func_orig = embedding_func
@@ -1159,6 +1165,7 @@ class KB:
 
     # -- bulk operations --------------------------------------------------------
 
+    @typeguard_exempt
     @contextmanager
     def bulk_add_docs(self) -> Iterator[DocumentAdder]:
         with self._lock:
@@ -1190,6 +1197,7 @@ class KB:
                 if pending:
                     tx.bump_matrix_version()
 
+    @typeguard_exempt
     @contextmanager
     def bulk_del_docs(self) -> Iterator[DocumentDeleter]:
         with self._lock:
@@ -1207,6 +1215,7 @@ class KB:
                     in_context = False
                 tx.bump_matrix_version()
 
+    @typeguard_exempt
     @contextmanager
     def bulk_query_docs(self) -> Iterator[DocumentQuerier]:
         with self._lock:
@@ -1263,6 +1272,7 @@ class KB:
                 finally:
                     in_context = False
 
+    @typeguard_exempt
     @contextmanager
     def bulk_graph_update(self) -> Iterator[GraphInterface]:
         with self._lock:
@@ -1312,6 +1322,7 @@ class KB:
                 finally:
                     in_context = False
 
+    @typeguard_exempt
     @contextmanager
     def bulk_keyval_update(self) -> Iterator[KeyValueInterface]:
         with self._lock:

@@ -26,7 +26,7 @@ selection ~100x).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +58,20 @@ def escalation_widths(k: int, n_rows_total: int, width_cap: int) -> list:
     return widths
 
 
+def extraction_route_chosen(n: int, rows: int, m: int) -> bool:
+    """THE hardware-independent half of :func:`select_rows_topm`'s
+    dispatch: True when a ``[rows, n]`` per-row top-``m`` selection routes
+    through the extraction kernel (on TPU; the CPU backend additionally
+    requires the interpret-mode test hook).  Split out so CI can pin the
+    routing used by the headline pairwise shapes without paying an
+    interpret-mode kernel run per shape."""
+    from .pallas_extract import BLOCK_N as EX_BLOCK
+    from .pallas_extract import extract_supported
+
+    sel_n = ((n + EX_BLOCK - 1) // EX_BLOCK) * EX_BLOCK
+    return sel_n <= 2 * n and extract_supported(sel_n, rows, m)
+
+
 def select_rows_topm(
     scores: jax.Array, m: int, force_interp: "bool | None" = None
 ) -> Tuple[jax.Array, jax.Array]:
@@ -67,20 +81,19 @@ def select_rows_topm(
     the kernel's block with NEG_INF unless the padding would dominate
     (small N is faster through plain top_k)."""
     from .pallas_extract import BLOCK_N as EX_BLOCK
-    from .pallas_extract import extract_supported, extract_topk
+    from .pallas_extract import extract_topk
 
     rows, n = scores.shape
     on_cpu = jax.default_backend() == "cpu"
     if force_interp is None:
         force_interp = _FORCE_EXTRACT_INTERPRET
     sel_n = ((n + EX_BLOCK - 1) // EX_BLOCK) * EX_BLOCK
-    use_extract = (
-        sel_n <= 2 * n
-        and extract_supported(sel_n, rows, m)
-        and (not on_cpu or force_interp)
+    use_extract = extraction_route_chosen(n, rows, m) and (
+        not on_cpu or force_interp
     )
     if not use_extract:
-        return jax.lax.top_k(scores, m)
+        _v, _i = jax.lax.top_k(scores, m)
+        return _v, _i
     if sel_n != n:
         scores = jnp.concatenate(
             [scores, jnp.full((rows, sel_n - n), NEG_INF, scores.dtype)],
@@ -119,7 +132,12 @@ def _pairwise_attempt(
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, n_padded), 1)
 
-    def step(carry, block_idx):
+    def step(
+        carry: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],
+        block_idx: jax.Array,
+    ) -> Tuple[
+        Tuple[jax.Array, jax.Array, jax.Array, jax.Array], Any
+    ]:
         c_vals, c_rows, c_cols, c_tail = carry
         row0 = block_idx * block_rows
         block = jax.lax.dynamic_slice(docs, (row0, 0), (block_rows, docs.shape[1]))

@@ -47,7 +47,7 @@ blends with -inf), no reshapes inside the kernel.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .topk import NEG_INF, pack_vals_idx, score_topk, scores_matmul
+
+#: Pallas memory-ref handle type inside kernel bodies.  Pallas exposes no
+#: public Ref class to annotate with, so kernels annotate refs as ``Any``
+#: (an explicit-Any, permitted under mypy strict).
+Ref = Any
 
 #: Docs per extraction subtile (the unit of the top-H guarantee).
 SUBTILE = 1024
@@ -72,7 +77,7 @@ QBLOCK = 8
 _OUT_LANES = (BLOCK_N // SUBTILE) * EXTRACT_H  # 128
 
 
-def _extract_kernel(scores_ref, out_vals_ref, out_idx_ref) -> None:
+def _extract_kernel(scores_ref: Ref, out_vals_ref: Ref, out_idx_ref: Ref) -> None:
     j = pl.program_id(1)
     block_base = (j * BLOCK_N).astype(jnp.float32)
     pieces_v = []
@@ -194,7 +199,7 @@ FUSED_MAX_BATCH = 256
 _FUSED_OUT_LANES = (FUSED_BLOCK_N // FUSED_SUBTILE) * EXTRACT_H  # 128
 
 
-def _fused_kernel(nv_ref, q_ref, docs_ref, out_vals_ref, out_idx_ref, acc_ref) -> None:
+def _fused_kernel(nv_ref: Ref, q_ref: Ref, docs_ref: Ref, out_vals_ref: Ref, out_idx_ref: Ref, acc_ref: Ref) -> None:
     j = pl.program_id(0)
     c = pl.program_id(1)
     nc = pl.num_programs(1)
@@ -329,7 +334,7 @@ def score_topk_fused_packed(
 
 
 def _fused_int8_kernel(
-    nv_ref, q_ref, qs_ref, docs_ref, rs_ref, out_vals_ref, out_idx_ref, acc_ref
+    nv_ref: Ref, q_ref: Ref, qs_ref: Ref, docs_ref: Ref, rs_ref: Ref, out_vals_ref: Ref, out_idx_ref: Ref, acc_ref: Ref
 ) -> None:
     """int8 variant: int8 x int8 MXU matmul with int32 accumulation; the
     f32 rescale by (row_scale x query_scale) happens per subtile at emit,
@@ -532,7 +537,7 @@ def _key_vals(keys: jax.Array) -> jax.Array:
 
 
 def _emit_keys(acc_block: jax.Array, lane: jax.Array, live_from: jax.Array,
-               out_ref, col0: int) -> None:
+               out_ref: Ref, col0: int) -> None:
     """Extract the top-EXTRACT_H of one subtile's scores as packed keys
     into ``out_ref[:, col0:col0+EXTRACT_H]``.  ``live_from`` = number of
     live lanes in this subtile (scalar f32, may be <=0 or >=SUBTILE)."""
@@ -544,7 +549,7 @@ def _emit_keys(acc_block: jax.Array, lane: jax.Array, live_from: jax.Array,
         keys = jnp.where(keys == mkey, KEY_DEAD, keys)
 
 
-def _fused2_kernel(nv_ref, q_ref, docs_ref, out_ref, acc_ref) -> None:
+def _fused2_kernel(nv_ref: Ref, q_ref: Ref, docs_ref: Ref, out_ref: Ref, acc_ref: Ref) -> None:
     j = pl.program_id(0)
     c = pl.program_id(1)
     nc = pl.num_programs(1)
@@ -609,7 +614,7 @@ def _fused2_extract(
 
 
 def _fused2_int8_kernel(
-    nv_ref, q_ref, qs_ref, docs_ref, rs_ref, out_ref, acc_ref
+    nv_ref: Ref, q_ref: Ref, qs_ref: Ref, docs_ref: Ref, rs_ref: Ref, out_ref: Ref, acc_ref: Ref
 ) -> None:
     """int8 variant: int8 x int8 MXU matmul with int32 accumulation; the
     f32 rescale happens per subtile at emit (no full-width f32 buffer)."""
@@ -689,8 +694,8 @@ def _fused2_extract_int8(
     )
 
 
-def _make_reduce_kernel(h2: int):
-    def kern(keys_ref, out_ref) -> None:
+def _make_reduce_kernel(h2: int) -> Any:
+    def kern(keys_ref: Ref, out_ref: Ref) -> None:
         b = keys_ref.shape[0]
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (b, REDUCE_GROUP), 1

@@ -53,7 +53,8 @@ def masked_topk(
     n = scores.shape[-1]
     live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
     masked = jnp.where(live < n_valid, scores, NEG_INF)
-    return jax.lax.top_k(masked, k)
+    vals, idx = jax.lax.top_k(masked, k)  # normalize: lax returns a list
+    return vals, idx
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -213,7 +214,8 @@ def tiled_topk(
     """
     b, n = scores.shape
     if n % tile != 0 or n // tile < 2 or k > (n // tile) * m:
-        return jax.lax.top_k(scores, k)
+        _v, _i = jax.lax.top_k(scores, k)
+        return _v, _i
     t = n // tile
     m_eff = min(m, tile)
     tiles = scores.reshape(b, t, tile)
@@ -291,7 +293,8 @@ def coarse_topk(
     """
     b, n = scores.shape
     if n % tile != 0:
-        return jax.lax.top_k(scores, k)
+        _v, _i = jax.lax.top_k(scores, k)
+        return _v, _i
     t = n // tile
     kt = min(t, max(tiles_kept, k))
     m_eff = min(m, tile)

@@ -99,7 +99,12 @@ def _build(
             src = (me + ring_step) % n_shards
             col_base = src * n_local
 
-            def inner(carry, i, block=block, col_base=col_base):
+            def inner(
+                carry: jax.Array,
+                i: jax.Array,
+                block: jax.Array = block,
+                col_base: int = col_base,
+            ) -> jax.Array:
                 c_tail = carry
                 rows_blk = jax.lax.dynamic_slice(
                     docs_local, (i * rb, 0), (rb, docs_local.shape[1])

@@ -105,7 +105,7 @@ if not SQLITE_IS_STRICT:  # pragma: no cover - depends on host sqlite
 class Database:
     """One SQLite connection with manual transaction control."""
 
-    def __init__(self, path: Union[str, Path]):
+    def __init__(self, path: Union[str, Path]) -> None:
         self.path = path
         self._in_tx = False
         conn = sqlite3.connect(
@@ -187,7 +187,7 @@ class Transaction:
     """BEGIN on ``__enter__`` (yields a :class:`Tx`), COMMIT on clean
     ``__exit__``, ROLLBACK + re-raise when exiting with an exception."""
 
-    def __init__(self, db: Database):
+    def __init__(self, db: Database) -> None:
         self._db = db
 
     def __enter__(self) -> Tx:

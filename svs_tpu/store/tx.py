@@ -62,7 +62,7 @@ def _record(
 class Tx:
     """All queries for one open transaction."""
 
-    def __init__(self, conn: sqlite3.Connection):
+    def __init__(self, conn: sqlite3.Connection) -> None:
         self._conn = conn
         #: Snapshot of ``total_changes`` at transaction start: a non-zero
         #: delta later means THIS transaction has uncommitted writes, so

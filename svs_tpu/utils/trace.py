@@ -15,6 +15,8 @@ The reference's only tracing is log lines bracketing expensive phases
 from __future__ import annotations
 
 import contextlib
+
+from .typecheck import typeguard_exempt
 import logging
 import os
 import threading
@@ -65,6 +67,7 @@ class QueryStats:
             self._counts.clear()
 
 
+@typeguard_exempt
 @contextlib.contextmanager
 def phase(
     name: str,
@@ -82,6 +85,7 @@ def phase(
         log.log(level, "%s: %.3f ms", name, dt * 1e3)
 
 
+@typeguard_exempt
 @contextlib.contextmanager
 def profiler_trace(label: str) -> Iterator[None]:
     """Wrap a block in a ``jax.profiler`` trace when SVS_TPU_PROFILE_DIR is

@@ -322,6 +322,97 @@ def test_coarse_topk_adversarial_tie_maxes_fallback():
 import os
 
 
+
+def test_select_rows_topm_extraction_route_matches_oracle(monkeypatch):
+    """The per-row selection the blocked pairwise path runs per scan step,
+    through the REAL extraction kernel (interpret mode), including the
+    NEG_INF width-padding branch (n not a block multiple).  This is the
+    default-suite coverage of the routing behind the 100k-pairs headline
+    (the full blocked run in interpret mode takes minutes and stays
+    opt-in below)."""
+    import numpy as np
+    import svs_tpu.ops.pairwise as pairwise_mod
+    from svs_tpu.ops import pallas_extract
+    from svs_tpu.ops.pairwise import select_rows_topm
+    from svs_tpu.ops.pallas_extract import BLOCK_N
+
+    calls = []
+    orig = pallas_extract.extract_topk
+
+    def spy(scores, k, interpret=False):
+        calls.append((tuple(scores.shape), k, interpret))
+        return orig(scores, k, interpret=interpret)
+
+    monkeypatch.setattr(pallas_extract, "extract_topk", spy)
+
+    rng = np.random.default_rng(11)
+    n = BLOCK_N - 500  # pads up to one block inside select_rows_topm
+    scores = rng.normal(size=(16, n)).astype(np.float32)
+    vals, idx = select_rows_topm(jnp.asarray(scores), 7, force_interp=True)
+    assert calls and calls[0][0] == (16, BLOCK_N), calls
+    for b in range(16):
+        oracle = top_k_numpy(scores[b], 7)
+        assert list(np.asarray(idx)[b]) == [i for _, i in oracle]
+        np.testing.assert_allclose(
+            np.asarray(vals)[b], [s for s, _ in oracle], atol=2e-6
+        )
+
+
+def test_extraction_route_chosen_for_headline_shapes():
+    """Pin the dispatch: the shapes the 100k-doc pairwise headline runs
+    (row blocks of 4096, width 100k padded to the kernel block, the
+    escalation widths) must route through the extraction kernel on TPU,
+    and small widths must not."""
+    from svs_tpu.ops.pairwise import escalation_widths, extraction_route_chosen
+    from svs_tpu.ops.pallas_extract import BLOCK_N
+
+    n_pad_100k = ((100_000 + BLOCK_N - 1) // BLOCK_N) * BLOCK_N
+    widths = escalation_widths(10_000, n_pad_100k, n_pad_100k)
+    assert widths[0] == 64
+    # first escalation stage (where ~all rows resolve) uses the kernel;
+    # the rare wide retries exceed the kernel's k <= tiles*H ceiling and
+    # correctly fall back to lax.top_k
+    assert extraction_route_chosen(n_pad_100k, 4096, widths[0])
+    assert not extraction_route_chosen(n_pad_100k, 4096, widths[1])
+    # 1M-doc single-KB pairwise block width
+    assert extraction_route_chosen(63 * BLOCK_N, 4096, 64)
+    # narrow blocks stay on lax.top_k (padding would dominate)
+    assert not extraction_route_chosen(4096, 256, 64)
+
+
+def test_pairwise_blocked_drives_selection_through_shared_seam(
+    unit_rows, monkeypatch
+):
+    """Every per-row selection in the blocked pairwise pass flows through
+    ``select_rows_topm`` (the one seam shared with the extraction
+    kernel), with the expected [block_rows, n_padded] shapes — and the
+    merged result stays exact when that seam returns oracle values."""
+    import numpy as np
+    import svs_tpu.ops.pairwise as pairwise_mod
+
+    seen = []
+    orig = pairwise_mod.select_rows_topm
+
+    def spy(scores, m, force_interp=None):
+        seen.append((tuple(scores.shape), m))
+        return orig(scores, m, force_interp=force_interp)
+
+    monkeypatch.setattr(pairwise_mod, "select_rows_topm", spy)
+
+    n_valid, n_pad, blk = 700, 1024, 512
+    m = unit_rows(n_valid, 16)
+    padded = np.zeros((n_pad, 128), np.float32)
+    padded[:n_valid, :16] = m
+    vals, rows, cols = pairwise_topk_blocked(
+        jnp.asarray(padded), jnp.int32(n_valid), 9, block_rows=blk
+    )
+    assert seen and all(s == ((blk, n_pad), 9) for s in seen[:2]), seen
+    oracle = top_pairs_numpy(m @ m.T, 9)
+    assert [(r, c) for r, c in zip(rows, cols)] == [
+        (r, c) for _, r, c in oracle
+    ]
+
+
 @pytest.mark.skipif(
     not os.environ.get("SVS_TPU_SLOW_TESTS"),
     reason="interpret-mode pairwise extraction takes minutes; "
