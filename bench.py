@@ -84,6 +84,11 @@ def main() -> None:
         "--batch is 1; 0 disables)",
     )
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument(
+        "--full-stack", type=int, choices=(0, 1), default=None,
+        help="measure end-to-end retrieve_batch through a real on-disk KB "
+        "(default: on for the headline preset on TPU)",
+    )
     parser.add_argument("--k", type=int, default=None)
     parser.add_argument("--chain", type=int, default=6,
                         help="chained iterations for device-time isolation "
@@ -287,15 +292,20 @@ def main() -> None:
         short, long_ = chained(1), chained(args.chain)
         np.asarray(short(docs, row_scales, queries[0], n_valid))
         np.asarray(long_(docs, row_scales, queries[0], n_valid))
-        ts, tl = [], []
-        for _ in range(3):
+        # Run-to-run spread, reported honestly (median + min..max over
+        # independent chained measurements) instead of quoting the single
+        # best pair — see BASELINE.md "scoreboard honesty".
+        device_runs = []
+        for _ in range(5):
             t0 = time.perf_counter()
             np.asarray(short(docs, row_scales, queries[0], n_valid))
-            ts.append(time.perf_counter() - t0)
+            ts_i = time.perf_counter() - t0
             t0 = time.perf_counter()
             np.asarray(long_(docs, row_scales, queries[0], n_valid))
-            tl.append(time.perf_counter() - t0)
-        device_s = max(0.0, (min(tl) - min(ts)) / (args.chain - 1))
+            tl_i = time.perf_counter() - t0
+            device_runs.append(max(0.0, (tl_i - ts_i) / (args.chain - 1)))
+        device_s = _percentile(device_runs, 0.50)
+        device_spread = (min(device_runs), max(device_runs))
 
         # utilization
         mfu = hbm_frac = None
@@ -312,7 +322,9 @@ def main() -> None:
         log(f"[batch {batch}] e2e p50 {p50 * 1e3:.3f} ms | "
             f"p99 {p99 * 1e3:.3f} ms | per-query "
             f"{per_query_e2e * 1e3:.4f} ms | QPS {batch / p50:,.0f}")
-        log(f"[batch {batch}] device {device_s * 1e3:.3f} ms/step | "
+        log(f"[batch {batch}] device {device_s * 1e3:.3f} ms/step "
+            f"(spread {device_spread[0] * 1e3:.3f}-"
+            f"{device_spread[1] * 1e3:.3f}) | "
             f"per-query {device_s / batch * 1e3:.4f} ms"
             + (f" | MFU {mfu * 100:.1f}% | HBM {hbm_frac * 100:.1f}%"
                if mfu is not None else ""))
@@ -324,6 +336,10 @@ def main() -> None:
             "qps": round(batch / p50, 1),
             "vs_baseline": round(ref_s / per_query_e2e, 1) if ref_s else None,
             "device_ms": round(device_s * 1e3, 4),
+            "device_ms_spread": [
+                round(device_spread[0] * 1e3, 4),
+                round(device_spread[1] * 1e3, 4),
+            ],
             "device_per_query_ms": (
                 round(per_query_dev * 1e3, 4) if per_query_dev else None
             ),
@@ -334,6 +350,62 @@ def main() -> None:
             "mfu": round(mfu, 4) if mfu is not None else None,
             "hbm_frac": round(hbm_frac, 4) if hbm_frac is not None else None,
             "kernel": phase_kernel,
+        }
+
+    def measure_full_stack(batch: int, k: int) -> dict:
+        """End-to-end through the REAL KB: embed -> device search ->
+        verified f32 rescore -> hydration, against an on-disk store (the
+        kernel phases above synthesize their corpus on-device and skip
+        the host side entirely — which round 2 showed is where
+        end-to-end throughput actually goes)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent / "benchmarks"))
+        from corpus import ensure_bench_kb, query_embedder
+
+        from svs_tpu import KB
+
+        path = ensure_bench_kb(n, dim)
+        t0 = time.perf_counter()
+        kb = KB(
+            path, query_embedder(dim),
+            precision=args.precision if args.precision != "f32" else "bf16",
+            sidecar=True,
+        )
+        kb.load()
+        log(f"[full-stack] open+pack: {time.perf_counter() - t0:.1f}s")
+        queries = [[f"q:{r * batch + i}" for i in range(batch)]
+                   for r in range(8)]
+        for w in range(2):  # warmup: compile + caches
+            kb.retrieve_batch(queries[w], k)
+        times = []
+        for r in range(6):
+            t0 = time.perf_counter()
+            res = kb.retrieve_batch(queries[r % len(queries)], k)
+            times.append(time.perf_counter() - t0)
+        assert len(res) == batch and len(res[0]) == k
+        stats = kb.stats()
+        kb.close(write_sidecar=False)
+        p50 = _percentile(times, 0.50)
+        log(f"[full-stack] batch {batch} top-{k}: p50 {p50 * 1e3:.1f} ms "
+            f"({p50 / batch * 1e3:.3f} ms/query, {batch / p50:,.0f} QPS) | "
+            f"spread {min(times) * 1e3:.0f}-{max(times) * 1e3:.0f} ms")
+        log(f"[full-stack] stages: " + ", ".join(
+            f"{name} p50 {st.get('p50_s', 0) * 1e3:.1f}ms"
+            for name, st in sorted(stats.items()) if isinstance(st, dict)
+        ))
+        return {
+            "batch": batch,
+            "k": k,
+            "p50_ms": round(p50 * 1e3, 3),
+            "spread_ms": [round(min(times) * 1e3, 3),
+                          round(max(times) * 1e3, 3)],
+            "per_query_ms": round(p50 / batch * 1e3, 4),
+            "qps": round(batch / p50, 1),
+            "stages": {
+                name: st for name, st in stats.items() if isinstance(st, dict)
+            },
         }
 
     primary = measure(args.batch, args.iters)
@@ -347,6 +419,21 @@ def main() -> None:
     batched = None
     if batched_n and batched_n != args.batch:
         batched = measure(batched_n, max(10, args.iters // 3))
+
+    # Full-stack phase: on by default for the 1M presets (off on the CPU
+    # smoke preset, where a 1M-row device matmul is impractical).
+    full_stack = None
+    do_full = args.full_stack if args.full_stack is not None else (
+        args.preset == "headline" and not on_cpu
+    )
+    if do_full:
+        try:
+            full_stack = measure_full_stack(256, k)
+        except Exception:
+            import traceback
+
+            log("full-stack phase failed (kernel numbers unaffected):")
+            log(traceback.format_exc())
 
     result = {
         "metric": (
@@ -366,6 +453,8 @@ def main() -> None:
     }
     if batched is not None:
         result["batched"] = batched
+    if full_stack is not None:
+        result["full_stack"] = full_stack
     print(json.dumps(result), flush=True)
 
 

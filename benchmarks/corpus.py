@@ -1,0 +1,117 @@
+"""Reusable benchmark corpus: a REAL on-disk KB at benchmark scale.
+
+The kernel benchmarks in ``bench.py`` synthesize their corpus directly on
+the device; the full-stack phase needs the real thing — a SQLite store
+with 1M embedding BLOBs, documents to hydrate, and a sidecar — because
+the round-2 lesson is that the host side (rescore gather + hydration) is
+where end-to-end throughput goes to die, and only a real store exercises
+it.
+
+Building 1M x 1536 takes a few minutes of disk writes, so the corpus is
+built ONCE per (n, dim, seed) into a cache directory and reused across
+bench runs (the sidecar written at close makes reopening a zero-scan
+mmap).  Vectors are seeded-deterministic unit rows; queries come from
+:func:`query_embedder`, which mirrors the row construction so every query
+has a known best match.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Awaitable, Callable, List
+
+import numpy as np
+
+CACHE_DIR = Path(os.environ.get("SVS_TPU_BENCH_CACHE", "/tmp/svs_tpu_bench"))
+
+#: Insert batch: one executemany per chunk keeps the transaction hot
+#: without holding 6 GB of blobs in RAM.
+_CHUNK = 20_000
+
+
+def _rows(rng: np.random.Generator, count: int, dim: int) -> np.ndarray:
+    x = rng.standard_normal((count, dim)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def query_vector(i: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic unit query ``i`` — NOT equal to any corpus row, but
+    seeded so runs are reproducible."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def query_embedder(dim: int, seed: int = 7) -> "Callable[[List[str]], Awaitable[List[List[float]]]]":
+    """Embedding function for the bench KB: texts ``'q:<i>'`` map to
+    :func:`query_vector`; anything else hashes to a seeded vector."""
+
+    async def embed(texts: List[str]) -> List[List[float]]:
+        out = []
+        for t in texts:
+            if t.startswith("q:"):
+                out.append(query_vector(int(t.split(":")[1]), dim, seed).tolist())
+            else:
+                rng = np.random.default_rng(abs(hash(t)) % (2**32))
+                v = rng.standard_normal(dim).astype(np.float32)
+                out.append((v / np.linalg.norm(v)).tolist())
+        return out
+
+    embed.__embedding_func_params__ = {"provider": "mock"}  # type: ignore[attr-defined]
+    return embed
+
+
+def ensure_bench_kb(n: int, dim: int, seed: int = 7) -> Path:
+    """Build (once) and return the path of the benchmark KB."""
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    path = CACHE_DIR / f"kb_{n}_{dim}_{seed}.sqlite"
+    marker = Path(f"{path}.done")
+    if marker.exists():
+        return path
+    import sys
+
+    from svs_tpu.store.blob import matrix_rows_to_blobs
+    from svs_tpu.store.db import Database
+
+    print(
+        f"[bench corpus] building {n}x{dim} store at {path} ...",
+        file=sys.stderr, flush=True,
+    )
+    t0 = time.perf_counter()
+    if path.exists():
+        path.unlink()
+    rng = np.random.default_rng(seed)
+    db = Database(path)
+    db.check_or_set_schema_version()
+    try:
+        with db.transaction() as tx:
+            tx.set_key(
+                "embedding_func_params", '{"provider": "mock"}'
+            )
+            done = 0
+            while done < n:
+                count = min(_CHUNK, n - done)
+                block = _rows(rng, count, dim)
+                blobs = matrix_rows_to_blobs(block)
+                tx.add_docs_bulk(
+                    [f"doc {done + i}" for i in range(count)], blobs
+                )
+                done += count
+                if done % 200_000 == 0:
+                    print(
+                        f"[bench corpus] {done}/{n} rows "
+                        f"({time.perf_counter() - t0:.0f}s)",
+                        file=sys.stderr, flush=True,
+                    )
+            tx.bump_matrix_version()
+    finally:
+        db.close()
+    marker.write_text("ok")
+    print(
+        f"[bench corpus] built in {time.perf_counter() - t0:.0f}s",
+        file=sys.stderr, flush=True,
+    )
+    return path

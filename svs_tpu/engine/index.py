@@ -632,17 +632,27 @@ class RetrievalEngine:
         sound across retries."""
         from ..ops.pallas_extract import fused2_supported
 
-        if self.mesh is not None or not self.rescore:
-            return False
-        if corpus.n_padded >= WIDE_INDEX_MIN_ROWS:
+        if not self.rescore:
             return False
         if corpus.precision == "int8":
             if self.kernel != "auto":
                 return False
         elif self.kernel not in ("auto", "pallas"):
             return False
+        # Mesh: keyed selection runs PER SHARD (fused2 inside shard_map,
+        # data-axis-only), so support is judged on the shard shape.  The
+        # per-shard quantization grid is the same, so ONE KEY_EPS term
+        # covers the merged candidates exactly as on a single chip.
+        n_rows = corpus.n_padded
+        if self.mesh is not None:
+            if self.model_axis is not None:
+                return False
+            n_rows = corpus.n_padded // int(self.mesh.shape[self.data_axis])
+        # No wide-index refusal: keyed kernels never carry row indices in
+        # f32 (see fused2_supported) — corpora past 2^24 padded rows stay
+        # on the fast path with the int32 wire format.
         return fused2_supported(
-            corpus.n_padded, corpus.dim_padded, b, min(k, corpus.n_valid)
+            n_rows, corpus.dim_padded, b, min(k, corpus.n_valid)
         )
 
     def prescore_eps(
@@ -766,6 +776,9 @@ class RetrievalEngine:
                 mesh=self.mesh,
                 data_axis=self.data_axis,
                 model_axis=self.model_axis,
+                keyed=self._keyed_selection_possible(
+                    corpus, q.shape[0], k_eff
+                ),
             )
             packed_dev = _pack_results(vals, idx, wide=wide)
         elif corpus.precision == "int8":
@@ -787,7 +800,7 @@ class RetrievalEngine:
                 # in prescore_eps), only used under the verified rescore.
                 packed_dev = score_topk_fused2_int8_packed(
                     corpus.data, corpus.row_scales, q, n_valid, k_eff,
-                    interpret=interp,
+                    wide=wide, interpret=interp,
                 )
             elif int8_pallas_ok and fused_supported(
                 corpus.n_padded, corpus.dim_padded, q.shape[0], k_eff
@@ -825,7 +838,8 @@ class RetrievalEngine:
                 # under the verified rescore, where it's the fastest
                 # batched path (BENCHMARKS.md shootout 7).
                 packed_dev = score_topk_fused2_packed(
-                    corpus.data, q, n_valid, k_eff, interpret=interp
+                    corpus.data, q, n_valid, k_eff, wide=wide,
+                    interpret=interp,
                 )
             elif pallas_ok and fused_supported(
                 corpus.n_padded, corpus.dim_padded, q.shape[0], k_eff

@@ -416,7 +416,7 @@ def _fused_extract_int8(
         scratch_shapes=[pltpu.VMEM((b, FUSED_BLOCK_N), jnp.int32)],
         interpret=interpret,
     )(
-        jnp.asarray([n_valid], jnp.float32),
+        jnp.asarray([n_valid], jnp.int32),
         q_int8,
         q_scales[:, None].astype(jnp.float32),
         q_docs,
@@ -567,18 +567,25 @@ def _fused2_kernel(nv_ref: Ref, q_ref: Ref, docs_ref: Ref, out_ref: Ref, acc_ref
 
     @pl.when(c == nc - 1)
     def _emit() -> None:
-        nv = nv_ref[0]
+        nv = nv_ref[0]  # int32: exact at ANY corpus size
         b = acc_ref.shape[0]
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (b, FUSED_SUBTILE), 1
         ).astype(jnp.float32)
-        block_base = (j * FUSED_BLOCK_N).astype(jnp.float32)
         for s in range(FUSED_BLOCK_N // FUSED_SUBTILE):
             lo = s * FUSED_SUBTILE
+            # live-lane count for this subtile, computed in int32 scalars
+            # then clamped into [0, SUBTILE] before the f32 cast — the
+            # clamp keeps the value f32-exact no matter how large n gets
+            # (a raw f32 n_valid rounds above 2^24, mis-masking the
+            # validity boundary; this was the keyed path's size ceiling)
+            live = jnp.clip(
+                nv - (j * FUSED_BLOCK_N + lo), 0, FUSED_SUBTILE
+            ).astype(jnp.float32)
             _emit_keys(
                 acc_ref[:, lo : lo + FUSED_SUBTILE],
                 lane,
-                nv - (block_base + float(lo)),
+                live,
                 out_ref,
                 s * EXTRACT_H,
             )
@@ -610,7 +617,7 @@ def _fused2_extract(
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, FUSED_BLOCK_N), jnp.float32)],
         interpret=interpret,
-    )(jnp.asarray([n_valid], jnp.float32), queries, docs)
+    )(jnp.asarray([n_valid], jnp.int32), queries, docs)
 
 
 def _fused2_int8_kernel(
@@ -635,13 +642,12 @@ def _fused2_int8_kernel(
 
     @pl.when(c == nc - 1)
     def _emit() -> None:
-        nv = nv_ref[0]
+        nv = nv_ref[0]  # int32: exact at ANY corpus size
         b = acc_ref.shape[0]
         qs = qs_ref[:]  # [b, 1] f32
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (b, FUSED_SUBTILE), 1
         ).astype(jnp.float32)
-        block_base = (j * FUSED_BLOCK_N).astype(jnp.float32)
         for s in range(FUSED_BLOCK_N // FUSED_SUBTILE):
             lo = s * FUSED_SUBTILE
             sub = (
@@ -649,10 +655,13 @@ def _fused2_int8_kernel(
                 * rs_ref[:, lo : lo + FUSED_SUBTILE]
                 * qs
             )
+            live = jnp.clip(
+                nv - (j * FUSED_BLOCK_N + lo), 0, FUSED_SUBTILE
+            ).astype(jnp.float32)  # int32 scalars: see _fused2_kernel
             _emit_keys(
                 sub,
                 lane,
-                nv - (block_base + float(lo)),
+                live,
                 out_ref,
                 s * EXTRACT_H,
             )
@@ -748,14 +757,29 @@ def _reduce_h2(n: int, k: int) -> int:
 
 
 def fused2_supported(n: int, d: int, b: int, k: int) -> bool:
-    """Keyed-kernel shape support: v1 fused support plus a sane pass-2
-    width (H2 capped so the reduction doesn't degenerate when k is large
-    relative to the number of doc blocks)."""
-    if not fused_supported(n, d, b, k):
-        return False
+    """Keyed-kernel shape support: v1's alignment/batch rules plus a sane
+    pass-2 width (H2 capped so the reduction doesn't degenerate when k is
+    large relative to the number of doc blocks).
+
+    Unlike v1 (``fused_supported``), there is NO ``n < 2^24`` ceiling:
+    keyed kernels never carry a global row index in f32 — keys encode
+    only (quantized score, lane < SUBTILE), validity masking runs on
+    int32 scalars, and the global row is reconstructed outside the kernel
+    in int32 (exact to 2^31 rows).
+    """
+    t = n // FUSED_SUBTILE
     nb = n // FUSED_BLOCK_N
     h2 = _reduce_h2(n, k)
-    return nb >= 2 and h2 <= 48 and k <= nb * h2
+    return (
+        n % FUSED_BLOCK_N == 0
+        and d % DIM_CHUNK == 0
+        and t >= 2
+        and k <= t * EXTRACT_H
+        and b <= FUSED_MAX_BATCH
+        and nb >= 2
+        and h2 <= 48
+        and k <= nb * h2
+    )
 
 
 def _fused2_finish(
@@ -812,19 +836,18 @@ def _fused2_finish(
     return vals, idx, jnp.logical_and(covered, in_range)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "wide", "interpret"))
-def score_topk_fused2_packed(
+def fused2_topk(
     docs: jax.Array,
     queries: jax.Array,
     n_valid: jax.Array,
     k: int,
-    wide: bool = False,
     interpret: bool = False,
-) -> jax.Array:
-    """Keyed single-kernel scoring + staged selection + verified merge +
-    packing.  Returned scores are quantized (within ``KEY_EPS`` below the
-    true value) unless the coverage fallback fires — pair with an exact
-    rescore for value parity.  Requires ``fused2_supported``."""
+) -> Tuple[jax.Array, jax.Array]:
+    """Keyed single-kernel scoring + staged selection + verified merge,
+    unpacked: ``(quantized vals f32 [B, k], int32 rows [B, k])``.  The
+    exact ``score_topk`` fallback fires in-graph when coverage fails.
+    Shared by the packed single-chip wrapper and the per-shard mesh path
+    (callable inside ``shard_map``).  Requires ``fused2_supported``."""
     n, d = docs.shape
     b = queries.shape[0]
     b_pad = max(QBLOCK, ((b + QBLOCK - 1) // QBLOCK) * QBLOCK)
@@ -844,21 +867,36 @@ def score_topk_fused2_packed(
         return fv.astype(jnp.float32), fi
 
     vals, idx = jax.lax.cond(covered, fast, full, None)
-    return pack_vals_idx(vals[:b], idx[:b], wide=wide)
+    return vals[:b], idx[:b]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "wide", "interpret"))
-def score_topk_fused2_int8_packed(
-    q_docs: jax.Array,
-    row_scales: jax.Array,
+def score_topk_fused2_packed(
+    docs: jax.Array,
     queries: jax.Array,
     n_valid: jax.Array,
     k: int,
     wide: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
-    """int8 keyed single-kernel path; see :func:`score_topk_fused2_packed`.
-    Requires ``fused2_supported``."""
+    """Keyed single-kernel scoring + staged selection + verified merge +
+    packing.  Returned scores are quantized (within ``KEY_EPS`` below the
+    true value) unless the coverage fallback fires — pair with an exact
+    rescore for value parity.  Requires ``fused2_supported``."""
+    vals, idx = fused2_topk(docs, queries, n_valid, k, interpret=interpret)
+    return pack_vals_idx(vals, idx, wide=wide)
+
+
+def fused2_topk_int8(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 keyed path, unpacked; see :func:`fused2_topk`.  Requires
+    ``fused2_supported``."""
     from .quant import quantize_rows_int8
 
     n, d = q_docs.shape
@@ -886,7 +924,25 @@ def score_topk_fused2_int8_packed(
         return fv.astype(jnp.float32), fi
 
     vals, idx = jax.lax.cond(covered, fast, full, None)
-    return pack_vals_idx(vals[:b], idx[:b], wide=wide)
+    return vals[:b], idx[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wide", "interpret"))
+def score_topk_fused2_int8_packed(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    wide: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 keyed single-kernel path; see :func:`score_topk_fused2_packed`.
+    Requires ``fused2_supported``."""
+    vals, idx = fused2_topk_int8(
+        q_docs, row_scales, queries, n_valid, k, interpret=interpret
+    )
+    return pack_vals_idx(vals, idx, wide=wide)
 
 
 @functools.partial(

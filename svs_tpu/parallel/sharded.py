@@ -41,6 +41,7 @@ def sharded_score_topk(
     mesh: jax.sharding.Mesh,
     data_axis: str = "data",
     model_axis: Optional[str] = None,
+    keyed: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-``k`` over a mesh-sharded corpus.
 
@@ -48,14 +49,29 @@ def sharded_score_topk(
     ``row_scales``: ``[N]`` f32 for int8 corpora (data-axis sharded) or
     ``None``; ``queries``: ``[B, d]``.  Returns replicated
     ``(values f32 [B, k], global row indices int32 [B, k])``.
+
+    ``keyed=True`` runs each shard through the keyed (v2) fused kernels —
+    matmul + packed-key selection in ONE kernel, per-shard score matrix
+    never touching HBM (the flagship single-chip path, per chip).
+    Returned values are then quantized prescores within ``KEY_EPS`` below
+    the true score; callers pair it with the verified rescore exactly as
+    on a single chip (``RetrievalEngine.prescore_eps`` adds the KEY_EPS
+    term whenever this dispatch is possible).  Requires data-axis-only
+    sharding and per-shard ``fused2_supported`` shapes — the engine's
+    ``_keyed_selection_possible`` is the gate.
     """
     if row_scales is not None and model_axis is not None:
         raise NotImplementedError(
             "int8 corpora shard over the data axis only (per-query scales "
             "must see the full query vector)"
         )
+    if keyed and model_axis is not None:
+        raise NotImplementedError(
+            "keyed per-shard selection needs each shard's full dot "
+            "products (data-axis-only sharding)"
+        )
     fn = _build_sharded_topk(
-        mesh, data_axis, model_axis, int(k), row_scales is not None
+        mesh, data_axis, model_axis, int(k), row_scales is not None, keyed
     )
     if row_scales is not None:
         return fn(docs, row_scales, queries, n_valid)
@@ -69,6 +85,7 @@ def _build_sharded_topk(
     model_axis: Optional[str],
     k: int,
     has_scales: bool,
+    keyed: bool = False,
 ) -> "Any":
     def local_topk(
         docs: jax.Array,
@@ -77,6 +94,33 @@ def _build_sharded_topk(
         n_valid: jax.Array,
     ) -> Tuple[jax.Array, jax.Array]:
         n_local = docs.shape[0]
+        k_local = min(k, n_local)
+        on_cpu = jax.default_backend() == "cpu"
+        offset = jax.lax.axis_index(data_axis).astype(jnp.int32) * n_local
+
+        if keyed:
+            # Keyed fused kernels per shard: one kernel does matmul +
+            # packed-key selection; the [B, N/D] score matrix never
+            # exists in HBM (≈2x less per-shard HBM traffic than the
+            # materialize-then-extract path below).  Shard rows are a
+            # globally contiguous range, so this shard's live prefix is
+            # clip(n_valid - offset, 0, n_local).
+            from ..ops.pallas_extract import fused2_topk, fused2_topk_int8
+
+            nv_local = jnp.clip(
+                n_valid.astype(jnp.int32) - offset, 0, n_local
+            )
+            if has_scales:
+                vals, idx = fused2_topk_int8(
+                    docs, scales, q, nv_local, k_local, interpret=on_cpu
+                )
+            else:
+                vals, idx = fused2_topk(
+                    docs, q, nv_local, k_local, interpret=on_cpu
+                )
+            gidx = idx.astype(jnp.int32) + offset
+            return vals[None], gidx[None]
+
         if has_scales:
             q_int8, q_scales = quantize_rows_int8(q)
             raw = jax.lax.dot_general(
@@ -90,21 +134,17 @@ def _build_sharded_topk(
             scores = scores_matmul(docs, q)
             if model_axis is not None:
                 scores = jax.lax.psum(scores, model_axis)
-        offset = jax.lax.axis_index(data_axis).astype(jnp.int32) * n_local
         global_col = offset + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, scores.ndim - 1
         )
         masked = jnp.where(global_col < n_valid, scores, NEG_INF)
-        k_local = min(k, n_local)
         from ..ops.pallas_extract import extract_supported, extract_topk
 
         if extract_supported(n_local, q.shape[0], k_local):
             # Per-shard selection through the tile-extraction kernel —
             # the same ~7x over lax.top_k as single-chip, and it runs
             # concurrently on every chip (see ops/pallas_extract.py).
-            vals, idx = extract_topk(
-                masked, k_local, interpret=jax.default_backend() == "cpu"
-            )
+            vals, idx = extract_topk(masked, k_local, interpret=on_cpu)
         else:
             vals, idx = jax.lax.top_k(masked, k_local)
         gidx = idx.astype(jnp.int32) + offset

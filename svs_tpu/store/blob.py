@@ -50,3 +50,13 @@ def matrix_from_blob_rows(blobs: Iterable[bytes], dim: int) -> np.ndarray:
         buf[offset : offset + row_bytes] = blob
         offset += row_bytes
     return np.frombuffer(buf, dtype=_F32).reshape(-1, dim)
+
+
+def matrix_rows_to_blobs(matrix: np.ndarray) -> List[bytes]:
+    """Little-endian float32 BLOB per row of ``matrix`` — the vectorized
+    inverse of :func:`matrix_from_blob_rows` (bulk-load/bench fast path;
+    bit-identical to per-row :func:`embedding_to_bytes`)."""
+    m = np.ascontiguousarray(matrix, dtype="<f4")
+    row_bytes = m.shape[1] * 4
+    raw = m.tobytes()
+    return [raw[i * row_bytes : (i + 1) * row_bytes] for i in range(m.shape[0])]

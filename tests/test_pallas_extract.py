@@ -399,3 +399,101 @@ def test_fused2_edge_shapes(unit_rows, nv_off, b, k):
         v_k = vals[bb][k - 1]
         must = set(np.nonzero(exact[bb] > v_k + KEY_EPS)[0].tolist())
         assert must <= set(rows[bb].tolist())
+
+
+def test_fused2_no_size_ceiling_and_wide_decode():
+    """The keyed kernels have NO 2^24 row ceiling (v1 paths do): the
+    support predicate admits giant corpora, and the index reconstruction
+    in _fused2_finish stays exact past 2^24 (int32 math on synthesized
+    pass-1 keys — the full-corpus interpret run is the opt-in slow test
+    below)."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        EXTRACT_H,
+        FUSED_BLOCK_N,
+        FUSED_SUBTILE,
+        KEY_BIAS,
+        KEY_DEAD,
+        KEY_QSCALE,
+        _KEY_LANES,
+        _fused2_finish,
+        _reduce_h2,
+        fused2_supported,
+        fused_supported,
+    )
+
+    n = (1 << 24) + 2 * FUSED_BLOCK_N
+    assert fused2_supported(n, 128, 8, 20)
+    assert not fused_supported(n, 128, 8, 20)  # v1 keeps its f32 ceiling
+    assert not fused2_supported(n + 1, 128, 8, 20)  # alignment still holds
+
+    # Synthesize pass-1 keys for a virtual n-row corpus: all dead except
+    # hot entries planted at rows far above 2^24.
+    l1 = (n // FUSED_SUBTILE) * EXTRACT_H
+    keys1 = np.full((8, l1), KEY_DEAD, dtype=np.float32)
+
+    def plant(row, score):
+        jb, rem = divmod(row, FUSED_BLOCK_N)
+        s, lane = divmod(rem, FUSED_SUBTILE)
+        col = (jb * (FUSED_BLOCK_N // FUSED_SUBTILE) + s) * EXTRACT_H
+        key = np.floor((score + KEY_BIAS) * KEY_QSCALE) * _KEY_LANES + lane
+        keys1[:, col] = key
+        return row
+
+    hot = [
+        plant(3, 0.95),
+        plant((1 << 24) + 1234, 0.90),
+        plant(n - FUSED_SUBTILE - 7, 0.85),
+        plant(16_000_000, 0.80),
+    ]
+    k = 4
+    vals, idx, covered = _fused2_finish(
+        jnp.asarray(keys1), n, k, _reduce_h2(n, k), 8, True
+    )
+    idx = np.asarray(idx)
+    for b in range(8):
+        assert list(idx[b]) == hot, idx[b]
+    np.testing.assert_allclose(
+        np.asarray(vals)[0], [0.95, 0.90, 0.85, 0.80], atol=2.0**-12
+    )
+    assert bool(np.asarray(covered))
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SVS_TPU_SLOW_TESTS"),
+    reason="16.8M-row interpret run takes ~15+ min; set SVS_TPU_SLOW_TESTS=1",
+)
+def test_fused2_wide_corpus_full_interpret():
+    """Full keyed path (kernel included) over a corpus past 2^24 padded
+    rows in interpret mode: hot docs above 2^24 must be found exactly and
+    the int32 validity mask must not leak poison rows past n_valid."""
+    import ml_dtypes
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        score_topk_fused2_packed,
+    )
+    from svs_tpu.ops.topk import unpack_vals_idx
+
+    n = (1 << 24) + 2 * FUSED_BLOCK_N
+    d = 128
+    docs = np.zeros((n, d), dtype=ml_dtypes.bfloat16)
+    nv = n - 5000
+    hot = [3, (1 << 24) + 1234, nv - 1, nv - 2, 16_000_000]
+    for i, r in enumerate(hot):
+        c = np.float32(0.9 - i * 0.01)
+        docs[r, 0] = c
+        docs[r, 1] = np.float32(np.sqrt(1 - float(c) ** 2))
+    for r in range(nv, nv + 8):  # poison: wins iff masking leaks
+        docs[r, 0] = 1.0
+    q = np.zeros((8, d), np.float32)
+    q[:, 0] = 1.0
+    packed = np.asarray(
+        score_topk_fused2_packed(
+            jnp.asarray(docs), jnp.asarray(q), jnp.int32(nv), 20,
+            wide=True, interpret=True,
+        )
+    )
+    vals, rows = unpack_vals_idx(packed, 20)
+    assert (rows < nv).all(), "validity mask leaked past 2^24"
+    assert set(hot) <= set(rows[0].tolist())

@@ -197,3 +197,100 @@ def test_sharded_pairwise_escalates_and_subblocks(devices_available, unit_rows):
         (int(iu[0][i]), int(iu[1][i])) for i in np.nonzero(flat > v_k)[0]
     }
     assert must_have <= got
+
+def test_sharded_keyed_candidate_contract(unit_rows):
+    """Keyed per-shard selection (fused2 inside shard_map): merged global
+    candidates must decode within KEY_EPS below truth and cover every doc
+    clearly above the k-th returned value — the same contract the engine's
+    verified rescore consumes on a single chip."""
+    from svs_tpu.ops.pallas_extract import FUSED_BLOCK_N, KEY_EPS
+    from svs_tpu.parallel.mesh import default_mesh
+
+    devices = jax.devices()[:2]
+    mesh = default_mesh(devices=devices)
+    n = 2 * 2 * FUSED_BLOCK_N  # two fused blocks per shard
+    m = unit_rows(n, 16)
+    padded = np.zeros((n, 128), np.float32)
+    padded[:, :16] = m
+    docs = jax.device_put(
+        jnp.asarray(padded, jnp.bfloat16), NamedSharding(mesh, P("data", None))
+    )
+    q = np.zeros((8, 128), np.float32)
+    q[:, :16] = m[[3, 9000, 17000, 25000, 31000, 50, 16500, 16900]][:, :16]
+    nv = n - 123
+    k = 40
+    vals, idx = sharded_score_topk(
+        docs, None, jnp.asarray(q), jnp.int32(nv), k, mesh=mesh, keyed=True
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert (idx >= 0).all() and (idx < nv).all()
+    # bf16 storage: candidate decode error = bf16 rounding + key grid
+    eps = 2.0**-8 * (1 + 2.0**-9) + KEY_EPS + 3e-5
+    exact = (m[:nv].astype(np.float32) @ m.astype(np.float32)[
+        [3, 9000, 17000, 25000, 31000, 50, 16500, 16900]].T).T
+    for b in range(8):
+        true_of_returned = exact[b][idx[b]]
+        assert (vals[b] <= true_of_returned + eps).all()
+        assert (true_of_returned <= vals[b] + eps).all()
+        v_k = vals[b][k - 1]
+        must_have = set(np.nonzero(exact[b] > v_k + eps)[0].tolist())
+        assert must_have <= set(idx[b].tolist())
+        assert len(set(idx[b].tolist())) == k
+
+
+def test_engine_mesh_dispatches_keyed_kernels(unit_rows, monkeypatch):
+    """The engine's mesh branch must pick the keyed per-shard kernels for
+    supported shapes (VERDICT r2 gap: the flagship kernels were bypassed
+    under shard_map), with KEY_EPS accounted in prescore_eps, and the
+    rescored result must match the oracle exactly."""
+    from svs_tpu.engine.index import RetrievalEngine
+    from svs_tpu.engine.packing import pack_corpus, pad_queries
+    from svs_tpu.ops import pallas_extract as pe
+    from svs_tpu.ops.pallas_extract import KEY_EPS
+    from svs_tpu.parallel.mesh import default_mesh
+    from svs_tpu.utils.topk_np import top_k_numpy
+
+    calls = []
+    orig = pe.fused2_topk
+
+    def spy(docs, q, nv, k, interpret=False):
+        calls.append(tuple(docs.shape))
+        return orig(docs, q, nv, k, interpret=interpret)
+
+    monkeypatch.setattr(pe, "fused2_topk", spy)
+    # new mesh object -> fresh lru_cache entry in _build_sharded_topk, so
+    # the spy is captured at trace time
+    mesh = default_mesh(devices=jax.devices()[:2])
+
+    n = 33_000
+    m = unit_rows(n, 16)
+    eng = RetrievalEngine(precision="bf16", mesh=mesh)
+    corpus = pack_corpus(
+        m,
+        np.arange(1, n + 1, dtype=np.int64),
+        version=1,
+        precision="bf16",
+        placement=eng._placement(),
+        row_multiple=eng._row_multiple(n),
+        dim_multiple=eng._dim_multiple(),
+    )
+    assert corpus.n_padded % 2 == 0
+    c = eng.candidate_count(10)
+    assert eng._keyed_selection_possible(corpus, 8, c)
+    # KEY_EPS must be inside the verified-rescore bound for this dispatch
+    q = m[:8].astype(np.float32)
+    assert (eng.prescore_eps(corpus, q, c) >= KEY_EPS).all()
+    vals, rows = eng.topk(corpus, q, c)
+    assert calls, "mesh path must route through the keyed kernel"
+    # verified rescore, as the KB does: exact f32 over the candidates
+    for b in range(8):
+        # pack rows -> matrix rows via emb_ids (packs permute at scale)
+        cand = (corpus.emb_ids[rows[b].astype(int)] - 1).astype(int)
+        exact_cand = m[cand].astype(np.float32) @ q[b]
+        order = sorted(
+            range(len(cand)), key=lambda i: (exact_cand[i], cand[i]),
+            reverse=True,
+        )
+        got = sorted(int(cand[i]) for i in order[:10])
+        oracle = sorted(i for _, i in top_k_numpy(m @ q[b], 10))
+        assert got == oracle, b

@@ -296,3 +296,31 @@ def test_open_readonly_media_existing_db(tmp_path):
         db2.close()
     finally:
         os.chmod(p, 0o644)
+
+
+def test_add_docs_bulk_matches_row_at_a_time(db_path):
+    """The executemany bulk-load fast path must produce the same store
+    state as row-at-a-time add_doc (ids, blobs, docs linkage)."""
+    import numpy as np
+
+    from svs_tpu.store.blob import matrix_rows_to_blobs
+    from svs_tpu.store.db import Database
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((50, 8)).astype(np.float32)
+    blobs = matrix_rows_to_blobs(m)
+
+    db = Database(db_path)
+    with db.transaction() as tx:
+        tx.add_docs_bulk([f"b{i}" for i in range(50)], blobs)
+    with db.transaction() as tx:
+        matrix, ids = tx.build_embeddings_matrix()
+        assert matrix.shape == (50, 8)
+        np.testing.assert_array_equal(matrix, m)
+        doc = tx.fetch_docs_by_emb_ids([int(ids[7])])[int(ids[7])]
+        assert doc["text"] == "b7"
+        assert tx.count_docs() == 50
+        # interleaves with the scalar path without id collisions
+        tx.add_doc("scalar", None, None, blobs[0])
+        assert tx.count_docs() == 51
+    db.close()
