@@ -37,28 +37,34 @@ def _rows(rng: np.random.Generator, count: int, dim: int) -> np.ndarray:
     return x
 
 
+def query_matrix(ids: np.ndarray, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic unit queries for indices ``ids`` — hash-style rows,
+    vectorized over the whole batch (a per-query ``default_rng`` measured
+    ~0.2 ms/query, 53 ms of a 256-query batch)."""
+    r = np.asarray(ids, np.float64)[:, None]
+    c = np.arange(dim, dtype=np.float64)[None, :]
+    x = np.sin(r * 12.9898 + c * 78.233 + seed * 1.6180) * 43758.5453
+    x = (x - np.floor(x) - 0.5).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
 def query_vector(i: int, dim: int, seed: int = 7) -> np.ndarray:
-    """Deterministic unit query ``i`` — NOT equal to any corpus row, but
-    seeded so runs are reproducible."""
-    rng = np.random.default_rng(seed * 1_000_003 + i)
-    v = rng.standard_normal(dim).astype(np.float32)
-    return v / np.linalg.norm(v)
+    return query_matrix(np.asarray([i]), dim, seed)[0]
 
 
 def query_embedder(dim: int, seed: int = 7) -> "Callable[[List[str]], Awaitable[List[List[float]]]]":
     """Embedding function for the bench KB: texts ``'q:<i>'`` map to
-    :func:`query_vector`; anything else hashes to a seeded vector."""
+    :func:`query_matrix` rows; anything else hashes to a seeded index."""
 
     async def embed(texts: List[str]) -> List[List[float]]:
-        out = []
-        for t in texts:
-            if t.startswith("q:"):
-                out.append(query_vector(int(t.split(":")[1]), dim, seed).tolist())
-            else:
-                rng = np.random.default_rng(abs(hash(t)) % (2**32))
-                v = rng.standard_normal(dim).astype(np.float32)
-                out.append((v / np.linalg.norm(v)).tolist())
-        return out
+        ids = [
+            int(t.split(":")[1]) if t.startswith("q:")
+            else abs(hash(t)) % (2**31)
+            for t in texts
+        ]
+        # returned as ndarray: EmbeddingFunc consumers np.asarray() it,
+        # and a [256, 1536] tolist()/re-parse round trip costs ~60 ms
+        return query_matrix(np.asarray(ids), dim, seed)
 
     embed.__embedding_func_params__ = {"provider": "mock"}  # type: ignore[attr-defined]
     return embed

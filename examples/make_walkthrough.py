@@ -1,0 +1,253 @@
+"""Generate + execute ``examples/walkthrough.ipynb``.
+
+The notebook is the repo's recorded end-to-end artifact (the analog of the
+reference's Dad Jokes notebooks, ``/root/reference/examples/dad_jokes/``):
+build a KB from the checked-in mini corpus, retrieve, find near-duplicate
+pairs, use the graph/KV stores, publish ``.gz`` + ``.svsx``, and reopen
+the published KB from an HTTP URL — every cell executed for real, outputs
+committed.  Run ``python examples/make_walkthrough.py`` to regenerate.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import nbformat as nbf
+
+HERE = Path(__file__).resolve().parent
+
+
+def md(text: str) -> "nbf.NotebookNode":
+    return nbf.v4.new_markdown_cell(text)
+
+
+def code(src: str) -> "nbf.NotebookNode":
+    return nbf.v4.new_code_cell(src.strip("\n"))
+
+
+CELLS = [
+    md(
+        "# svs_tpu walkthrough: build → search → dedup → publish → serve\n"
+        "\n"
+        "An end-to-end tour of the full KB lifecycle, executed for real "
+        "(all outputs below are recorded from a run of this notebook).  "
+        "It mirrors the reference implementation's Dad Jokes flow — build "
+        "a knowledge base, query it, filter near-duplicates, publish the "
+        "artifact, reopen it from a URL — on the TPU-native engine.\n"
+        "\n"
+        "The corpus here is a checked-in set of ~100 proverbs with a "
+        "local deterministic embedder, so the notebook runs hermetically "
+        "(CI included).  For real semantic search, swap one line:\n"
+        "```python\n"
+        "from svs_tpu import make_openai_embeddings_func\n"
+        "embed = make_openai_embeddings_func('text-embedding-3-small')"
+        "  # needs OPENAI_API_KEY\n"
+        "```"
+    ),
+    code(
+        """
+from pathlib import Path
+
+import numpy as np
+
+from svs_tpu import KB
+
+DATA = Path("data/proverbs.txt")
+texts = [t for t in DATA.read_text().splitlines() if t.strip()]
+print(f"{len(texts)} documents, e.g. {texts[38]!r}")
+"""
+    ),
+    md(
+        "## A deterministic local embedder\n"
+        "Character-trigram hashing, L2-normalized: texts sharing words get "
+        "high cosine similarity, so nearest-neighbor results are "
+        "meaningful — and it needs no network.  (The `__embedding_func_"
+        "params__` tag is how a KB stores its provider so a reopened file "
+        "can rebuild it; custom functions like this one just get passed "
+        "explicitly.)"
+    ),
+    code(
+        """
+DIM = 256
+
+async def embed(batch):
+    out = []
+    for text in batch:
+        t = f"  {text.lower()}  "
+        v = np.zeros(DIM, np.float32)
+        for i in range(len(t) - 2):
+            v[hash(t[i : i + 3]) % DIM] += 1.0
+        out.append((v / np.linalg.norm(v)).tolist())
+    return out
+
+kb = KB("walkthrough.sqlite", embed, force_fresh_db=True)
+with kb.bulk_add_docs() as add_doc:
+    ids = [add_doc(t, meta={"line": i}) for i, t in enumerate(texts)]
+print(f"KB holds {len(kb)} documents")
+"""
+    ),
+    md(
+        "## Retrieval\n"
+        "`retrieve` is exact search: the engine packs all embeddings into "
+        "a device matrix (bf16 storage + verified f32 rescore) and scans "
+        "everything per query — recall@k = 1.0 by construction, same "
+        "contract as the reference."
+    ),
+    code(
+        """
+for hit in kb.retrieve("fortune and bravery", n=3):
+    print(f"{hit['score']:+.3f}  {hit['doc']['text']}")
+"""
+    ),
+    code(
+        """
+# batched: many queries, ONE device step (the TPU-native hot path)
+batch = kb.retrieve_batch(["early riser", "too many chefs", "home sweet home"], n=1)
+for query, hits in zip(["early riser", "too many chefs", "home sweet home"], batch):
+    print(f"{query!r:20} -> {hits[0]['doc']['text']}")
+"""
+    ),
+    md(
+        "## Near-duplicate detection\n"
+        "`document_top_pairwise_scores(n)` returns the most similar "
+        "document *pairs* — the reference's dedup/NSFW-filter tool (its "
+        "Dad Jokes notebook uses it over 23.7M pairs).  Here it runs as a "
+        "blocked device kernel, never materializing the O(n²) matrix.  "
+        "The corpus has two planted near-duplicates; they surface "
+        "immediately:"
+    ),
+    code(
+        """
+for score, doc_a, doc_b in kb.document_top_pairwise_scores(3):
+    print(f"{score:+.3f}  {doc_a['text']!r}  ~  {doc_b['text']!r}")
+"""
+    ),
+    md(
+        "## Hierarchy, graph, and key/value — same file\n"
+        "Documents can have parents (levels derive automatically), a "
+        "general labeled graph, and a user KV store — all in the one "
+        "SQLite artifact, byte-compatible with the reference."
+    ),
+    code(
+        """
+with kb.bulk_add_docs() as add_doc:
+    chapter = add_doc("Chapter: persistence proverbs")
+    child = add_doc("Persistence beats talent.", parent_id=chapter)
+
+with kb.bulk_query_docs() as q:
+    print("child level:", q.query_doc(child)["level"])
+
+with kb.bulk_graph_update() as graph:
+    graph.add_edge(ids[2], ids[71], chapter, weight=0.9)  # journey ~ slow&steady
+    g = graph.build_networkx_graph()
+print("graph:", g)
+
+with kb.bulk_keyval_update() as kv:
+    kv["built_by"] = "walkthrough.ipynb"
+    kv["corpus_rev"] = 3
+    print("kv keys:", sorted(kv))
+"""
+    ),
+    md(
+        "## Publish\n"
+        "`close(vacuum=True, also_gzip=True, write_sidecar=True)` produces "
+        "the shareable artifacts: the `.gz` database (reference-"
+        "compatible) and the `.svsx` sidecar — the packed device matrix "
+        "plus the f32 rescore cache, so consumers cold-start with ZERO "
+        "store scans (the reference pays a full matrix rebuild, ~100 s at "
+        "1M docs).  Upload both files side by side."
+    ),
+    code(
+        """
+kb.close(vacuum=True, also_gzip=True, write_sidecar=True)
+for p in sorted(Path(".").glob("walkthrough.sqlite*")):
+    print(f"{p.stat().st_size / 1e3:8.1f} kB  {p}")
+"""
+    ),
+    md(
+        "## Consume from a URL\n"
+        "Anyone can now open the published KB straight from HTTP — the "
+        "download is cached content-addressed, the sidecar sibling is "
+        "fetched automatically, and the embedding function would be "
+        "restored from the file itself for standard providers.  (A "
+        "loopback server stands in for your bucket/CDN here.)"
+    ),
+    code(
+        """
+import asyncio, threading
+from aiohttp import web
+
+files = {
+    "/kb.sqlite.gz": Path("walkthrough.sqlite.gz").read_bytes(),
+    "/kb.sqlite.svsx": Path("walkthrough.sqlite.svsx").read_bytes(),
+}
+loop = asyncio.new_event_loop()
+site_info = {}
+started = threading.Event()
+
+async def serve():
+    app = web.Application()
+    app.router.add_get(
+        "/{tail:.*}",
+        lambda r: web.Response(body=files[r.path])
+        if r.path in files else web.HTTPNotFound(),
+    )
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, "127.0.0.1", 0)
+    await site.start()
+    site_info["port"] = site._server.sockets[0].getsockname()[1]
+    started.set()
+    await asyncio.Event().wait()
+
+threading.Thread(
+    target=lambda: loop.run_until_complete(serve()), daemon=True
+).start()
+started.wait(10)
+
+url = f"http://127.0.0.1:{site_info['port']}/kb.sqlite.gz"
+remote = KB(url, embed)  # custom embedder passed explicitly
+print(f"{len(remote)} docs served from {url}")
+for hit in remote.retrieve("knowledge is powerful", n=2):
+    print(f"{hit['score']:+.3f}  {hit['doc']['text']}")
+"""
+    ),
+    code(
+        """
+# per-phase timings of everything this notebook just did
+for name, stats in sorted(remote.stats().items()):
+    print(f"{name:14} p50 {stats['p50_s'] * 1e3:7.2f} ms  (x{stats['count']})")
+remote.close()
+"""
+    ),
+    md(
+        "## Where to go next\n"
+        "- `examples/million_docs_benchmark.py` — the 1M×1536 headline "
+        "config on real hardware\n"
+        "- `examples/serving.py` / `svs-tpu serve` — the micro-batching "
+        "HTTP server\n"
+        "- `docs/performance.md` — precision modes, sidecars, meshes, and "
+        "the measured numbers behind them"
+    ),
+]
+
+
+def main() -> None:
+    nb = nbf.v4.new_notebook()
+    nb.cells = CELLS
+    nb.metadata["kernelspec"] = {
+        "name": "python3", "display_name": "Python 3", "language": "python",
+    }
+    from nbclient import NotebookClient
+
+    client = NotebookClient(
+        nb, timeout=600, resources={"metadata": {"path": str(HERE)}}
+    )
+    client.execute()
+    out = HERE / "walkthrough.ipynb"
+    nbf.write(nb, out)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

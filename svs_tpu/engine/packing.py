@@ -154,6 +154,17 @@ class PackedCorpus:
     host_cache: Optional[Tuple[np.ndarray, Optional[np.ndarray]]] = (
         dataclasses.field(default=None, repr=False, compare=False)
     )
+    #: Device mirror of the f32 rescore cache, published as ONE
+    #: ``(dev_f32 [n_valid, dim], dev_row_map int32 | None)`` tuple (same
+    #: atomic-publish rule as ``host_cache``).  When present, the rescore
+    #: stage runs on-device: gather candidate rows from HBM + f32 dot —
+    #: the host never touches the ~O(B*C*d) candidate bytes (measured
+    #: 630 MB per 256-query batch at 1M x 1536, the end-to-end
+    #: bottleneck on small hosts).  Built by the engine when policy
+    #: allows (single chip, rescore on, fits the HBM budget).
+    dev_rescore: Optional[Tuple[jax.Array, Optional[jax.Array]]] = (
+        dataclasses.field(default=None, repr=False, compare=False)
+    )
     # lazily-cached device copy of n_valid (one upload per pack; on
     # tunneled devices every host->device transfer is a full RPC)
     _n_valid_dev: Optional[jax.Array] = dataclasses.field(

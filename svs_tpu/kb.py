@@ -20,11 +20,13 @@ Retrieval pipeline (vs the reference's NumPy dot at ``kb.py:1184-1190``):
 
 1. the engine keeps the corpus packed on device (bf16 by default) and runs
    a jitted matmul + masked top-k, over-provisioning candidates;
-2. candidates are **rescored in f32** against the pack's host cache (the
-   exact bytes the pack was built from; store fetch when absent) with a
-   per-query verified margin, so returned scores are exactly the
-   reference's float32 dot-product values and recall stays exact even with
-   reduced-precision device storage;
+2. candidates are **rescored in f32** with a per-query verified margin, so
+   recall stays exact even with reduced-precision device storage.  The
+   rescore runs on-device when the f32 mirror fits HBM (exact f32 dot
+   products of the stored vectors; device accumulation order, so values
+   can differ from CPU BLAS in the last ulp) and on the host otherwise —
+   or always, with ``device_rescore='host'``, for scores bit-identical to
+   the reference's ``np.dot``;
 3. the whole batch's winners are hydrated in chunked IN queries.
 """
 
@@ -206,6 +208,24 @@ def _publish_sidecar(
         log.warning("publish-time sidecar write failed", exc_info=True)
 
 
+def _prebuilt_record(
+    rec_id: Any, parent_id: Any, level: Any, text: Any, meta_str: Any
+) -> Tuple[DocumentRecord, Optional[str]]:
+    """Cacheable (record, meta_json) pair: the record's values are all
+    immutable, so hits shallow-copy it and patch meta from the JSON."""
+    return (
+        {
+            "id": rec_id,
+            "parent_id": parent_id,
+            "level": level,
+            "text": text,
+            "embedding": True,
+            "meta": None,
+        },
+        meta_str,
+    )
+
+
 class DocRowCache:
     """Host cache of raw doc rows keyed by embedding id — the hydration
     analog of the pack's f32 rescore cache.
@@ -224,6 +244,12 @@ class DocRowCache:
     writer of the file.  The cache empties whenever the token moves; a
     correctness-over-cleverness choice (writes also invalidate the device
     pack, which costs far more).
+
+    Values are ``(record, meta_json)`` where ``record`` is a PREBUILT
+    DocumentRecord dict with ``meta=None``: minting a hit is one shallow
+    ``dict(record)`` (all values immutable scalars/strings) plus a fresh
+    ``json.loads`` when meta exists — measured ~35% faster than building
+    the 6-key literal per hit at 25.6k hits/batch, still never aliasing.
     """
 
     def __init__(self, max_rows: Optional[int] = None) -> None:
@@ -237,21 +263,60 @@ class DocRowCache:
             except ValueError:
                 max_rows = 4_000_000
         self.max_rows = max_rows
-        self._rows: Dict[int, Tuple[Any, Any, Any, Any, Any]] = {}
+        self._rows: Dict[int, Tuple[DocumentRecord, Optional[str]]] = {}
         self._token: Optional[Tuple[int, int]] = None
+        #: True when the cache was prewarmed for the current token — every
+        #: embedded doc is present, so lookups can skip the missing-scan.
+        self._warm = False
+
+    def is_warm_for(self, tx: Tx) -> bool:
+        """True when the cache is prewarmed AND current — callers may then
+        use the full mapping directly (no per-batch missing scan)."""
+        return self._warm and tx.change_token() == self._token
+
+    def prewarm(self, tx: Tx) -> int:
+        """Load EVERY embedded document's raw row up front (one full
+        scan), so batched hydration never touches SQLite afterwards —
+        cold random-query batches measured ~100 ms of IN-queries per 256
+        queries at 1M docs.  Policy-gated by the callers (``load()``);
+        respects ``max_rows``.  Returns the number of cached rows."""
+        token = tx.change_token()
+        rows: Dict[int, Tuple[DocumentRecord, Optional[str]]] = {}
+        for emb_id, rec_id, parent_id, level, text, meta_str in (
+            tx.iter_doc_rows_with_emb()
+        ):
+            rows[int(emb_id)] = _prebuilt_record(
+                rec_id, parent_id, level, text, meta_str
+            )
+            if len(rows) > self.max_rows:
+                return 0  # over budget: keep the demand-filled behavior
+        self._rows = rows
+        self._token = token
+        self._warm = True
+        return len(rows)
 
     def rows_for(
         self, tx: Tx, emb_ids: List[int]
-    ) -> Dict[int, Tuple[Any, Any, Any, Any, Any]]:
-        """Raw doc rows for ``emb_ids``, reading through the cache."""
+    ) -> Dict[int, Tuple[DocumentRecord, Optional[str]]]:
+        """Prebuilt doc records for ``emb_ids``, reading through the
+        cache."""
         token = tx.change_token()
         if token != self._token:
             self._rows.clear()
+            self._warm = False
             self._token = token
         rows = self._rows
+        if self._warm:
+            # prewarmed and store unchanged: every embedded doc is here
+            return rows
         missing = [e for e in emb_ids if e not in rows]
         if missing:
-            fetched = tx.fetch_doc_rows_by_emb_ids(missing)
+            fetched = {
+                emb_id: _prebuilt_record(*raw)
+                for emb_id, raw in tx.fetch_doc_rows_by_emb_ids(
+                    missing
+                ).items()
+            }
             if len(rows) + len(fetched) > self.max_rows:
                 rows.clear()
             rows.update(fetched)
@@ -268,6 +333,7 @@ def _finalize_batch(
     rescore: bool,
     pre_eps: Optional[np.ndarray] = None,
     doc_cache: Optional[DocRowCache] = None,
+    device_exact: Optional[np.ndarray] = None,
 ) -> Optional[List[List[Retrieval]]]:
     """Turn device candidates for a query batch into hydrated results.
 
@@ -298,7 +364,15 @@ def _finalize_batch(
         k_eff = min(k, c_count)
         vec32 = vectors.astype(np.float32, copy=False)
         exact = np.empty((n_queries, c_count), dtype=np.float32)
-        if corpus.host_f32 is not None:
+        if device_exact is not None:
+            # Rescore already ran on-device (gather from the HBM f32
+            # mirror + f32 dot): exact f32 values of the stored vectors,
+            # possibly last-ulp off CPU BLAS accumulation — covered by
+            # the +3e-5 cushion in prescore_eps.  The host never touches
+            # the O(B*C*d) candidate bytes.
+            exact = np.asarray(device_exact, dtype=np.float32)
+            assert exact.shape == (n_queries, c_count), exact.shape
+        elif corpus.host_f32 is not None:
             # Per-query direct gather+matvec: the earlier union-dedup pass
             # (np.unique + one big sub-matrix copy) read the candidate
             # bytes TWICE (600 MB union copy, then per-query gathers out
@@ -346,35 +420,35 @@ def _finalize_batch(
         top_emb = corpus.emb_ids[pre_rows[:, :k_eff]]
 
     # one batched hydration for the whole batch's unique docs, through the
-    # generation-gated row cache when the caller has one
-    unique_emb = np.unique(top_emb)
+    # generation-gated row cache when the caller has one (a prewarmed
+    # cache returns its full mapping without the np.unique/missing scan)
     emb_list: List[List[int]] = top_emb.tolist()
     score_list: List[List[float]] = np.asarray(
         top_scores, dtype=np.float32
     ).tolist()
-    if doc_cache is not None:
-        row_by_emb = doc_cache.rows_for(tx, [int(e) for e in unique_emb])
+    if doc_cache is not None and doc_cache.is_warm_for(tx):
+        row_by_emb = doc_cache.rows_for(tx, [])
     else:
-        row_by_emb = tx.fetch_doc_rows_by_emb_ids([int(e) for e in unique_emb])
+        unique_emb = np.unique(top_emb)
+        if doc_cache is not None:
+            row_by_emb = doc_cache.rows_for(tx, [int(e) for e in unique_emb])
+        else:
+            row_by_emb = {
+                emb_id: _prebuilt_record(*raw)
+                for emb_id, raw in tx.fetch_doc_rows_by_emb_ids(
+                    [int(e) for e in unique_emb]
+                ).items()
+            }
     loads = json.loads
     results: List[List[Retrieval]] = []
     for scores_b, embs_b in zip(score_list, emb_list):
         hits: List[Retrieval] = []
         for score, emb_id in zip(scores_b, embs_b):
-            rec_id, parent_id, level, text, meta_str = row_by_emb[emb_id]
-            hits.append(
-                {
-                    "score": score,
-                    "doc": {
-                        "id": rec_id,
-                        "parent_id": parent_id,
-                        "level": level,
-                        "text": text,
-                        "embedding": True,
-                        "meta": loads(meta_str) if meta_str is not None else None,
-                    },
-                }
-            )
+            rec, meta_str = row_by_emb[emb_id]
+            doc = dict(rec)  # fresh per hit; values are immutable
+            if meta_str is not None:
+                doc["meta"] = loads(meta_str)
+            hits.append({"score": score, "doc": doc})
         results.append(hits)
     return results
 
@@ -467,6 +541,7 @@ class AsyncKB:
         device: Optional[Any] = None,
         sidecar: Union[bool, str] = "auto",
         kernel: str = "auto",
+        device_rescore: str = "auto",
     ) -> None:
         self.local_path_or_remote_url = local_path_or_remote_url
         self.db: Optional[Database] = None
@@ -480,6 +555,7 @@ class AsyncKB:
             mesh=mesh,
             device=device,
             kernel=kernel,
+            device_rescore=device_rescore,
         )
         self.sidecar = sidecar
         self._stats = QueryStats()
@@ -538,13 +614,24 @@ class AsyncKB:
 
     async def load(self) -> None:
         """Open the DB and warm the device corpus now (instead of lazily on
-        the first query); persists a sidecar according to policy."""
+        the first query); persists a sidecar according to policy and
+        prewarms the hydration row cache (batched hydration then never
+        touches the store)."""
         async with self._get_lock():
             corpus = await self._ensure_engine_fresh()
             path = self._sidecar_path()
+            loop = asyncio.get_running_loop()
             if path is not None and self._should_write_sidecar(corpus):
-                loop = asyncio.get_running_loop()
                 await loop.run_in_executor(None, self.engine.write_sidecar, path)
+            db = await self._ensure_db()
+
+            def warm() -> int:
+                with db.transaction() as tx:
+                    return self._doc_cache.prewarm(tx)
+
+            warmed = await loop.run_in_executor(None, warm)
+            if warmed:
+                log.info("hydration cache prewarmed (%d rows)", warmed)
 
     async def close(
         self,
@@ -967,8 +1054,8 @@ class AsyncKB:
         )
         while True:
             with phase("device_search", self._stats), profiler_trace("retrieve"):
-                pre_vals, pre_rows = await loop.run_in_executor(
-                    None, self.engine.topk, corpus, vectors, c
+                pre_vals, pre_rows, dev_exact = await loop.run_in_executor(
+                    None, self.engine.topk_with_rescore, corpus, vectors, c
                 )
             with phase("finalize", self._stats):
                 async with self._get_lock():
@@ -986,6 +1073,7 @@ class AsyncKB:
                                 self.engine.rescore,
                                 pre_eps,
                                 doc_cache=self._doc_cache,
+                                device_exact=dev_exact,
                             )
 
                     results = await loop.run_in_executor(None, heavy)
@@ -1065,6 +1153,7 @@ class KB:
         device: Optional[Any] = None,
         sidecar: Union[bool, str] = "auto",
         kernel: str = "auto",
+        device_rescore: str = "auto",
     ) -> None:
         self.local_path_or_remote_url = local_path_or_remote_url
         self.embedding_func = embedding_func
@@ -1075,6 +1164,7 @@ class KB:
             mesh=mesh,
             device=device,
             kernel=kernel,
+            device_rescore=device_rescore,
         )
         self.sidecar = sidecar
         self._stats = QueryStats()
@@ -1117,7 +1207,9 @@ class KB:
         return self.engine.ensure_fresh(self._require_db(), self._sidecar_path())
 
     def load(self) -> None:
-        """Warm the device corpus now; persists a sidecar per policy."""
+        """Warm the device corpus now; persists a sidecar per policy and
+        prewarms the hydration row cache (batched hydration then never
+        touches the store)."""
         with self._lock:
             corpus = self._ensure_engine_fresh()
             path = self._sidecar_path()
@@ -1126,6 +1218,10 @@ class KB:
                 or (self.sidecar == "auto" and corpus.n_valid >= SIDECAR_AUTO_MIN_DOCS)
             ):
                 self.engine.write_sidecar(path)
+            with self._require_db().transaction() as tx:
+                warmed = self._doc_cache.prewarm(tx)
+            if warmed:
+                log.info("hydration cache prewarmed (%d rows)", warmed)
 
     def close(
         self,
@@ -1407,7 +1503,9 @@ class KB:
         )
         while True:
             with phase("device_search", self._stats), profiler_trace("retrieve"):
-                pre_vals, pre_rows = self.engine.topk(corpus, vectors, c)
+                pre_vals, pre_rows, dev_exact = self.engine.topk_with_rescore(
+                    corpus, vectors, c
+                )
             with phase("finalize", self._stats), self._lock:
                 db = self._require_db()
                 with db.transaction() as tx:
@@ -1415,6 +1513,7 @@ class KB:
                         tx, corpus, vectors, pre_vals, pre_rows, n,
                         self.engine.rescore, pre_eps,
                         doc_cache=self._doc_cache,
+                        device_exact=dev_exact,
                     )
             if results is not None:
                 return results

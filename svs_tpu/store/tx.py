@@ -306,6 +306,16 @@ class Tx:
             in self.fetch_doc_rows_by_emb_ids(emb_ids).items()
         }
 
+    def iter_doc_rows_with_emb(
+        self,
+    ) -> Iterator[Tuple[int, Any, Any, Any, Any, Any]]:
+        """Stream ``(emb_id, id, parent_id, level, text, meta_json)`` for
+        every embedded document — the hydration-cache prewarm scan."""
+        yield from self._conn.execute(
+            "SELECT embedding, id, parent_id, level, text, meta "
+            "FROM docs WHERE embedding IS NOT NULL;"
+        )
+
     def change_token(self) -> Tuple[int, int]:
         """O(1) staleness token covering EVERY kind of database change:
         SQLite's ``data_version`` moves when any *other* connection writes

@@ -732,3 +732,52 @@ def test_keyed_dispatch_not_refused_for_wide_corpora():
     q = np.zeros((4, 1536), np.float32)
     fake.dim = 1536
     assert (eng.prescore_eps(fake, q, 400) >= KEY_EPS).all()
+
+
+def test_device_rescore_mirror_and_exact_scores(db_path, unit_rows):
+    """With the device mirror built, topk_with_rescore returns exact f32
+    candidate scores (within float32 accumulation tolerance of the host
+    dot), and device_rescore='host' keeps the mirror off entirely."""
+    m = unit_rows(300, 24)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")  # device_rescore defaults auto
+    corpus = eng.ensure_fresh(db)
+    assert corpus.dev_rescore is not None
+    q = unit_rows(3, 24)
+    vals, rows, exact = eng.topk_with_rescore(corpus, q, 40)
+    assert exact is not None and exact.shape == (3, 40)
+    for b in range(3):
+        host_exact = corpus.host_f32[
+            rows[b] if corpus.host_row_map is None
+            else corpus.host_row_map[rows[b]]
+        ] @ q[b].astype(np.float32)
+        np.testing.assert_allclose(exact[b], host_exact, atol=3e-5)
+
+    eng2 = RetrievalEngine(precision="bf16", device_rescore="host")
+    c2 = eng2.ensure_fresh(db)
+    assert c2.dev_rescore is None
+    _, _, none_exact = eng2.topk_with_rescore(c2, q, 40)
+    assert none_exact is None
+    db.close()
+
+
+def test_device_rescore_budget_gate(db_path, unit_rows, monkeypatch):
+    m = unit_rows(64, 16)
+    db = _fill(db_path, m)
+    monkeypatch.setenv("SVS_TPU_DEVICE_RESCORE_MAX_BYTES", "10")
+    eng = RetrievalEngine(precision="bf16")
+    corpus = eng.ensure_fresh(db)
+    assert corpus.dev_rescore is None  # over budget -> host path
+    monkeypatch.setenv("SVS_TPU_DEVICE_RESCORE_MAX_BYTES", "0")
+    eng.invalidate()
+    assert eng.ensure_fresh(db).dev_rescore is None  # 0 disables
+    db.close()
+
+
+def test_device_rescore_f32_precision_skipped(db_path, unit_rows):
+    """f32 corpora default rescore off -> no mirror."""
+    m = unit_rows(40, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    assert eng.ensure_fresh(db).dev_rescore is None
+    db.close()

