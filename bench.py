@@ -112,10 +112,13 @@ def main() -> None:
         BLOCK_N,
         extract_supported,
         fused2_supported,
+        fused3_supported,
         fused_supported,
         score_topk_extract_packed,
         score_topk_fused2_int8_packed,
         score_topk_fused2_packed,
+        score_topk_fused3_int8_packed,
+        score_topk_fused3_packed,
         score_topk_fused_int8_packed,
         score_topk_fused_packed,
     )
@@ -196,7 +199,13 @@ def main() -> None:
             extract_supported(n_pad, batch, k)
         )
         phase_v2 = phase_extract and fused2_supported(n_pad, dim, batch, k)
-        phase_kernel = ("extract2" if phase_v2 else "extract") if phase_extract else (
+        # v3 (guarded) wins for batched selection (b >= GUARD_MIN_BATCH,
+        # benchmarks/tpu_v3_prod.py); its fused3_supported floor keeps
+        # solo queries on v2
+        phase_v3 = phase_extract and fused3_supported(n_pad, dim, batch, k)
+        phase_kernel = (
+            "extract3" if phase_v3 else ("extract2" if phase_v2 else "extract")
+        ) if phase_extract else (
             args.kernel if args.kernel in ("topk", "fast") else "topk"
         )
         # unit-norm queries: scores are genuine cosines in [-1, 1], the
@@ -215,10 +224,15 @@ def main() -> None:
         # batched runs prefer the keyed (v2) kernels: quantized prescores
         # within KEY_EPS, fastest measured selection (shootout 7)
         use_v2 = phase_v2
+        use_v3 = phase_v3
 
         def step_fn(corpus, scales, q, nvv):
             if args.precision == "int8":
                 if phase_extract:
+                    if use_v3:
+                        return score_topk_fused3_int8_packed(
+                            corpus, scales, q, nvv, k, interpret=on_cpu
+                        )
                     if use_v2:
                         return score_topk_fused2_int8_packed(
                             corpus, scales, q, nvv, k, interpret=on_cpu
@@ -238,6 +252,10 @@ def main() -> None:
                     )
                 return score_topk_int8_packed(corpus, scales, q, nvv, k)
             if phase_extract:
+                if use_v3:
+                    return score_topk_fused3_packed(
+                        corpus, q, nvv, k, interpret=on_cpu
+                    )
                 if use_v2:
                     return score_topk_fused2_packed(
                         corpus, q, nvv, k, interpret=on_cpu

@@ -823,6 +823,32 @@ class RetrievalEngine:
             n_rows, corpus.dim_padded, b, min(k, corpus.n_valid)
         )
 
+    def _guarded_selection_possible(
+        self, corpus: PackedCorpus, b: int, k: int
+    ) -> bool:
+        """Dispatch condition for the guarded (v3) kernels — candidate
+        selection that carries a hidden-score bound in the wire's
+        boundary slot instead of proving coverage in-graph (see
+        ``ops.pallas_extract`` "guarded fused kernels").  Only sound
+        under the verified rescore+margin machinery, which every caller
+        of the keyed paths already is.  ``prescore_eps`` consults this
+        for the (larger) GUARD_KEY_EPS term so bound and dispatch can't
+        drift.  Growing ``k`` past ``GUARD_MAX_C`` turns this off, so
+        the widen-and-retry ladder naturally escalates v3 -> v2/v1 ->
+        exact."""
+        from ..ops.pallas_extract import fused3_supported
+
+        if not self.rescore or self.mesh is not None:
+            return False
+        if corpus.precision == "int8":
+            if self.kernel != "auto":
+                return False
+        elif self.kernel not in ("auto", "pallas"):
+            return False
+        return fused3_supported(
+            corpus.n_padded, corpus.dim_padded, b, min(k, corpus.n_valid)
+        )
+
     def prescore_eps(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
     ) -> np.ndarray:
@@ -855,17 +881,25 @@ class RetrievalEngine:
           have, with the miss still bounded by the deterministic bound.
         - ``f32``: accumulation-order differences only.
         """
-        from ..ops.pallas_extract import KEY_EPS
+        from ..ops.pallas_extract import GUARD_KEY_EPS, KEY_EPS
 
         # The keyed selection kernels (ops.pallas_extract v2) return
         # scores quantized onto a 2^-13 grid; KEY_EPS covers that on top
         # of each precision's own term — added only when that dispatch is
         # actually possible for this shape (an inflated bound on exact
-        # paths would trigger needless widen-and-retry loops).
+        # paths would trigger needless widen-and-retry loops).  The
+        # guarded (v3) kernels quantize onto the coarser 2^-12 grid
+        # (GUARD_KEY_EPS = 2^-11); when both could dispatch the larger
+        # term applies — and it stays sound across widen retries, which
+        # only ever move DOWN the ladder (v3 -> v2 -> exact) to paths
+        # with equal or smaller quantization error.
         b = queries.shape[0]
-        key_eps = (
-            KEY_EPS if self._keyed_selection_possible(corpus, b, k) else 0.0
-        )
+        if self._guarded_selection_possible(corpus, b, k):
+            key_eps = GUARD_KEY_EPS
+        elif self._keyed_selection_possible(corpus, b, k):
+            key_eps = KEY_EPS
+        else:
+            key_eps = 0.0
         if corpus.precision == "bf16":
             eps = 2.0**-8 * (1.0 + 2.0**-9) + 3e-5 + key_eps
             return np.full((b,), eps, dtype=np.float64)
@@ -966,6 +1000,7 @@ class RetrievalEngine:
                 extract_supported,
                 fused_supported,
                 score_topk_fused2_int8_packed,
+                score_topk_fused3_int8_packed,
                 score_topk_fused_int8_packed,
             )
             from ..ops.quant import (
@@ -975,7 +1010,15 @@ class RetrievalEngine:
 
             interp = jax.default_backend() == "cpu"
             int8_pallas_ok = self.kernel == "auto" and not wide
-            if self._keyed_selection_possible(corpus, q.shape[0], k_eff):
+            if self._guarded_selection_possible(corpus, q.shape[0], k_eff):
+                # Guarded selection (v3): half the emit reduces of v2 and
+                # no separate merge kernel; the wire's boundary slot
+                # carries the hidden-score bound for the margin proof.
+                packed_dev = score_topk_fused3_int8_packed(
+                    corpus.data, corpus.row_scales, q, n_valid, k_eff,
+                    wide=wide, interpret=interp,
+                )
+            elif self._keyed_selection_possible(corpus, q.shape[0], k_eff):
                 # Keyed selection: quantized prescores (covered by KEY_EPS
                 # in prescore_eps), only used under the verified rescore.
                 packed_dev = score_topk_fused2_int8_packed(
@@ -1006,13 +1049,24 @@ class RetrievalEngine:
                 fused_supported,
                 score_topk_extract_packed,
                 score_topk_fused2_packed,
+                score_topk_fused3_packed,
                 score_topk_fused_packed,
             )
             from ..ops.topk import score_topk_packed
 
             interp = jax.default_backend() == "cpu"
             pallas_ok = self.kernel in ("auto", "pallas") and not wide
-            if self._keyed_selection_possible(corpus, q.shape[0], k_eff):
+            if self._guarded_selection_possible(corpus, q.shape[0], k_eff):
+                # Guarded selection (ops.pallas_extract v3): the fastest
+                # batched path (BENCHMARKS.md shootout 9) — candidate
+                # rows + a hidden-score bound in the boundary slot; the
+                # margin proof + widen loop carry exactness (no in-graph
+                # coverage fallback).
+                packed_dev = score_topk_fused3_packed(
+                    corpus.data, q, n_valid, k_eff, wide=wide,
+                    interpret=interp,
+                )
+            elif self._keyed_selection_possible(corpus, q.shape[0], k_eff):
                 # Keyed selection (ops.pallas_extract v2): quantized
                 # prescores covered by KEY_EPS in prescore_eps; only used
                 # under the verified rescore, where it's the fastest

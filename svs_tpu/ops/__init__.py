@@ -28,10 +28,15 @@ from .pallas_extract import (
     extract_supported,
     extract_topk,
     fused2_supported,
+    fused3_candidates,
+    fused3_candidates_int8,
+    fused3_supported,
     fused_supported,
     score_topk_extract_packed,
     score_topk_fused2_int8_packed,
     score_topk_fused2_packed,
+    score_topk_fused3_int8_packed,
+    score_topk_fused3_packed,
     score_topk_fused_int8_packed,
     score_topk_fused_packed,
 )
@@ -40,10 +45,15 @@ __all__ = [
     "extract_supported",
     "extract_topk",
     "fused2_supported",
+    "fused3_candidates",
+    "fused3_candidates_int8",
+    "fused3_supported",
     "fused_supported",
     "score_topk_extract_packed",
     "score_topk_fused2_int8_packed",
     "score_topk_fused2_packed",
+    "score_topk_fused3_int8_packed",
+    "score_topk_fused3_packed",
     "score_topk_fused_int8_packed",
     "score_topk_fused_packed",
     "masked_topk",

@@ -695,7 +695,10 @@ def _fused2_extract_int8(
         scratch_shapes=[pltpu.VMEM((b, FUSED_BLOCK_N), jnp.int32)],
         interpret=interpret,
     )(
-        jnp.asarray([n_valid], jnp.float32),
+        # int32 like the bf16 wrapper: the kernel's validity masking runs
+        # on int32 scalars (see _fused2_kernel) — an f32 n_valid here
+        # would silently re-acquire the 2^24 masking ceiling on int8
+        jnp.asarray([n_valid], jnp.int32),
         q_int8,
         q_scales[:, None].astype(jnp.float32),
         q_docs,
@@ -943,6 +946,445 @@ def score_topk_fused2_int8_packed(
         q_docs, row_scales, queries, n_valid, k, interpret=interpret
     )
     return pack_vals_idx(vals, idx, wide=wide)
+
+
+# --- guarded fused kernels (v3): bound-carrying extraction -----------------
+#
+# The v2 kernels above pay 8 winners x 16 subtiles = 128 max-reduces per
+# 8192-doc block because their exactness story requires per-subtile top-H
+# *coverage* of the candidate set (any hidden element trips the in-graph
+# ``lax.top_k`` fallback).  Measured on v5e (benchmarks/tpu_select8.py /
+# tpu_select9.py): the emit phase is dominated by the NUMBER of
+# max-reduce invocations — each costs ~the same up to 512 lanes and ~2x
+# at 1024 — so coverage's H=8 puts a hard floor under the batched path
+# (b=256 bf16 6.2 ms extract vs a 4.8 ms matmul floor).
+#
+# v3 drops the coverage requirement entirely.  The engine's verified
+# rescore only needs an upper bound on every NON-candidate's prescore
+# (the margin proof in ``kb._finalize_batch`` reads ``pre_vals[:, -1]``),
+# and the subtile tails already are that bound: a doc not extracted from
+# its subtile scores at most the subtile's H-th (weakest) extracted key.
+# So the kernel extracts top-4 per 1024-lane subtile (32 reduces @1024
+# ~ 64 cost units — HALF of v2 — and half the clear passes) and emits the
+# raw 32 keys plus one guard lane (the running max of subtile tails) per
+# block.  No second reduce kernel, no fallback branch: the merge is one
+# ``lax.top_k`` over nb*32 lanes, and ``max(guard, weakest merged key)``
+# decodes into a sound hidden-score bound that the packed wire carries in
+# the boundary slot.  Exactness then rides on the existing margin check +
+# widen-and-retry loop (``kb.py:1504-1524``): a failed margin widens the
+# candidate set, which turns this dispatch off (``GUARD_MAX_C``) and
+# falls back to the v2/v1/XLA ladder.  Measured v5e (tpu_select9):
+# b=256 bf16 1M x 1536 c=400 extract 5.58 ms, full merge+decode 5.98 ms
+# vs 6.84-6.94 for the full v2 path.
+#
+# Bound soundness for arbitrary (non-unit-norm) raw-op inputs: keys are
+# exact f32 integers while |key| < 2^24 (scores within ~(-5, 2.9)); far
+# outside, float rounding can corrupt lane bits — which misdirects
+# CANDIDATE rows but cannot un-sound the bound (key rounding is a
+# relative 2^-24 of the VALUE, covered by the margin cushions) — except
+# for enormous positive scores, where the bound itself loses absolute
+# precision.  Those are detected via the top merged key and the bound is
+# forced to +inf (margin always fails -> callers widen to an exact path).
+
+#: v3 subtile: 1024 lanes, 4 winners — 32 reduces per 8192-doc block.
+GUARD_SUBTILE = 1024
+GUARD_H = 4
+#: Score grid for v3 keys: 2^12 keeps (score+bias)*QSCALE*1024 an exact
+#: f32 integer below 2^24 for scores up to ~2.9.
+GUARD_QSCALE = float(1 << 12)
+#: Sound bound on (true score - decoded key value) for the v3 grid.
+GUARD_KEY_EPS = 2.0**-11
+GUARD_NSUB = FUSED_BLOCK_N // GUARD_SUBTILE  # 8 subtiles per block
+GUARD_KEYS = GUARD_NSUB * GUARD_H  # 32 key lanes per block
+#: Out block: 32 keys + 1 guard lane, padded to one 128-lane tile.
+_GUARD_OUT_LANES = 128
+#: v3 dispatch ceiling on the candidate count: above this the guard
+#: bound (at ~prescore-rank lambda^-4 of the corpus) stops clearing the
+#: margin reliably and retries would churn — the v2/v1 ladder takes over.
+GUARD_MAX_C = 1024
+#: v3 dispatch floor on the batch: below it the v2 staged reduce wins
+#: (measured v5e 1Mx1536 c=400 bf16: b=1 4.12 vs 4.46 ms, b=8 4.08 vs
+#: 4.21, b=16 4.26 vs 4.21 tie, b>=32 v3 wins outright — 6.18 vs 7.93
+#: at b=256; benchmarks/tpu_v3_prod.py).
+GUARD_MIN_BATCH = 16
+#: Keys at/above this decode from scores > ~2.5 — beyond any unit-norm
+#: or int8-overshoot score, so only reachable by raw-op inputs that may
+#: have lost f32 exactness; the bound saturates to +inf there.
+_GUARD_SAT_KEY = float(int((2.5 + KEY_BIAS) * GUARD_QSCALE) * GUARD_SUBTILE)
+
+
+def _guard_emit(
+    scores_block: jax.Array,
+    lane: jax.Array,
+    live_from: jax.Array,
+    out_ref: Ref,
+    col0: int,
+    guard: jax.Array,
+) -> jax.Array:
+    """Extract the top-GUARD_H of one 1024-lane subtile as packed keys
+    into ``out_ref[:, col0:col0+GUARD_H]``; returns the updated running
+    guard (max of subtile tails)."""
+    # Clamp before keying: raw-op scores below ~-4 would push keys under
+    # the KEY_DEAD marker (dead lanes would then outrank live ones), and
+    # far-out positives lose f32 exactness.  At +-3.0 every live key
+    # stays an exact f32 integer strictly above KEY_DEAD; clamped-high
+    # docs key at >= _GUARD_SAT_KEY, which saturates the bound to +inf
+    # (see _fused3_finish) — soundness never depends on their ordering.
+    # Unit-norm engine scores ([-1, 1] + int8 overshoot) never clamp.
+    keys = (
+        jnp.floor(
+            (jnp.clip(scores_block, -3.0, 3.0) + KEY_BIAS) * GUARD_QSCALE
+        )
+        * float(GUARD_SUBTILE)
+        + lane
+    )
+    keys = jnp.where(lane < live_from, keys, KEY_DEAD)
+    mkey = keys[:, :1]
+    for h in range(GUARD_H):
+        mkey = jnp.max(keys, axis=1, keepdims=True)
+        out_ref[:, col0 + h : col0 + h + 1] = mkey
+        keys = jnp.where(keys == mkey, KEY_DEAD, keys)
+    return jnp.maximum(guard, mkey)
+
+
+def _fused3_kernel(
+    nv_ref: Ref, q_ref: Ref, docs_ref: Ref, out_ref: Ref, acc_ref: Ref
+) -> None:
+    j = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _zero() -> None:
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    acc_ref[:] += jax.lax.dot_general(
+        q_ref[:],
+        docs_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c == nc - 1)
+    def _emit() -> None:
+        nv = nv_ref[0]  # int32: exact at ANY corpus size
+        b = acc_ref.shape[0]
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (b, GUARD_SUBTILE), 1
+        ).astype(jnp.float32)
+        guard = jnp.full((b, 1), KEY_DEAD, jnp.float32)
+        for s in range(GUARD_NSUB):
+            lo = s * GUARD_SUBTILE
+            live = jnp.clip(
+                nv - (j * FUSED_BLOCK_N + lo), 0, GUARD_SUBTILE
+            ).astype(jnp.float32)
+            guard = _guard_emit(
+                acc_ref[:, lo : lo + GUARD_SUBTILE],
+                lane,
+                live,
+                out_ref,
+                s * GUARD_H,
+                guard,
+            )
+        out_ref[:, GUARD_KEYS : GUARD_KEYS + 1] = guard
+        dead = jnp.full(
+            (b, _GUARD_OUT_LANES - GUARD_KEYS - 1), KEY_DEAD, jnp.float32
+        )
+        out_ref[:, GUARD_KEYS + 1 :] = dead
+
+
+def _fused3_int8_kernel(
+    nv_ref: Ref,
+    q_ref: Ref,
+    qs_ref: Ref,
+    docs_ref: Ref,
+    rs_ref: Ref,
+    out_ref: Ref,
+    acc_ref: Ref,
+) -> None:
+    """int8 variant: int8 x int8 MXU matmul with int32 accumulation; the
+    f32 rescale happens per subtile at emit (see _fused2_int8_kernel)."""
+    j = pl.program_id(0)
+    c = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _zero() -> None:
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.int32)
+
+    acc_ref[:] += jax.lax.dot_general(
+        q_ref[:],
+        docs_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(c == nc - 1)
+    def _emit() -> None:
+        nv = nv_ref[0]  # int32: exact at ANY corpus size
+        b = acc_ref.shape[0]
+        qs = qs_ref[:]  # [b, 1] f32
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (b, GUARD_SUBTILE), 1
+        ).astype(jnp.float32)
+        guard = jnp.full((b, 1), KEY_DEAD, jnp.float32)
+        for s in range(GUARD_NSUB):
+            lo = s * GUARD_SUBTILE
+            sub = (
+                acc_ref[:, lo : lo + GUARD_SUBTILE].astype(jnp.float32)
+                * rs_ref[:, lo : lo + GUARD_SUBTILE]
+                * qs
+            )
+            live = jnp.clip(
+                nv - (j * FUSED_BLOCK_N + lo), 0, GUARD_SUBTILE
+            ).astype(jnp.float32)
+            guard = _guard_emit(
+                sub, lane, live, out_ref, s * GUARD_H, guard
+            )
+        out_ref[:, GUARD_KEYS : GUARD_KEYS + 1] = guard
+        dead = jnp.full(
+            (b, _GUARD_OUT_LANES - GUARD_KEYS - 1), KEY_DEAD, jnp.float32
+        )
+        out_ref[:, GUARD_KEYS + 1 :] = dead
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused3_extract(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Matmul + guarded per-subtile top-4 in one kernel; returns raw
+    per-block out tiles ``[B, (N/FUSED_BLOCK_N)*128]`` (32 keys + guard +
+    dead padding per block; decode via :func:`_fused3_finish`)."""
+    n, d = docs.shape
+    b = queries.shape[0]
+    grid = (n // FUSED_BLOCK_N, d // DIM_CHUNK)
+    out_shape = (b, (n // FUSED_BLOCK_N) * _GUARD_OUT_LANES)
+    return pl.pallas_call(
+        _fused3_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid [1] int32
+            pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
+            pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
+        ],
+        out_specs=pl.BlockSpec((b, _GUARD_OUT_LANES), lambda j, c: (0, j)),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, FUSED_BLOCK_N), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32), queries, docs)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused3_extract_int8(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    q_int8: jax.Array,
+    q_scales: jax.Array,
+    n_valid: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    n, d = q_docs.shape
+    b = q_int8.shape[0]
+    grid = (n // FUSED_BLOCK_N, d // DIM_CHUNK)
+    out_shape = (b, (n // FUSED_BLOCK_N) * _GUARD_OUT_LANES)
+    return pl.pallas_call(
+        _fused3_int8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
+            pl.BlockSpec((b, 1), lambda j, c: (0, 0)),
+            pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
+            pl.BlockSpec((1, FUSED_BLOCK_N), lambda j, c: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((b, _GUARD_OUT_LANES), lambda j, c: (0, j)),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, FUSED_BLOCK_N), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.asarray([n_valid], jnp.int32),
+        q_int8,
+        q_scales[:, None].astype(jnp.float32),
+        q_docs,
+        row_scales[None, :].astype(jnp.float32),
+    )
+
+
+def fused3_supported(n: int, d: int, b: int, c: int) -> bool:
+    """Guarded-kernel dispatch predicate.  ``c`` is the CANDIDATE count
+    (``RetrievalEngine.candidate_count``), not the final k.  Requirements:
+    block-aligned corpus, enough FULL live blocks that the merged pool
+    holds ``c`` live keys (each fully live block contributes its 32
+    extracted keys), and ``c`` small enough that the guard bound reliably
+    clears the rescore margin (``GUARD_MAX_C``).  The engine pads large
+    packs to ``LARGE_ROW_MULTIPLE`` = 2 blocks, so up to TWO trailing
+    blocks may be partially/fully padding — hence ``nb - 2``.  A caller
+    violating even that (pool starved of live keys) is caught at
+    runtime: dead markers reaching the selection force the bound to +inf
+    (see ``_fused3_finish``).  Like v2 there is NO ``n < 2^24`` ceiling —
+    rows are reconstructed in int32 from (block, subtile, lane)."""
+    nb = n // FUSED_BLOCK_N
+    return (
+        n % FUSED_BLOCK_N == 0
+        and d % DIM_CHUNK == 0
+        and GUARD_MIN_BATCH <= b <= FUSED_MAX_BATCH
+        and nb >= 16
+        and 0 < c <= min(GUARD_MAX_C, (nb - 2) * GUARD_KEYS)
+    )
+
+
+def _guard_key_vals(keys: jax.Array) -> jax.Array:
+    """Decode v3 packed keys to quantized scores (within GUARD_KEY_EPS
+    below the true score)."""
+    vq = keys.astype(jnp.int32) // GUARD_SUBTILE
+    return vq.astype(jnp.float32) / GUARD_QSCALE - KEY_BIAS
+
+
+def _fused3_finish(
+    out: jax.Array, c: int, b_real: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Merge + decode + bound for the guarded kernels.  ``out`` is the
+    raw kernel output ``[B_pad, nb*128]``.  Returns ``(vals f32 [B, c],
+    rows int32 [B, c], bound f32 [B])`` over the padded batch, where
+    ``bound`` is a sound upper bound on the decoded prescore of every
+    document NOT among the returned rows (+inf when key saturation makes
+    the bound untrustworthy).  Row reconstruction is int32 — exact for
+    any corpus size (no 2^24 ceiling)."""
+    b_pad = out.shape[0]
+    nb = out.shape[1] // _GUARD_OUT_LANES
+    o3 = out.reshape(b_pad, nb, _GUARD_OUT_LANES)
+    keys = o3[:, :, :GUARD_KEYS].reshape(b_pad, nb * GUARD_KEYS)
+    sel, cols = jax.lax.top_k(keys, c)
+    ki = sel.astype(jnp.int32)
+    lane = ki - (ki // GUARD_SUBTILE) * GUARD_SUBTILE
+    vals = _guard_key_vals(sel)
+    jb = cols // GUARD_KEYS
+    s = (cols - jb * GUARD_KEYS) // GUARD_H
+    rows = jb * FUSED_BLOCK_N + s * GUARD_SUBTILE + lane
+    # hidden-score bound: docs dropped in-subtile are <= their subtile's
+    # tail (<= the guard lane); extracted docs dropped at the merge are
+    # <= the weakest merged key.  Decode sits within GUARD_KEY_EPS below
+    # the true score — the engine's prescore_eps carries that term.
+    guard_keys = jnp.max(o3[:, :, GUARD_KEYS], axis=1)
+    bound = jnp.maximum(_guard_key_vals(guard_keys), vals[:, -1])
+    # keys at scores > ~2.5 may have lost f32 exactness (raw-op callers
+    # only; unit-norm corpora never get here): refuse to certify
+    bound = jnp.where(
+        sel[:, 0] >= _GUARD_SAT_KEY, jnp.float32(jnp.inf), bound
+    )
+    # a dead marker reaching the selection means the live pool ran short
+    # of c (a raw-op caller violating the engine's <=1-partial-block
+    # padding contract that fused3_supported encodes): the emitted rows
+    # would be fabrications, so refuse to certify anything.  Dead keys
+    # are the strict minimum after the emit clamp, so any in-selection
+    # lands in the last slot.
+    bound = jnp.where(
+        sel[:, -1] <= KEY_DEAD, jnp.float32(jnp.inf), bound
+    )
+    return vals, rows, bound
+
+
+def fused3_candidates(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    c: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Guarded candidate selection, unpacked: ``(quantized prescores f32
+    [B, c], rows int32 [B, c], hidden-score bound f32 [B])``.
+
+    Unlike :func:`fused2_topk` there is NO exactness fallback in-graph:
+    the rows are the top-``c`` of the kernel-extracted pool, which may
+    (rarely) miss true top-``c`` members — every miss is provably below
+    ``bound + GUARD_KEY_EPS``, so a caller that verifies its final top-k
+    against ``bound`` (the engine's rescore margin, ``kb.py:409-415``)
+    gets verified-exact retrieval with a widen-and-retry on failure.
+    Requires ``fused3_supported``."""
+    n, d = docs.shape
+    b = queries.shape[0]
+    b_pad = max(QBLOCK, ((b + QBLOCK - 1) // QBLOCK) * QBLOCK)
+    q = queries.astype(docs.dtype)
+    if b_pad != b:
+        q = jnp.concatenate([q, jnp.zeros((b_pad - b, d), q.dtype)], axis=0)
+    out = _fused3_extract(docs, q, n_valid, interpret=interpret)
+    vals, rows, bound = _fused3_finish(out, c, b)
+    return vals[:b], rows[:b], bound[:b]
+
+
+def fused3_candidates_int8(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    c: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """int8 guarded candidate selection; see :func:`fused3_candidates`.
+    Requires ``fused3_supported``."""
+    from .quant import quantize_rows_int8
+
+    n, d = q_docs.shape
+    b = queries.shape[0]
+    b_pad = max(QBLOCK, ((b + QBLOCK - 1) // QBLOCK) * QBLOCK)
+    if b_pad != b:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((b_pad - b, d), queries.dtype)], axis=0
+        )
+    q_int8, q_scales = quantize_rows_int8(queries)
+    out = _fused3_extract_int8(
+        q_docs, row_scales, q_int8, q_scales, n_valid, interpret=interpret
+    )
+    vals, rows, bound = _fused3_finish(out, c, b)
+    return vals[:b], rows[:b], bound[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wide", "interpret"))
+def score_topk_fused3_packed(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    wide: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Guarded single-kernel candidate selection, packed.  The wire's
+    boundary slot (``vals[:, -1]`` — exactly what the margin proof reads)
+    carries ``max(weakest candidate prescore, hidden-score bound)``, so
+    the existing verified-rescore machinery proves exactness with no
+    in-graph fallback.  Only sound under a rescore+margin caller.
+    Requires ``fused3_supported``."""
+    vals, rows, bound = fused3_candidates(
+        docs, queries, n_valid, k, interpret=interpret
+    )
+    vals = jnp.concatenate(
+        [vals[:, :-1], jnp.maximum(vals[:, -1:], bound[:, None])], axis=1
+    )
+    return pack_vals_idx(vals, rows, wide=wide)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wide", "interpret"))
+def score_topk_fused3_int8_packed(
+    q_docs: jax.Array,
+    row_scales: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    wide: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 guarded packed path; see :func:`score_topk_fused3_packed`.
+    Requires ``fused3_supported``."""
+    vals, rows, bound = fused3_candidates_int8(
+        q_docs, row_scales, queries, n_valid, k, interpret=interpret
+    )
+    vals = jnp.concatenate(
+        [vals[:, :-1], jnp.maximum(vals[:, -1:], bound[:, None])], axis=1
+    )
+    return pack_vals_idx(vals, rows, wide=wide)
 
 
 @functools.partial(

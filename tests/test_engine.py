@@ -781,3 +781,104 @@ def test_device_rescore_f32_precision_skipped(db_path, unit_rows):
     eng = RetrievalEngine(precision="f32")
     assert eng.ensure_fresh(db).dev_rescore is None
     db.close()
+
+
+def test_guarded_dispatch_and_eps(monkeypatch):
+    """v3 (guarded) dispatch: picked at the headline shapes, feeds the
+    GUARD grid term into prescore_eps, turns off past its candidate
+    ceiling (where v2 takes over), and returns exact winners on a
+    well-separated corpus."""
+    from svs_tpu.engine.packing import LARGE_ROW_MULTIPLE
+    from svs_tpu.ops import pallas_extract as pe
+
+    n = 16 * pe.FUSED_BLOCK_N  # the nb >= 16 dispatch floor
+    d = 128
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 1] = 1.0
+    hot_rows = np.arange(32) * 4000 + 11  # distinct, spread over blocks
+    hot = (0.9 - np.arange(32) * 0.01).astype(np.float32)  # >> bf16 ulp
+    m[hot_rows, 0] = hot
+    m[hot_rows, 1] = np.sqrt(1.0 - hot**2)
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    corpus = pack_corpus(
+        m, ids, version=1, precision="bf16",
+        row_multiple=LARGE_ROW_MULTIPLE, dim_multiple=d,
+    )
+    eng = RetrievalEngine(precision="bf16")
+    nq = pe.GUARD_MIN_BATCH
+    q = np.zeros((nq, d), dtype=np.float32)
+    q[:, 0] = 1.0
+
+    assert eng._guarded_selection_possible(corpus, nq, 400)
+    # batch floor: single-query search stays on the (measured-faster) v2
+    assert not eng._guarded_selection_possible(corpus, 1, 400)
+    # past the v3 candidate pool ceiling the guarded path turns off (the
+    # widen ladder escalates to coverage-proving kernels)
+    assert not eng._guarded_selection_possible(corpus, nq, 600)
+    # eps ladder: same candidate count, v3-eligible corpus vs one below
+    # the nb>=16 dispatch floor where only v2 runs — the bound term must
+    # be the guarded grid (2^-11) there and the keyed grid (2^-12) here
+    small = pack_corpus(
+        m[: 8 * pe.FUSED_BLOCK_N], ids[: 8 * pe.FUSED_BLOCK_N],
+        version=1, precision="bf16",
+        row_multiple=LARGE_ROW_MULTIPLE, dim_multiple=d,
+    )
+    assert not eng._guarded_selection_possible(small, nq, 100)
+    assert eng._keyed_selection_possible(small, nq, 100)
+    assert eng._guarded_selection_possible(corpus, nq, 100)
+    e_v3 = eng.prescore_eps(corpus, q, 100)[0]
+    e_v2 = eng.prescore_eps(small, q, 100)[0]
+    assert np.isclose(e_v3 - e_v2, 2.0**-11 - 2.0**-12)
+
+    calls = []
+    real = pe.score_topk_fused3_packed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pe, "score_topk_fused3_packed", spy)
+    vals, rows = eng.topk(corpus, q, 40)
+    assert calls, "guarded kernel was not dispatched"
+    got_ids = [int(corpus.emb_ids[r]) for r in rows[0][:32]]
+    want_ids = [int(r) + 1 for r in hot_rows]  # descending-score order
+    assert got_ids == want_ids
+
+
+def test_guarded_margin_fires_on_hidden_cluster():
+    """An adversarial cluster v3 provably cannot cover: the boundary
+    slot's hidden-score bound must make the kb margin check fail (the
+    widen signal) — this is the soundness hinge of the guarded design."""
+    from svs_tpu.engine.packing import LARGE_ROW_MULTIPLE
+    from svs_tpu.ops import pallas_extract as pe
+
+    n = 16 * pe.FUSED_BLOCK_N
+    d = 128
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 1] = 1.0
+    n_cl = 2000
+    cl_rows = np.arange(n_cl) * 60  # spread: ~15 per 1024-lane subtile
+    scores = (0.7 + np.arange(n_cl) * 1e-6).astype(np.float32)
+    m[cl_rows, 0] = scores
+    m[cl_rows, 1] = np.sqrt(1.0 - scores**2)
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    corpus = pack_corpus(
+        m, ids, version=1, precision="bf16",
+        row_multiple=LARGE_ROW_MULTIPLE, dim_multiple=d,
+    )
+    eng = RetrievalEngine(precision="bf16")
+    nq = pe.GUARD_MIN_BATCH
+    q = np.zeros((nq, d), dtype=np.float32)
+    q[:, 0] = 1.0
+    k = 10
+    c = eng.candidate_count(k)
+    assert eng._guarded_selection_possible(corpus, nq, c)
+    pre_vals, rows = eng.topk(corpus, q, c)
+    eps = eng.prescore_eps(corpus, q, c)
+    # f32 rescore of the candidates, as _finalize_batch does
+    orig = corpus.emb_ids[rows[0]] - 1  # ids are insertion order here
+    exact = (m[orig] @ q[0]).astype(np.float32)
+    v_k = np.sort(exact)[::-1][k - 1]
+    assert v_k < pre_vals[0, -1] + eps[0], (
+        "margin must fire so the kb ladder widens off v3"
+    )

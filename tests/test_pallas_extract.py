@@ -497,3 +497,300 @@ def test_fused2_wide_corpus_full_interpret():
     vals, rows = unpack_vals_idx(packed, 20)
     assert (rows < nv).all(), "validity mask leaked past 2^24"
     assert set(hot) <= set(rows[0].tolist())
+
+
+# --- guarded (v3) kernels ---------------------------------------------------
+#
+# The guarded kernels promise NO candidate coverage — only that every
+# document missing from the returned rows has a true prescore bounded by
+# the returned ``bound`` (+ GUARD_KEY_EPS).  These tests prove that
+# contract directly (it is what the engine's margin proof consumes), on
+# shapes below the fused3_supported dispatch floor where interpret mode
+# is fast — the kernels are shape-correct for any nb >= 2; the nb >= 16
+# floor in fused3_supported is a dispatch-profitability choice, and the
+# engine-level dispatch is covered in test_engine.py.
+
+
+def _fused3_contract_check(m, q, nv, c, vals, rows, bound, key_eps):
+    """Assert the guarded-kernel contract on f32 ground truth."""
+    exact = (m[:nv].astype(np.float32) @ q.T).T  # [B, nv]
+    b_n = q.shape[0]
+    assert rows.shape == (b_n, c) and vals.shape == (b_n, c)
+    assert (rows >= 0).all() and (rows < nv).all()
+    for b in range(b_n):
+        assert len(set(rows[b].tolist())) == c, "duplicate rows"
+        true_of_returned = exact[b][rows[b]]
+        # decoded quantized values sit within key_eps below the truth
+        assert (vals[b] <= true_of_returned + 1e-6).all()
+        assert (true_of_returned <= vals[b] + key_eps).all()
+        # THE bound contract: no missing doc may exceed bound + key_eps
+        mask = np.ones(nv, dtype=bool)
+        mask[rows[b]] = False
+        hidden_max = exact[b][mask].max()
+        assert hidden_max <= bound[b] + key_eps + 1e-6, (
+            hidden_max, bound[b]
+        )
+
+
+def test_fused3_supported_bounds():
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        FUSED_MAX_BATCH,
+        GUARD_KEYS,
+        GUARD_MAX_C,
+        fused3_supported,
+    )
+
+    from svs_tpu.ops.pallas_extract import GUARD_MIN_BATCH
+
+    n = 16 * FUSED_BLOCK_N
+    b = GUARD_MIN_BATCH
+    assert fused3_supported(n, 128, b, 400)
+    assert not fused3_supported(15 * FUSED_BLOCK_N, 128, b, 400)  # nb < 16
+    assert not fused3_supported(n + 1, 128, b, 400)  # unaligned rows
+    assert not fused3_supported(n, 120, b, 400)  # unaligned dim
+    assert not fused3_supported(n, 128, FUSED_MAX_BATCH + 1, 400)
+    # batch floor: solo/small-batch selection stays on v2 (measured
+    # faster there; see GUARD_MIN_BATCH)
+    assert not fused3_supported(n, 128, GUARD_MIN_BATCH - 1, 400)
+    # pool floor: the engine pads to LARGE_ROW_MULTIPLE = 2 blocks, so
+    # up to two trailing blocks may be padding -> (nb-2)*GUARD_KEYS keys
+    assert fused3_supported(n, 128, b, 14 * GUARD_KEYS)
+    assert not fused3_supported(n, 128, b, 14 * GUARD_KEYS + 1)
+    # candidate ceiling at GUARD_MAX_C even when the pool is huge
+    big_nb = 256
+    assert fused3_supported(big_nb * FUSED_BLOCK_N, 128, b, GUARD_MAX_C)
+    assert not fused3_supported(
+        big_nb * FUSED_BLOCK_N, 128, b, GUARD_MAX_C + 1
+    )
+    # NO 2^24 row ceiling (the v3 wire reconstructs rows in int32)
+    huge = (((1 << 24) // FUSED_BLOCK_N) + 17) * FUSED_BLOCK_N
+    assert fused3_supported(huge, 128, b, 400)
+
+
+def test_fused3_bound_contract_random(unit_rows):
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        GUARD_KEY_EPS,
+        fused3_candidates,
+    )
+
+    n = 2 * FUSED_BLOCK_N
+    m = unit_rows(n, 128)
+    q = m[5:13].astype(np.float32)
+    nv = n - 777
+    c = 20
+    vals, rows, bound = fused3_candidates(
+        jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), c, interpret=True
+    )
+    _fused3_contract_check(
+        m, q, nv, c,
+        np.asarray(vals), np.asarray(rows), np.asarray(bound),
+        GUARD_KEY_EPS,
+    )
+
+
+def test_fused3_hidden_cluster_bound_forces_widen():
+    """More than GUARD_H winners inside ONE 1024-lane subtile: v3 has no
+    fallback, so it MUST miss some — and the returned bound must sit
+    above every miss, which makes the engine's margin check fail (the
+    widen ladder then escalates off v3).  Both halves asserted here."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        GUARD_H,
+        GUARD_KEY_EPS,
+        fused3_candidates,
+    )
+
+    n = 2 * FUSED_BLOCK_N
+    d = 128
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 1] = 1.0  # background orthogonal to the probe
+    n_hot = 3 * GUARD_H  # 12 > GUARD_H in subtile 0
+    hot_rows = 100 + np.arange(n_hot)
+    hot = np.linspace(0.99, 0.9, n_hot).astype(np.float32)
+    m[hot_rows, 0] = hot
+    m[hot_rows, 1] = np.sqrt(1.0 - hot**2)
+    q = np.zeros((1, d), dtype=np.float32)
+    q[0, 0] = 1.0
+    c = 2 * GUARD_H
+    vals, rows, bound = fused3_candidates(
+        jnp.asarray(m), jnp.asarray(q), jnp.int32(n), c, interpret=True
+    )
+    rows0 = set(np.asarray(rows)[0].tolist())
+    missed = [r for r in hot_rows.tolist() if r not in rows0]
+    assert missed, "test must force misses to prove anything"
+    b0 = float(np.asarray(bound)[0])
+    exact = (m @ q.T)[:, 0]
+    for r in missed:
+        assert exact[r] <= b0 + GUARD_KEY_EPS + 1e-6
+    # the kb margin proof (kb.py _finalize_batch) compares the k-th BEST
+    # rescored score against bound + eps: with the true 8th best hidden,
+    # the check must fail for any sound eps >= GUARD_KEY_EPS
+    k = c
+    true_kth = np.sort(exact)[::-1][k - 1]
+    assert true_kth < b0 + GUARD_KEY_EPS
+
+
+def test_fused3_packed_wire_carries_bound(unit_rows):
+    """The packed wire's boundary slot must be max(weakest candidate,
+    bound) — exactly what the margin proof reads."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        fused3_candidates,
+        score_topk_fused3_packed,
+    )
+
+    n = 2 * FUSED_BLOCK_N
+    m = unit_rows(n, 128)
+    q = m[1:4].astype(np.float32)
+    nv = n - 40
+    c = 16
+    vals, rows, bound = fused3_candidates(
+        jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), c, interpret=True
+    )
+    packed = score_topk_fused3_packed(
+        jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), c, interpret=True
+    )
+    wv, wr = unpack_vals_idx(np.asarray(packed), c)
+    np.testing.assert_array_equal(wr, np.asarray(rows))
+    np.testing.assert_array_equal(wv[:, :-1], np.asarray(vals)[:, :-1])
+    np.testing.assert_array_equal(
+        wv[:, -1],
+        np.maximum(np.asarray(vals)[:, -1], np.asarray(bound)),
+    )
+
+
+def test_fused3_int8_bound_contract(unit_rows):
+    """int8 variant: the same contract, proven in the int8 prescore
+    domain (dequantized int32 dot — the domain the keys quantize)."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        GUARD_KEY_EPS,
+        fused3_candidates_int8,
+    )
+    from svs_tpu.ops.quant import quantize_rows_int8
+
+    n = 2 * FUSED_BLOCK_N
+    m = unit_rows(n, 128)
+    q = m[5:13].astype(np.float32)
+    nv = n - 99
+    c = 20
+    qd, scales = quantize_rows_int8(jnp.asarray(m))
+    vals, rows, bound = fused3_candidates_int8(
+        qd, scales, jnp.asarray(q), jnp.int32(nv), c, interpret=True
+    )
+    qi, qs = quantize_rows_int8(jnp.asarray(q))
+    deq = (
+        np.asarray(qd, np.float32) * np.asarray(scales)[:, None]
+    )
+    deq_q = np.asarray(qi, np.float32) * np.asarray(qs)[:, None]
+    _fused3_contract_check(
+        deq, deq_q, nv, c,
+        np.asarray(vals), np.asarray(rows), np.asarray(bound),
+        GUARD_KEY_EPS,
+    )
+
+
+def test_fused3_out_of_domain_saturates_bound():
+    """Scores past the exact-key range (> ~2.5 — impossible for unit-norm
+    cosine, reachable by raw-op callers): the bound must refuse to
+    certify (+inf) instead of silently under-bounding."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import FUSED_BLOCK_N, fused3_candidates
+
+    n = 2 * FUSED_BLOCK_N
+    d = 128
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 0] = 1.0
+    m[7, 0] = 3.6  # one far-out doc; clamped in-kernel, keys >= SAT
+    q = np.zeros((2, d), dtype=np.float32)
+    q[:, 0] = 1.0
+    _, _, bound = fused3_candidates(
+        jnp.asarray(m), jnp.asarray(q), jnp.int32(n), 8, interpret=True
+    )
+    assert np.isinf(np.asarray(bound)).all()
+
+
+def test_fused3_very_negative_scores_stay_sound():
+    """Raw-op scores far below the key range: the emit clamp must keep
+    live keys above the dead marker (no fabricated rows), and the bound
+    contract must hold on the clamped corpus."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        GUARD_KEY_EPS,
+        fused3_candidates,
+    )
+
+    n = 2 * FUSED_BLOCK_N
+    d = 128
+    rng = np.random.default_rng(3)
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 0] = -(5.0 + 4.0 * rng.random(n)).astype(np.float32)  # dots in [-9,-5]
+    q = np.zeros((2, d), dtype=np.float32)
+    q[:, 0] = 1.0
+    nv = n - 512
+    c = 12
+    vals, rows, bound = fused3_candidates(
+        jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), c, interpret=True
+    )
+    rows = np.asarray(rows)
+    assert (rows >= 0).all() and (rows < nv).all(), "dead lanes promoted"
+    # every doc clamps to -3.0: the bound must cover them all
+    assert (np.asarray(bound) >= -3.0 - GUARD_KEY_EPS).all()
+
+
+def test_fused3_starved_pool_refuses_certification():
+    """A raw-op caller whose live pool is smaller than c (violating the
+    padding contract fused3_supported encodes): dead markers reach the
+    selection and the bound must go +inf rather than certify fabricated
+    rows."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import FUSED_BLOCK_N, fused3_candidates
+
+    n = 2 * FUSED_BLOCK_N
+    d = 128
+    m = np.zeros((n, d), dtype=np.float32)
+    m[:, 0] = 1.0
+    q = np.zeros((1, d), dtype=np.float32)
+    q[0, 0] = 1.0
+    nv = 40  # one live subtile -> only GUARD_H live keys, far under c
+    _, _, bound = fused3_candidates(
+        jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), 20, interpret=True
+    )
+    assert np.isinf(np.asarray(bound)).all()
+
+
+@pytest.mark.parametrize(
+    "nv_off,b,c",
+    [
+        (1, 3, 1),     # n_valid just past a block boundary; c=1; odd batch
+        (1025, 1, 24), # dead tail crossing a 1024-lane subtile boundary
+        (0, 5, 32),    # fully dense corpus, c at one full block's pool
+    ],
+)
+def test_fused3_edge_shapes(unit_rows, nv_off, b, c):
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        GUARD_KEY_EPS,
+        fused3_candidates,
+    )
+
+    n = 2 * FUSED_BLOCK_N
+    m = unit_rows(n, 128)
+    q = m[20 : 20 + b].astype(np.float32)
+    nv = n - nv_off
+    vals, rows, bound = fused3_candidates(
+        jnp.asarray(m), jnp.asarray(q), jnp.int32(nv), c, interpret=True
+    )
+    _fused3_contract_check(
+        m, q, nv, c,
+        np.asarray(vals), np.asarray(rows), np.asarray(bound),
+        GUARD_KEY_EPS,
+    )

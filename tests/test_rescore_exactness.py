@@ -168,3 +168,79 @@ def test_adversarial_pairwise_cluster_is_exact(db_path, caplog):
     oracle_scores = [s for s, _ in oracle]
     np.testing.assert_allclose(got_scores, oracle_scores, atol=1e-6)
     kb.close()
+
+
+def test_guarded_kernel_cluster_exact_end_to_end(db_path, caplog, monkeypatch):
+    """Full KB drive of the guarded (v3) selection path: an adversarial
+    within-ulp cluster that v3 provably cannot cover, through
+    ``kb.retrieve`` — the hidden-score bound must fail the margin, the
+    ladder must widen off v3, and the final result must match the f32
+    oracle (reference guarantee: ``svs/kb.py:1185``).
+
+    The real ``fused3_supported`` needs a 16-block corpus (131k docs —
+    too slow to build through SQLite in a unit test); a relaxed-nb twin
+    drops the profitability floor while keeping every shape/pool rule,
+    so the identical kernel + dispatch + widen machinery runs at 17k
+    docs."""
+    from svs_tpu.ops import pallas_extract as pe
+
+    def small_ok(n, d, b, c):
+        nb = n // pe.FUSED_BLOCK_N
+        return (
+            n % pe.FUSED_BLOCK_N == 0
+            and d % pe.DIM_CHUNK == 0
+            and b <= pe.FUSED_MAX_BATCH
+            and nb >= 2
+            and 0 < c <= min(pe.GUARD_MAX_C, (nb - 1) * pe.GUARD_KEYS)
+        )
+
+    monkeypatch.setattr(pe, "fused3_supported", small_ok)
+    v3_calls = []
+    real_v3 = pe.score_topk_fused3_packed
+
+    def spy(*a, **kw):
+        v3_calls.append(1)
+        return real_v3(*a, **kw)
+
+    monkeypatch.setattr(pe, "score_topk_fused3_packed", spy)
+
+    n_cluster, n_bg, k = 1200, 16000, 10
+    dim = 16
+    scores = 0.7 + np.arange(n_cluster, dtype=np.float64) * 1e-6  # ascending
+    cluster = _cluster_vectors(scores, dim=dim)
+    rng = np.random.default_rng(11)
+    bg = rng.normal(size=(n_bg, dim)).astype(np.float32)
+    bg[:, 0] = 0.0  # exactly orthogonal to the probe
+    bg /= np.linalg.norm(bg, axis=1, keepdims=True)
+
+    async def embed(texts):
+        out = []
+        for t in texts:
+            if t == "probe":
+                v = np.zeros(dim, dtype=np.float32)
+                v[0] = 1.0
+            elif t.startswith("c:"):
+                v = cluster[int(t[2:])]
+            else:
+                v = bg[int(t[2:])]
+            out.append([float(x) for x in v])
+        return out
+
+    embed.__embedding_func_params__ = {"provider": "mock"}
+    kb = KB(db_path, embed, force_fresh_db=True, precision="bf16")
+    with kb.bulk_add_docs() as add:
+        for i in range(n_cluster):
+            add(f"c:{i}")
+        for i in range(n_bg):
+            add(f"b:{i}")
+
+    with caplog.at_level(logging.INFO, logger="svs_tpu.kb"):
+        hits = kb.retrieve("probe", k)
+
+    assert v3_calls, "guarded kernel never dispatched"
+    oracle = [f"c:{n_cluster - 1 - j}" for j in range(k)]  # best stored last
+    assert [h["doc"]["text"] for h in hits] == oracle
+    expect = [float(np.float32(s)) for s in scores[::-1][:k]]
+    np.testing.assert_allclose([h["score"] for h in hits], expect, atol=2e-6)
+    assert any("widening" in r.message for r in caplog.records)
+    kb.close()
