@@ -53,7 +53,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from svs_tpu.ops.pallas_topk import pallas_score_topk, pallas_supported
+    # the superseded v1 bitonic kernel lives next to this file now
+    from pallas_topk_v1 import pallas_score_topk, pallas_supported
     from svs_tpu.ops.quant import (
         quantize_rows_int8,
         score_topk_int8,

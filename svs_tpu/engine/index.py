@@ -619,7 +619,12 @@ class RetrievalEngine:
         )
 
     def write_sidecar_from_store(
-        self, db: Database, path: Union[str, Path], *, min_docs: int = 0
+        self,
+        db: Database,
+        path: Union[str, Path],
+        *,
+        min_docs: int = 0,
+        scan_ok: bool = True,
     ) -> bool:
         """Write/refresh the sidecar at ``path`` to match the store's
         CURRENT embeddings — the publish flow (``close()``): a builder who
@@ -631,7 +636,11 @@ class RetrievalEngine:
         Device-free: reuses the live host pack when it is current,
         otherwise scans + packs on the host only (``packing.pack_host``).
         Skips corpora below ``min_docs`` and files already current.
-        Returns True iff a current sidecar exists at ``path`` on return.
+        ``scan_ok=False`` (pure-consumer close under the ``'auto'``
+        policy) limits the work to reusing a current in-hand pack — a
+        reader who never wrote must not pay a full store scan in
+        ``close()``.  Returns True iff a current sidecar exists at
+        ``path`` on return.
         """
         from .packing import pack_host
         from .sidecar import save_sidecar_arrays, sidecar_fingerprint
@@ -654,6 +663,12 @@ class RetrievalEngine:
                 return True
         # No usable pack in hand (fresh writes invalidated it, or the pack
         # came from a sidecar of another path): host-only scan + pack.
+        if not scan_ok:
+            log.debug(
+                "publish: no current pack and scan_ok=False — skipping "
+                "sidecar %s", path,
+            )
+            return False
         log.info("publish: packing corpus for sidecar %s", path)
         with db.transaction() as tx:
             matrix, emb_ids = tx.build_embeddings_matrix()

@@ -194,15 +194,23 @@ def _publish_sidecar(
 ) -> None:
     """Close-time sidecar policy shared by both facades: leave a current
     ``<db>.svsx`` behind so consumers skip the cold-start rescan.  Never
-    fatal — a failed write only costs the next opener a rebuild."""
+    fatal — a failed write only costs the next opener a rebuild.
+
+    Under the default ``'auto'`` policy a full store scan+pack only
+    happens when this connection actually wrote (``total_changes`` — the
+    builder/publisher case); a pure consumer's ``close()`` at most
+    serializes a pack it already holds, never a multi-minute rescan."""
     if override is False or (override is None and policy is False):
         return
-    min_docs = SIDECAR_AUTO_MIN_DOCS if (
-        override is None and policy == "auto"
-    ) else 0
+    auto = override is None and policy == "auto"
+    min_docs = SIDECAR_AUTO_MIN_DOCS if auto else 0
+    wrote = db.conn is not None and db.conn.total_changes > 0
     try:
         engine.write_sidecar_from_store(
-            db, sidecar_path_for(db.path), min_docs=min_docs
+            db,
+            sidecar_path_for(db.path),
+            min_docs=min_docs,
+            scan_ok=(not auto) or wrote,
         )
     except Exception:
         log.warning("publish-time sidecar write failed", exc_info=True)
@@ -252,17 +260,34 @@ class DocRowCache:
     the 6-key literal per hit at 25.6k hits/batch, still never aliasing.
     """
 
-    def __init__(self, max_rows: Optional[int] = None) -> None:
-        if max_rows is None:
-            import os
+    def __init__(
+        self,
+        max_rows: Optional[int] = None,
+        max_bytes: Optional[int] = None,
+    ) -> None:
+        import os
 
+        if max_rows is None:
             try:
                 max_rows = int(
                     os.environ.get("SVS_TPU_DOC_CACHE_MAX_ROWS", 4_000_000)
                 )
             except ValueError:
                 max_rows = 4_000_000
+        if max_bytes is None:
+            try:
+                max_bytes = int(
+                    os.environ.get(
+                        "SVS_TPU_DOC_CACHE_MAX_BYTES", 2_000_000_000
+                    )
+                )
+            except ValueError:
+                max_bytes = 2_000_000_000
         self.max_rows = max_rows
+        #: Approximate text+meta byte budget for ``prewarm`` — row COUNT
+        #: alone would let a long-document corpus silently pin many GB of
+        #: host RAM at ``load()``.
+        self.max_bytes = max_bytes
         self._rows: Dict[int, Tuple[DocumentRecord, Optional[str]]] = {}
         self._token: Optional[Tuple[int, int]] = None
         #: True when the cache was prewarmed for the current token — every
@@ -279,16 +304,20 @@ class DocRowCache:
         scan), so batched hydration never touches SQLite afterwards —
         cold random-query batches measured ~100 ms of IN-queries per 256
         queries at 1M docs.  Policy-gated by the callers (``load()``);
-        respects ``max_rows``.  Returns the number of cached rows."""
+        respects both ``max_rows`` and the approximate ``max_bytes``
+        budget.  Returns the number of cached rows (0 = over budget,
+        demand-filled behavior kept)."""
         token = tx.change_token()
         rows: Dict[int, Tuple[DocumentRecord, Optional[str]]] = {}
+        approx_bytes = 0
         for emb_id, rec_id, parent_id, level, text, meta_str in (
             tx.iter_doc_rows_with_emb()
         ):
             rows[int(emb_id)] = _prebuilt_record(
                 rec_id, parent_id, level, text, meta_str
             )
-            if len(rows) > self.max_rows:
+            approx_bytes += len(text) + (len(meta_str) if meta_str else 0)
+            if len(rows) > self.max_rows or approx_bytes > self.max_bytes:
                 return 0  # over budget: keep the demand-filled behavior
         self._rows = rows
         self._token = token
@@ -318,7 +347,13 @@ class DocRowCache:
                 ).items()
             }
             if len(rows) + len(fetched) > self.max_rows:
-                rows.clear()
+                # Over budget: reset the cache — but the caller still
+                # needs this batch's already-cached ids, so hand back a
+                # detached mapping covering exactly this batch.
+                out = {e: rows[e] for e in emb_ids if e in rows}
+                out.update(fetched)
+                self._rows = fetched if len(fetched) <= self.max_rows else {}
+                return out
             rows.update(fetched)
         return rows
 

@@ -9,11 +9,13 @@ BENCHMARKS.md), so the right server shape is a **micro-batcher** —
 concurrent ``/retrieve`` requests coalesce into single
 :meth:`AsyncKB.retrieve_batch` steps bounded by a small time window.
 
-Overload behavior: the batcher's queue is bounded (``max_queue``,
-default 16 batches deep); a request arriving at a full queue is shed
-immediately with **429 Too Many Requests** instead of growing the queue
-without bound — on a saturated device, queueing further only converts
-overload into timeout storms.
+Overload behavior: the batcher bounds *outstanding* queries — queued
+AND in flight on the device (``max_queue``, default 16 batches' worth);
+a request that would exceed the bound is shed immediately with **429
+Too Many Requests**, and admission is all-or-nothing per request (a
+multi-query request is never half-enqueued, so no device time is spent
+on work the client will see 429'd) — on a saturated device, queueing
+further only converts overload into timeout storms.
 
 Routes (JSON in/out):
 
@@ -60,8 +62,9 @@ DEFAULT_WINDOW_MS = 2.0
 #: Matches the fused kernels' resident-batch ceiling
 #: (``ops.pallas_extract.FUSED_MAX_BATCH``).
 DEFAULT_MAX_BATCH = 256
-#: Default queue bound, in batches: past this the server sheds (429)
-#: rather than queueing — see module docstring.
+#: Default outstanding-query bound, in batches (queued + in flight):
+#: past this the server sheds (429) rather than queueing — see module
+#: docstring.
 DEFAULT_MAX_QUEUE_BATCHES = 16
 #: Upper bound on per-request result count (rescore over-provisions 4x
 #: on the device; an unbounded n would let one request drive an
@@ -119,6 +122,13 @@ class MicroBatcher:
         self._max_queue = max(1, int(max_queue))
         self._queue: List[Tuple[str, int, "asyncio.Future[List[Retrieval]]"]] = []
         self._timer: Optional[asyncio.TimerHandle] = None
+        #: Admitted-but-unresolved queries (queued + in flight on the
+        #: device).  The overload bound must count in-flight work too:
+        #: _flush drains the queue synchronously, so under sustained
+        #: saturation the *queue* stays near-empty while unbounded
+        #: concurrent batches pile up — bounding only queue length would
+        #: never shed.
+        self._pending = 0
         # observability
         self.requests = 0
         self.batches = 0
@@ -126,23 +136,43 @@ class MicroBatcher:
         self.shed = 0
 
     async def retrieve(self, query: str, n: int) -> List[Retrieval]:
-        if len(self._queue) >= self._max_queue:
-            self.shed += 1
+        return (await self.retrieve_many([query], n))[0]
+
+    async def retrieve_many(
+        self, queries: List[str], n: int
+    ) -> List[List[Retrieval]]:
+        """Admit ``queries`` all-or-nothing, then await their results.
+
+        Capacity is checked for the WHOLE request before any query is
+        enqueued (admission is synchronous — no await between check and
+        enqueue), so an overloaded server never spends device time on a
+        request it is about to 429.
+        """
+        if self._pending + len(queries) > self._max_queue:
+            self.shed += len(queries)
             raise Overloaded(
-                f"retrieve queue full ({self._max_queue} pending)"
+                f"retrieve queue full ({self._max_queue} outstanding)"
             )
         loop = asyncio.get_running_loop()
-        fut: "asyncio.Future[List[Retrieval]]" = loop.create_future()
-        self._queue.append((query, n, fut))
-        self.requests += 1
+        futs: List["asyncio.Future[List[Retrieval]]"] = []
+        for query in queries:
+            fut: "asyncio.Future[List[Retrieval]]" = loop.create_future()
+            fut.add_done_callback(self._on_done)
+            self._queue.append((query, n, fut))
+            self._pending += 1
+            futs.append(fut)
+        self.requests += len(queries)
         if len(self._queue) >= self._max_batch:
             self._cancel_timer()
             asyncio.ensure_future(self._flush())
-        elif self._timer is None:
+        elif self._queue and self._timer is None:
             self._timer = loop.call_later(
                 self._window_s, lambda: asyncio.ensure_future(self._flush())
             )
-        return await fut
+        return list(await asyncio.gather(*futs))
+
+    def _on_done(self, _fut: "asyncio.Future[List[Retrieval]]") -> None:
+        self._pending -= 1
 
     def _cancel_timer(self) -> None:
         if self._timer is not None:
@@ -164,7 +194,11 @@ class MicroBatcher:
         # device candidate width for the whole batch (see _n_bucket)
         groups: Dict[int, List[Tuple[str, int, Any]]] = {}
         for item in batch:
-            groups.setdefault(_n_bucket(item[1]), []).append(item)
+            # cap at MAX_RETRIEVE_N: bucketing must not round a legal n
+            # (<= the cap) up past the cap it exists to enforce
+            groups.setdefault(
+                min(_n_bucket(item[1]), MAX_RETRIEVE_N), []
+            ).append(item)
         await asyncio.gather(
             *(self._run_group(bucket_n, items)
               for bucket_n, items in groups.items())
@@ -278,9 +312,7 @@ def make_app(
         ):
             raise web.HTTPBadRequest(text="'queries' must be a list of strings")
         try:
-            results = await asyncio.gather(
-                *(batcher.retrieve(q, n) for q in queries)
-            )
+            results = await batcher.retrieve_many(queries, n)
         except Overloaded as exc:
             raise web.HTTPTooManyRequests(text=str(exc))
         payload = [
