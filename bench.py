@@ -414,25 +414,36 @@ def main() -> None:
             assert len(res) == batch and len(res[0]) == k
             stats = kb.stats()
 
-            # pipelined: keep 2 batches in flight over fresh query sets
-            sem = asyncio.Semaphore(2)
+            # pipelined: keep D batches in flight over fresh query sets —
+            # batch r+1's upload/device/fetch (IO waits on the link)
+            # overlaps batch r's host finalize; measure depth 2 and 3 and
+            # report the better (host-core count bounds useful depth)
+            async def run_depth(depth: int) -> float:
+                sem = asyncio.Semaphore(depth)
 
-            async def one(r: int) -> None:
-                async with sem:
-                    await kb.retrieve_batch(queries[r % n_sets], k)
+                async def one(r: int) -> None:
+                    async with sem:
+                        await kb.retrieve_batch(queries[r % n_sets], k)
 
-            t0 = time.perf_counter()
-            await asyncio.gather(*(one(r) for r in range(10)))
-            pipelined_s = (time.perf_counter() - t0) / 10
+                t0 = time.perf_counter()
+                await asyncio.gather(*(one(r) for r in range(10)))
+                return (time.perf_counter() - t0) / 10
+
+            by_depth = {d: await run_depth(d) for d in (2, 3)}
+            pipelined_depth = min(by_depth, key=by_depth.get)
+            pipelined_s = by_depth[pipelined_depth]
             await kb.close(write_sidecar=False)
             p50 = _percentile(times, 0.50)
             log(f"[full-stack] batch {batch} top-{k}: p50 {p50 * 1e3:.1f} ms "
                 f"({p50 / batch * 1e3:.3f} ms/query, {batch / p50:,.0f} QPS) "
                 f"| spread {min(times) * 1e3:.0f}-{max(times) * 1e3:.0f} ms")
-            log(f"[full-stack] pipelined (2 in flight): "
+            log(f"[full-stack] pipelined ({pipelined_depth} in flight): "
                 f"{pipelined_s * 1e3:.1f} ms/batch "
                 f"({pipelined_s / batch * 1e3:.3f} ms/query, "
-                f"{batch / pipelined_s:,.0f} QPS)")
+                f"{batch / pipelined_s:,.0f} QPS) "
+                f"[depths: " + ", ".join(
+                    f"{d}={v * 1e3:.0f}ms" for d, v in by_depth.items()
+                ) + "]")
             log(f"[full-stack] stages: " + ", ".join(
                 f"{name} p50 {st.get('p50_s', 0) * 1e3:.1f}ms"
                 for name, st in sorted(stats.items()) if isinstance(st, dict)
@@ -446,6 +457,7 @@ def main() -> None:
                 "per_query_ms": round(p50 / batch * 1e3, 4),
                 "qps": round(batch / p50, 1),
                 "pipelined_ms": round(pipelined_s * 1e3, 3),
+                "pipelined_depth": pipelined_depth,
                 "pipelined_per_query_ms": round(
                     pipelined_s / batch * 1e3, 4
                 ),

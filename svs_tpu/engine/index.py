@@ -25,7 +25,7 @@ import functools
 import logging
 import threading
 from pathlib import Path
-from typing import Optional, Tuple, Union
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -94,7 +94,7 @@ def _grow_rows_np(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("k", "wide"))
+@functools.partial(jax.jit, static_argnames=("k", "wide", "dim"))
 def _rescore_from_packed(
     packed: jax.Array,
     dev_f32: jax.Array,
@@ -102,6 +102,7 @@ def _rescore_from_packed(
     queries: jax.Array,
     k: int,
     wide: bool,
+    dim: Optional[int] = None,
 ) -> jax.Array:
     """Device-side rescore chained onto the packed prescore wire: decode
     candidate rows in-graph, gather their exact f32 vectors from the HBM
@@ -114,6 +115,8 @@ def _rescore_from_packed(
     values, the margin proof needs only the boundary one, and dropping
     the rest cuts a third of the fetch bytes (tunnel links measure tens
     of ms per extra MB per batch)."""
+    if dim is not None and dim != queries.shape[1]:
+        queries = queries[:, :dim]  # padded upload; mirror rows are true-dim
     if wide:
         rows = packed[:, k:]  # already int32
         rows_wire = rows
@@ -142,6 +145,71 @@ def _rescore_from_packed(
             axis=1,
         )
     return jnp.concatenate([rows_wire, exact, tail], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wide", "dim"))
+def _final_from_packed(
+    packed: jax.Array,
+    dev_f32: jax.Array,
+    dev_map: Optional[jax.Array],
+    dev_emb: jax.Array,
+    queries: jax.Array,
+    k: int,
+    wide: bool,
+    dim: Optional[int] = None,
+) -> jax.Array:
+    """Device-side rescore AND final top-k selection chained onto the
+    packed prescore wire (C candidates): gather + exact f32 dot as in
+    :func:`_rescore_from_packed`, then order the candidates with the
+    REFERENCE tie rule — descending exact score, equal scores break to
+    the larger emb id (``svs/util.py:190-203``: the reference sorts a
+    matrix in emb-id order, so its argpartition ties resolve that way) —
+    in ONE lexicographic ``lax.sort``, and emit only the winners.
+
+    Compact int32 wire ``[B, 2k + 1]``: top-k emb ids ++ top-k exact
+    score bits ++ boundary-prescore bits (the one value of the C
+    prescores the margin proof reads).  vs the ``[B, 2C + 1]`` rescore
+    wire this cuts fetch bytes ~4x at the default C = 4k — tunnel links
+    measure tens of ms per MB per batch — and moves the two [B, C] host
+    argsorts onto the device."""
+    if dim is not None and dim != queries.shape[1]:
+        queries = queries[:, :dim]  # padded upload; mirror rows are true-dim
+    c = packed.shape[1] // 2
+    if wide:
+        rows = packed[:, c:]  # already int32
+        tail_bits = packed[:, c - 1 : c]  # f32 bits as int32
+    else:
+        rows = packed[:, c:].astype(jnp.int32)
+        tail_bits = jax.lax.bitcast_convert_type(
+            packed[:, c - 1 : c], jnp.int32
+        )
+    gr = rows if dev_map is None else dev_map[rows]
+    cand = dev_f32[gr]  # [B, C, d] gather in HBM
+    exact = jax.lax.dot_general(
+        cand,
+        queries,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    emb_of = dev_emb[rows]  # [B, C] int32
+    # `exact + 0.0` canonicalizes -0.0 to +0.0 so an exact-zero tie
+    # can't split on zero sign (the sort's total order puts -0 < +0;
+    # numpy's compare on the host path treats them equal).
+    neg_score = jnp.negative(exact + 0.0)
+    _, _, top_emb, top_exact = jax.lax.sort(
+        (neg_score, jnp.negative(emb_of), emb_of, exact),
+        dimension=1,
+        num_keys=2,
+        is_stable=False,
+    )
+    return jnp.concatenate(
+        [
+            top_emb[:, :k],
+            jax.lax.bitcast_convert_type(top_exact[:, :k], jnp.int32),
+            tail_bits,
+        ],
+        axis=1,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("wide",))
@@ -198,6 +266,9 @@ class RetrievalEngine:
         #: so last-ulp deltas vs CPU BLAS are possible); 'host' = always
         #: gather+np.dot on the host (bit-identical to the reference).
         self.device_rescore = device_rescore
+        #: Learned candidate-width hints per final-k — see
+        #: :meth:`initial_candidates`.
+        self._cand_hint: Dict[int, int] = {}
         self.precision = precision
         #: Exact f32 re-ranking of the device candidate set.  Defaults on
         #: for reduced-precision storage, off for f32.
@@ -739,6 +810,20 @@ class RetrievalEngine:
             if row_map is not None
             else None
         )
+        # emb-id mirror (int32, pack-row order): lets the final top-k
+        # selection run on-device with the reference tie rule (equal
+        # scores -> larger emb id), shrinking the result wire from
+        # [B, 2C+1] to [B, 2k+1].  Ids past int32 are ~impossible for
+        # SQLite rowids in practice; fall back to host selection if seen.
+        if corpus.n_valid > 0 and int(corpus.emb_ids.max()) < 2**31:
+            object.__setattr__(
+                corpus,
+                "dev_emb",
+                jax.device_put(
+                    np.ascontiguousarray(corpus.emb_ids.astype(np.int32)),
+                    self.device,
+                ),
+            )
         object.__setattr__(corpus, "dev_rescore", (dev, dev_map))
 
     def topk_with_rescore(
@@ -777,9 +862,14 @@ class RetrievalEngine:
         # (prescores, rows, exact scores) lands in ONE fetched array.  On
         # tunneled devices this is one RPC round trip instead of three
         # (measured ~190 ms -> ~60 ms per 256-query batch at 1M x 1536).
-        packed_dev, wide = self._prescore_packed(corpus, queries, k_eff)
+        # ONE query upload serves prescore and rescore (see
+        # ``_prescore_packed``).
+        q_dev = self._put_queries(corpus, queries)
+        packed_dev, wide = self._prescore_packed(
+            corpus, queries, k_eff, q_dev=q_dev
+        )
         combined = _rescore_from_packed(
-            packed_dev, dev[0], dev[1], jnp.asarray(queries), k_eff, wide
+            packed_dev, dev[0], dev[1], q_dev, k_eff, wide, dim=corpus.dim
         )
         arr = np.asarray(combined)  # [B, 2C + 1] compact wire
         if wide:
@@ -796,6 +886,73 @@ class RetrievalEngine:
         vals = np.broadcast_to(tail[:, None], exact.shape)
         return vals, rows, exact
 
+    def _put_queries(
+        self, corpus: PackedCorpus, queries: np.ndarray
+    ) -> jax.Array:
+        """One host->device upload of the padded f32 query batch, shared
+        by the prescore and rescore stages (each MB costs tens of ms on
+        tunneled links)."""
+        return jax.device_put(
+            pad_queries(queries, corpus.dim_padded), self.device
+        )
+
+    def topk_final(
+        self, corpus: PackedCorpus, queries: np.ndarray, n: int, c: int
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """The fully-on-device batch pipeline: prescore (``c``
+        candidates) -> exact f32 rescore -> final top-``n`` selection
+        with the reference tie rule, all chained on-device; ONE query
+        upload, ONE compact ``[B, 2n+1]`` fetch.
+
+        Returns ``(emb_ids int64 [B, n'], scores f32 [B, n'], boundary
+        f32 [B])`` with ``n' = min(n, c, n_valid)`` — emb ids directly
+        (not pack rows), ready for hydration.  ``boundary`` is the
+        per-query margin-proof bound (the C-th prescore, which for the
+        guarded kernels already folds in the hidden-score bound); the
+        caller proves exactness via ``scores[:, -1] >= boundary +
+        prescore_eps`` and widens ``c`` on failure, exactly as with
+        :meth:`topk_with_rescore`.
+
+        Returns ``None`` when the path is unavailable (no device rescore
+        mirror, no int32 emb-id mirror, or a mesh engine) — callers fall
+        back to :meth:`topk_with_rescore` + host selection.
+        """
+        dev = corpus.dev_rescore
+        if dev is None or corpus.dev_emb is None or self.mesh is not None:
+            return None
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        c_eff = min(int(c), corpus.n_valid)
+        n_eff = min(int(n), c_eff)
+        if n_eff <= 0:
+            b = queries.shape[0]
+            empty = np.zeros((b, 0), dtype=np.float32)
+            return (
+                np.zeros((b, 0), dtype=np.int64),
+                empty,
+                np.full((b,), -np.inf, dtype=np.float32),
+            )
+        q_dev = self._put_queries(corpus, queries)
+        packed_dev, wide = self._prescore_packed(
+            corpus, queries, c_eff, q_dev=q_dev
+        )
+        combined = _final_from_packed(
+            packed_dev,
+            dev[0],
+            dev[1],
+            corpus.dev_emb,
+            q_dev,
+            n_eff,
+            wide,
+            dim=corpus.dim,
+        )
+        arr = np.asarray(combined)  # [B, 2n+1] int32 wire
+        emb = arr[:, :n_eff].astype(np.int64)
+        scores = np.ascontiguousarray(arr[:, n_eff : 2 * n_eff]).view(
+            np.float32
+        )
+        boundary = np.ascontiguousarray(arr[:, 2 * n_eff]).view(np.float32)
+        return emb, scores, boundary
+
     # -- search ---------------------------------------------------------------
 
     def candidate_count(self, k: int) -> int:
@@ -803,6 +960,37 @@ class RetrievalEngine:
         if not self.rescore:
             return k
         return max(k * CANDIDATE_MULTIPLIER, k + CANDIDATE_MIN_EXTRA)
+
+    def initial_candidates(self, k: int, n_valid: int) -> int:
+        """:meth:`candidate_count` with the learned per-``k`` width hint
+        applied.  Corpora whose score distribution is dense near the
+        boundary (e.g. iid synthetic vectors: the top-100/top-400 gap is
+        the same size as the sound bf16 prescore bound) fail the rescore
+        margin on most batches at the base width — each failure costing a
+        full second device search.  The hint remembers the width that
+        last satisfied the margin so steady state is ONE search at the
+        working width; a gentle decay re-probes narrower widths so a
+        transient adversarial batch can't pin the cost up forever."""
+        c = self.candidate_count(k)
+        hint = self._cand_hint.get(k)
+        if hint is not None:
+            c = max(c, hint)
+        return min(c, n_valid) if n_valid > 0 else c
+
+    def record_candidates(self, k: int, c_final: int, widened: bool) -> None:
+        """Feed the widen loop's outcome back into the width hint."""
+        base = self.candidate_count(k)
+        if widened:
+            self._cand_hint[k] = c_final
+            return
+        hint = self._cand_hint.get(k)
+        if hint is None:
+            return
+        decayed = int(hint * 0.97)
+        if decayed <= base:
+            self._cand_hint.pop(k, None)
+        else:
+            self._cand_hint[k] = decayed
 
     def _keyed_selection_possible(
         self, corpus: PackedCorpus, b: int, k: int
@@ -978,13 +1166,26 @@ class RetrievalEngine:
         return vals_np, rows_np
 
     def _prescore_packed(
-        self, corpus: PackedCorpus, queries: np.ndarray, k_eff: int
+        self,
+        corpus: PackedCorpus,
+        queries: np.ndarray,
+        k_eff: int,
+        q_dev: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, bool]:
         """Dispatch the device prescore; returns the ON-DEVICE packed
         wire array (scores ++ indices) and its wire format.  Split from
         :meth:`topk` so the device-rescore stage can chain off the device
-        handle without a host fetch in between."""
-        q = jnp.asarray(pad_queries(queries, corpus.dim_padded))
+        handle without a host fetch in between.  ``q_dev`` (an already
+        on-device padded f32 query array) skips the upload here — the
+        rescore stage needs the same f32 queries, and without sharing the
+        handle they would cross the host->device link TWICE per batch
+        (1.5 MB each at B=256 d=1536; tunnel links measure tens of ms/MB).
+        """
+        q = (
+            q_dev
+            if q_dev is not None
+            else jnp.asarray(pad_queries(queries, corpus.dim_padded))
+        )
         n_valid = corpus.n_valid_device()
 
         # Every path returns ONE packed array ([B, k] scores ++ indices)

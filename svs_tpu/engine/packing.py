@@ -165,6 +165,16 @@ class PackedCorpus:
     dev_rescore: Optional[Tuple[jax.Array, Optional[jax.Array]]] = (
         dataclasses.field(default=None, repr=False, compare=False)
     )
+    #: Device mirror of ``emb_ids`` as int32 in pack-row order (absent
+    #: when any id exceeds int32 — the engine then finishes on the host).
+    #: With BOTH mirrors present the engine runs the entire
+    #: search->rescore->final-top-k selection on-device and fetches a
+    #: ``[B, 2k+1]`` wire (k = the user's n) instead of ``[B, 2C+1]``
+    #: (C = candidates, 4x k) — on tunneled links the fetch bytes are a
+    #: first-order cost, and the host drops its [B, C] argsorts too.
+    dev_emb: Optional[jax.Array] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
     # lazily-cached device copy of n_valid (one upload per pack; on
     # tunneled devices every host->device transfer is a full RPC)
     _n_valid_dev: Optional[jax.Array] = dataclasses.field(

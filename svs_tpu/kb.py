@@ -454,9 +454,19 @@ def _finalize_batch(
         top_scores = pre_vals[:, :k_eff]
         top_emb = corpus.emb_ids[pre_rows[:, :k_eff]]
 
-    # one batched hydration for the whole batch's unique docs, through the
-    # generation-gated row cache when the caller has one (a prewarmed
-    # cache returns its full mapping without the np.unique/missing scan)
+    return _hydrate_and_mint(tx, top_emb, top_scores, doc_cache)
+
+
+def _hydrate_and_mint(
+    tx: Tx,
+    top_emb: np.ndarray,
+    top_scores: np.ndarray,
+    doc_cache: Optional[DocRowCache],
+) -> List[List[Retrieval]]:
+    """One batched hydration for the whole batch's unique docs, through
+    the generation-gated row cache when the caller has one (a prewarmed
+    cache returns its full mapping without the np.unique/missing scan),
+    then mint fresh, never-aliasing hit dicts."""
     emb_list: List[List[int]] = top_emb.tolist()
     score_list: List[List[float]] = np.asarray(
         top_scores, dtype=np.float32
@@ -486,6 +496,33 @@ def _finalize_batch(
             hits.append({"score": score, "doc": doc})
         results.append(hits)
     return results
+
+
+def _finalize_device_final(
+    tx: Tx,
+    corpus: PackedCorpus,
+    emb: np.ndarray,
+    scores: np.ndarray,
+    boundary: np.ndarray,
+    c_count: int,
+    pre_eps: Optional[np.ndarray],
+    doc_cache: Optional[DocRowCache] = None,
+) -> Optional[List[List[Retrieval]]]:
+    """Finalize for the fully-on-device pipeline
+    (:meth:`RetrievalEngine.topk_final`): the device already rescored in
+    exact f32 AND selected the final top-k with the reference tie rule,
+    so the host's only math is the margin proof — if any query's weakest
+    returned score does not clear the boundary prescore by its error
+    bound, return ``None`` so the caller widens the candidates (same
+    verified-exactness contract as :func:`_finalize_batch`)."""
+    if emb.size == 0:
+        return [[] for _ in range(emb.shape[0])]
+    verify = pre_eps is not None and c_count < corpus.n_valid
+    if verify:
+        v_k = scores[:, -1]
+        if np.any(v_k < boundary + np.asarray(pre_eps)):
+            return None
+    return _hydrate_and_mint(tx, emb, scores, doc_cache)
 
 
 def _finalize_pairwise(
@@ -1081,7 +1118,7 @@ class AsyncKB:
             return [[] for _ in queries]
         with phase("embed", self._stats):
             vectors = np.asarray(await self._embed(queries), dtype=np.float32)
-        c = self.engine.candidate_count(n)
+        c = c0 = self.engine.initial_candidates(n, corpus.n_valid)
         pre_eps = (
             self.engine.prescore_eps(corpus, vectors, c)
             if self.engine.rescore
@@ -1089,15 +1126,34 @@ class AsyncKB:
         )
         while True:
             with phase("device_search", self._stats), profiler_trace("retrieve"):
-                pre_vals, pre_rows, dev_exact = await loop.run_in_executor(
-                    None, self.engine.topk_with_rescore, corpus, vectors, c
+                # Fastest path: prescore -> rescore -> final top-k all
+                # chained on-device, compact [B, 2n+1] wire (None when
+                # the device mirrors are absent).
+                final = await loop.run_in_executor(
+                    None, self.engine.topk_final, corpus, vectors, n, c
                 )
+                if final is None:
+                    pre_vals, pre_rows, dev_exact = await loop.run_in_executor(
+                        None, self.engine.topk_with_rescore, corpus, vectors, c
+                    )
             with phase("finalize", self._stats):
                 async with self._get_lock():
                     db = await self._ensure_db()
 
                     def heavy() -> Optional[List[List[Retrieval]]]:
                         with db.transaction() as tx:
+                            if final is not None:
+                                emb, scores, boundary = final
+                                return _finalize_device_final(
+                                    tx,
+                                    corpus,
+                                    emb,
+                                    scores,
+                                    boundary,
+                                    min(c, corpus.n_valid),
+                                    pre_eps,
+                                    doc_cache=self._doc_cache,
+                                )
                             return _finalize_batch(
                                 tx,
                                 corpus,
@@ -1113,6 +1169,7 @@ class AsyncKB:
 
                     results = await loop.run_in_executor(None, heavy)
             if results is not None:
+                self.engine.record_candidates(n, c, widened=(c != c0))
                 return results
             # Margin check failed: prescore resolution can't separate the
             # candidate boundary.  Widen geometrically; at C = n_valid the
@@ -1530,7 +1587,7 @@ class KB:
             return [[] for _ in queries]
         with phase("embed", self._stats):
             vectors = np.asarray(self._embed(queries), dtype=np.float32)
-        c = self.engine.candidate_count(n)
+        c = c0 = self.engine.initial_candidates(n, corpus.n_valid)
         pre_eps = (
             self.engine.prescore_eps(corpus, vectors, c)
             if self.engine.rescore
@@ -1538,19 +1595,30 @@ class KB:
         )
         while True:
             with phase("device_search", self._stats), profiler_trace("retrieve"):
-                pre_vals, pre_rows, dev_exact = self.engine.topk_with_rescore(
-                    corpus, vectors, c
-                )
+                final = self.engine.topk_final(corpus, vectors, n, c)
+                if final is None:
+                    pre_vals, pre_rows, dev_exact = (
+                        self.engine.topk_with_rescore(corpus, vectors, c)
+                    )
             with phase("finalize", self._stats), self._lock:
                 db = self._require_db()
                 with db.transaction() as tx:
-                    results = _finalize_batch(
-                        tx, corpus, vectors, pre_vals, pre_rows, n,
-                        self.engine.rescore, pre_eps,
-                        doc_cache=self._doc_cache,
-                        device_exact=dev_exact,
-                    )
+                    if final is not None:
+                        emb, scores, boundary = final
+                        results = _finalize_device_final(
+                            tx, corpus, emb, scores, boundary,
+                            min(c, corpus.n_valid), pre_eps,
+                            doc_cache=self._doc_cache,
+                        )
+                    else:
+                        results = _finalize_batch(
+                            tx, corpus, vectors, pre_vals, pre_rows, n,
+                            self.engine.rescore, pre_eps,
+                            doc_cache=self._doc_cache,
+                            device_exact=dev_exact,
+                        )
             if results is not None:
+                self.engine.record_candidates(n, c, widened=(c != c0))
                 return results
             c = min(corpus.n_valid, c * 4)
             log.info(

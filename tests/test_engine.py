@@ -882,3 +882,75 @@ def test_guarded_margin_fires_on_hidden_cluster():
     assert v_k < pre_vals[0, -1] + eps[0], (
         "margin must fire so the kb ladder widens off v3"
     )
+
+
+def test_topk_final_matches_host_selection(db_path, unit_rows):
+    """The fully-on-device pipeline (topk_final: prescore -> rescore ->
+    final top-k with the reference tie rule) must return exactly the
+    (emb id, score) sequence the host finalize computes from
+    topk_with_rescore — including ties, which break to the larger emb
+    id (reference ``svs/util.py:190-203`` semantics)."""
+    rng = np.random.default_rng(3)
+    m = unit_rows(400, 24)
+    # plant exact ties: rows 50..59 share one direction
+    m[50:60] = m[50]
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    corpus = eng.ensure_fresh(db)
+    assert corpus.dev_rescore is not None and corpus.dev_emb is not None
+    q = np.concatenate([m[50:51], unit_rows(3, 24)], axis=0)
+    n, c = 15, eng.candidate_count(15)
+    final = eng.topk_final(corpus, q, n, c)
+    assert final is not None
+    emb, scores, boundary = final
+    assert emb.shape == (4, n) and scores.shape == (4, n)
+    assert boundary.shape == (4,)
+
+    # host reference: topk_with_rescore + the _finalize_batch ordering
+    pre_vals, pre_rows, exact = eng.topk_with_rescore(corpus, q, c)
+    assert exact is not None
+    emb_of = corpus.emb_ids[pre_rows]
+    id_order = np.argsort(emb_of, axis=1, kind="stable")
+    exact_o = np.take_along_axis(exact, id_order, axis=1)
+    rows_o = np.take_along_axis(pre_rows, id_order, axis=1)
+    rev = exact_o[:, ::-1]
+    order_rev = np.argsort(-rev, axis=1, kind="stable")[:, :n]
+    order = c - 1 - order_rev
+    want_scores = np.take_along_axis(exact_o, order, axis=1)
+    want_emb = corpus.emb_ids[np.take_along_axis(rows_o, order, axis=1)]
+    np.testing.assert_array_equal(emb, want_emb)
+    np.testing.assert_array_equal(scores, want_scores)
+    # the planted tie block (identical vectors, emb ids 51..60 in
+    # insertion order) must surface largest-emb-id first
+    tied = emb[0][scores[0] >= scores[0][0] - 1e-7]
+    assert len(tied) >= 10 and list(tied) == sorted(tied, reverse=True)
+    db.close()
+
+
+def test_topk_final_unavailable_paths(db_path, unit_rows):
+    """topk_final returns None whenever its device mirrors are absent
+    (host rescore policy / f32 precision) so callers fall back."""
+    m = unit_rows(100, 16)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16", device_rescore="host")
+    corpus = eng.ensure_fresh(db)
+    assert eng.topk_final(corpus, unit_rows(2, 16), 5, 20) is None
+    db.close()
+
+
+def test_candidate_width_hint_learns_and_decays():
+    """initial_candidates starts at the learned width after a widen and
+    decays back toward the base when batches keep succeeding first-try."""
+    eng = RetrievalEngine(precision="bf16")
+    base = eng.candidate_count(100)
+    assert eng.initial_candidates(100, 10**6) == base
+    # a widen to 1600 teaches the hint
+    eng.record_candidates(100, 1600, widened=True)
+    assert eng.initial_candidates(100, 10**6) == 1600
+    # clamped by corpus size
+    assert eng.initial_candidates(100, 500) == 500
+    # first-try successes decay it back down to (and then off at) base
+    for _ in range(200):
+        c = eng.initial_candidates(100, 10**6)
+        eng.record_candidates(100, c, widened=False)
+    assert eng.initial_candidates(100, 10**6) == base

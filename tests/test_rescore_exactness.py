@@ -244,3 +244,35 @@ def test_guarded_kernel_cluster_exact_end_to_end(db_path, caplog, monkeypatch):
     np.testing.assert_allclose([h["score"] for h in hits], expect, atol=2e-6)
     assert any("widening" in r.message for r in caplog.records)
     kb.close()
+
+
+def test_width_hint_prevents_repeat_widening(db_path, caplog):
+    """After one batch widens, the learned candidate-width hint makes the
+    NEXT batch start at the working width — steady state is ONE device
+    search per batch even on margin-adversarial corpora (measured ~50%
+    retry rate at 1M iid vectors without the hint, each retry a full
+    second search)."""
+    n_cluster, k = 200, 10
+    scores = 0.7 + np.arange(n_cluster, dtype=np.float64) * 1e-6
+    vectors = _cluster_vectors(scores)
+    kb = KB(
+        db_path,
+        _cluster_embedder(vectors),
+        force_fresh_db=True,
+        precision="bf16",
+    )
+    with kb.bulk_add_docs() as add:
+        for i in range(n_cluster):
+            add(f"c:{i}")
+
+    with caplog.at_level(logging.INFO, logger="svs_tpu.kb"):
+        first = kb.retrieve("probe", k)
+    assert any("widening" in r.message for r in caplog.records)
+    assert kb.engine._cand_hint.get(k, 0) > kb.engine.candidate_count(k)
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="svs_tpu.kb"):
+        second = kb.retrieve("probe", k)
+    assert second == first
+    assert not any("widening" in r.message for r in caplog.records)
+    kb.close()
