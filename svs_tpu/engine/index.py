@@ -58,6 +58,13 @@ CANDIDATE_MIN_EXTRA = 32
 #: layout (exact for any size; see ``ops.topk.pack_vals_idx``).
 WIDE_INDEX_MIN_ROWS = 1 << 24
 
+#: Ceiling on the [B, C, d] f32 candidate gather the on-device rescore
+#: materializes in HBM.  Normal widths are far below it (B=256, C=400,
+#: d=1536 -> 0.6 GB); pathological widen retries (C >= ~2.5k at those
+#: shapes) would crowd out the corpus + mirror, so they fall back to the
+#: host rescore instead.
+_DEVICE_GATHER_MAX_BYTES = 4_000_000_000
+
 
 @jax.jit
 def _write_rows(buf: jax.Array, new: jax.Array, n0: jax.Array) -> jax.Array:
@@ -266,9 +273,9 @@ class RetrievalEngine:
         #: so last-ulp deltas vs CPU BLAS are possible); 'host' = always
         #: gather+np.dot on the host (bit-identical to the reference).
         self.device_rescore = device_rescore
-        #: Learned candidate-width hints per final-k — see
-        #: :meth:`initial_candidates`.
-        self._cand_hint: Dict[int, int] = {}
+        #: Learned candidate-width hints per final-k, as (width, streak)
+        #: — see :meth:`initial_candidates`.
+        self._cand_hint: Dict[int, Tuple[int, int]] = {}
         self.precision = precision
         #: Exact f32 re-ranking of the device candidate set.  Defaults on
         #: for reduced-precision storage, off for f32.
@@ -848,11 +855,16 @@ class RetrievalEngine:
         ``pre_vals[:, -1]`` and the exact scores supersede the rest).
         """
         dev = corpus.dev_rescore
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        k_eff = min(int(k), corpus.n_valid)
+        if dev is not None and (
+            queries.shape[0] * k_eff * corpus.dim * 4
+            > _DEVICE_GATHER_MAX_BYTES
+        ):
+            dev = None  # oversized [B, C, d] gather: host rescore instead
         if dev is None:
             vals, rows = self.topk(corpus, queries, k)
             return vals, rows, None
-        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        k_eff = min(int(k), corpus.n_valid)
         if k_eff <= 0:
             b = queries.shape[0]
             empty = np.zeros((b, 0), dtype=np.float32)
@@ -922,6 +934,14 @@ class RetrievalEngine:
             return None
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         c_eff = min(int(c), corpus.n_valid)
+        # the rescore gather materializes [B, C, d] f32 in HBM; at wide
+        # retry widths (C >= 16k at B=256, d=1536) that alone exceeds the
+        # chip — route pathological widths to the host fallback instead
+        if (
+            queries.shape[0] * c_eff * corpus.dim * 4
+            > _DEVICE_GATHER_MAX_BYTES
+        ):
+            return None
         n_eff = min(int(n), c_eff)
         if n_eff <= 0:
             b = queries.shape[0]
@@ -961,6 +981,13 @@ class RetrievalEngine:
             return k
         return max(k * CANDIDATE_MULTIPLIER, k + CANDIDATE_MIN_EXTRA)
 
+    #: First-try successes at a hinted width before probing one ladder
+    #: step narrower.  The probe's cost on a still-adversarial corpus is
+    #: one widen retry (~one extra device step), so amortized overhead is
+    #: ~1/(streak+1); higher values trade slower recovery of narrow-width
+    #: performance for fewer probe retries.
+    HINT_PROBE_STREAK = 64
+
     def initial_candidates(self, k: int, n_valid: int) -> int:
         """:meth:`candidate_count` with the learned per-``k`` width hint
         applied.  Corpora whose score distribution is dense near the
@@ -969,28 +996,39 @@ class RetrievalEngine:
         margin on most batches at the base width — each failure costing a
         full second device search.  The hint remembers the width that
         last satisfied the margin so steady state is ONE search at the
-        working width; a gentle decay re-probes narrower widths so a
-        transient adversarial batch can't pin the cost up forever."""
+        working width.
+
+        Hints live ON the widen ladder (base x 4^j, the exact values the
+        retry loop produces) and step down one rung only after
+        ``HINT_PROBE_STREAK`` consecutive first-try successes: every
+        width the engine ever runs is one of a handful of recurring
+        static shapes, so XLA's compile cache always hits (a
+        continuously-decaying width recompiled the whole search pipeline
+        EVERY batch — measured 32 s/batch on v5e)."""
         c = self.candidate_count(k)
         hint = self._cand_hint.get(k)
         if hint is not None:
-            c = max(c, hint)
+            c = max(c, hint[0])
         return min(c, n_valid) if n_valid > 0 else c
 
     def record_candidates(self, k: int, c_final: int, widened: bool) -> None:
         """Feed the widen loop's outcome back into the width hint."""
         base = self.candidate_count(k)
         if widened:
-            self._cand_hint[k] = c_final
+            self._cand_hint[k] = (c_final, 0)
             return
         hint = self._cand_hint.get(k)
         if hint is None:
             return
-        decayed = int(hint * 0.97)
-        if decayed <= base:
-            self._cand_hint.pop(k, None)
+        c_hint, streak = hint
+        if streak + 1 >= self.HINT_PROBE_STREAK:
+            narrower = max(base, c_hint // 4)
+            if narrower <= base:
+                self._cand_hint.pop(k, None)
+            else:
+                self._cand_hint[k] = (narrower, 0)
         else:
-            self._cand_hint[k] = decayed
+            self._cand_hint[k] = (c_hint, streak + 1)
 
     def _keyed_selection_possible(
         self, corpus: PackedCorpus, b: int, k: int

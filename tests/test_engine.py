@@ -940,17 +940,46 @@ def test_topk_final_unavailable_paths(db_path, unit_rows):
 
 def test_candidate_width_hint_learns_and_decays():
     """initial_candidates starts at the learned width after a widen and
-    decays back toward the base when batches keep succeeding first-try."""
+    steps back down the x4 ladder after a streak of first-try successes
+    — and every width it ever emits is a recurring static shape (the
+    ladder values), so XLA's compile cache always hits."""
     eng = RetrievalEngine(precision="bf16")
     base = eng.candidate_count(100)
     assert eng.initial_candidates(100, 10**6) == base
-    # a widen to 1600 teaches the hint
-    eng.record_candidates(100, 1600, widened=True)
-    assert eng.initial_candidates(100, 10**6) == 1600
+    # a widen to 6400 (two ladder rungs) teaches the hint
+    eng.record_candidates(100, 6400, widened=True)
+    assert eng.initial_candidates(100, 10**6) == 6400
     # clamped by corpus size
     assert eng.initial_candidates(100, 500) == 500
-    # first-try successes decay it back down to (and then off at) base
-    for _ in range(200):
+    # first-try successes step it down one rung per streak; every width
+    # seen along the way is on the ladder {base * 4^j}
+    seen = set()
+    for _ in range(3 * eng.HINT_PROBE_STREAK + 3):
         c = eng.initial_candidates(100, 10**6)
+        seen.add(c)
         eng.record_candidates(100, c, widened=False)
     assert eng.initial_candidates(100, 10**6) == base
+    assert seen <= {base, base * 4, base * 16}
+
+
+def test_oversized_gather_falls_back_to_host(db_path, unit_rows, monkeypatch):
+    """Widen retries can reach widths where the on-device [B, C, d] f32
+    candidate gather alone would crowd out HBM — those must route to the
+    host fallback, not OOM the chip."""
+    from svs_tpu.engine import index as eng_mod
+
+    m = unit_rows(300, 24)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    corpus = eng.ensure_fresh(db)
+    assert corpus.dev_rescore is not None
+    q = unit_rows(4, 24)
+    monkeypatch.setattr(eng_mod, "_DEVICE_GATHER_MAX_BYTES", 1)
+    assert eng.topk_final(corpus, q, 5, 40) is None
+    vals, rows, exact = eng.topk_with_rescore(corpus, q, 40)
+    assert exact is None  # host path took over
+    # and the candidate rows still match the per-query oracle
+    for b in range(q.shape[0]):
+        want = {i for _, i in top_k_numpy((m @ q[b]).astype(np.float32), 40)}
+        assert set(rows[b].tolist()) == want
+    db.close()

@@ -268,7 +268,7 @@ def test_width_hint_prevents_repeat_widening(db_path, caplog):
     with caplog.at_level(logging.INFO, logger="svs_tpu.kb"):
         first = kb.retrieve("probe", k)
     assert any("widening" in r.message for r in caplog.records)
-    assert kb.engine._cand_hint.get(k, 0) > kb.engine.candidate_count(k)
+    assert kb.engine._cand_hint[k][0] > kb.engine.candidate_count(k)
 
     caplog.clear()
     with caplog.at_level(logging.INFO, logger="svs_tpu.kb"):
