@@ -791,13 +791,14 @@ class RetrievalEngine:
 
         if (
             corpus.dev_rescore is not None
-            or self.mesh is not None
             or not self.rescore
             or self.device_rescore == "host"
             or corpus.host_cache is None
             or corpus.n_valid == 0
         ):
             return
+        if self.mesh is not None and self.model_axis is not None:
+            return  # model-axis shards split the dim; rescore stays host
         try:
             budget = int(
                 os.environ.get("SVS_TPU_DEVICE_RESCORE_MAX_BYTES", 8_000_000_000)
@@ -806,6 +807,17 @@ class RetrievalEngine:
             budget = 8_000_000_000
         cache_f32, row_map = corpus.host_cache
         if budget <= 0 or cache_f32.nbytes > budget:
+            return
+        # emb-id mirror (int32, pack-row order): lets the final top-k
+        # selection run on-device with the reference tie rule (equal
+        # scores -> larger emb id), shrinking the result wire from
+        # [B, 2C+1] to [B, 2k+1].  Ids past int32 are ~impossible for
+        # SQLite rowids in practice; fall back to host selection if seen.
+        emb_ok = int(corpus.emb_ids.max()) < 2**31
+        if self.mesh is not None:
+            if not emb_ok:
+                return  # the mesh path IS the final selection; no mirror
+            self._build_mesh_rescore(corpus, cache_f32, row_map)
             return
         log.info(
             "uploading f32 rescore mirror to device (%.2f GB)",
@@ -817,12 +829,7 @@ class RetrievalEngine:
             if row_map is not None
             else None
         )
-        # emb-id mirror (int32, pack-row order): lets the final top-k
-        # selection run on-device with the reference tie rule (equal
-        # scores -> larger emb id), shrinking the result wire from
-        # [B, 2C+1] to [B, 2k+1].  Ids past int32 are ~impossible for
-        # SQLite rowids in practice; fall back to host selection if seen.
-        if corpus.n_valid > 0 and int(corpus.emb_ids.max()) < 2**31:
+        if emb_ok:
             object.__setattr__(
                 corpus,
                 "dev_emb",
@@ -832,6 +839,49 @@ class RetrievalEngine:
                 ),
             )
         object.__setattr__(corpus, "dev_rescore", (dev, dev_map))
+
+    def _build_mesh_rescore(
+        self,
+        corpus: PackedCorpus,
+        cache_f32: np.ndarray,
+        row_map: Optional[np.ndarray],
+    ) -> None:
+        """Shard the f32 rescore mirror over the data axis (pack-row
+        order, padded to ``n_padded`` so shard boundaries match the
+        corpus) and replicate the int32 emb-id mirror.  Each shard then
+        rescores the merged candidates that live in its row range — only
+        candidate metadata ever crosses ICI (see
+        ``parallel.sharded.sharded_rescore_final``)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert self.mesh is not None
+        n_pad, n_valid = corpus.n_padded, corpus.n_valid
+        d = corpus.dim
+        sharding = NamedSharding(self.mesh, PartitionSpec(self.data_axis, None))
+
+        def shard_rows(idx: Tuple[slice, ...]) -> np.ndarray:
+            r = idx[0].indices(n_pad)
+            r0, r1 = r[0], r[1]
+            out = np.zeros((r1 - r0, d), dtype=np.float32)
+            hi = min(r1, n_valid)
+            if hi > r0:
+                rows = np.arange(r0, hi)
+                src = rows if row_map is None else row_map[rows]
+                out[: hi - r0] = cache_f32[src]
+            return out
+
+        log.info(
+            "uploading sharded f32 rescore mirror (%.2f GB over %d shards)",
+            n_pad * d * 4 / 1e9, int(self.mesh.shape[self.data_axis]),
+        )
+        dev = jax.make_array_from_callback((n_pad, d), sharding, shard_rows)
+        emb_pad = np.zeros(n_pad, dtype=np.int32)
+        emb_pad[:n_valid] = corpus.emb_ids.astype(np.int32)
+        dev_emb = jax.device_put(
+            emb_pad, NamedSharding(self.mesh, PartitionSpec(None))
+        )
+        object.__setattr__(corpus, "dev_emb", dev_emb)
+        object.__setattr__(corpus, "dev_rescore", (dev, None))
 
     def topk_with_rescore(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
@@ -858,10 +908,11 @@ class RetrievalEngine:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         k_eff = min(int(k), corpus.n_valid)
         if dev is not None and (
-            queries.shape[0] * k_eff * corpus.dim * 4
+            self.mesh is not None  # mesh rescore lives in topk_final only
+            or queries.shape[0] * k_eff * corpus.dim * 4
             > _DEVICE_GATHER_MAX_BYTES
         ):
-            dev = None  # oversized [B, C, d] gather: host rescore instead
+            dev = None  # host rescore instead
         if dev is None:
             vals, rows = self.topk(corpus, queries, k)
             return vals, rows, None
@@ -903,10 +954,15 @@ class RetrievalEngine:
     ) -> jax.Array:
         """One host->device upload of the padded f32 query batch, shared
         by the prescore and rescore stages (each MB costs tens of ms on
-        tunneled links)."""
-        return jax.device_put(
-            pad_queries(queries, corpus.dim_padded), self.device
-        )
+        tunneled links).  Replicated over the mesh when sharded."""
+        q = pad_queries(queries, corpus.dim_padded)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                q, NamedSharding(self.mesh, PartitionSpec(None, None))
+            )
+        return jax.device_put(q, self.device)
 
     def topk_final(
         self, corpus: PackedCorpus, queries: np.ndarray, n: int, c: int
@@ -926,11 +982,14 @@ class RetrievalEngine:
         :meth:`topk_with_rescore`.
 
         Returns ``None`` when the path is unavailable (no device rescore
-        mirror, no int32 emb-id mirror, or a mesh engine) — callers fall
-        back to :meth:`topk_with_rescore` + host selection.
+        mirror or no int32 emb-id mirror) — callers fall back to
+        :meth:`topk_with_rescore` + host selection.  On mesh engines the
+        rescore gather + partial dots run per shard with one ``psum``
+        over ICI (``parallel.sharded.sharded_rescore_final``); the wire
+        is identical.
         """
         dev = corpus.dev_rescore
-        if dev is None or corpus.dev_emb is None or self.mesh is not None:
+        if dev is None or corpus.dev_emb is None:
             return None
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         c_eff = min(int(c), corpus.n_valid)
@@ -955,16 +1014,31 @@ class RetrievalEngine:
         packed_dev, wide = self._prescore_packed(
             corpus, queries, c_eff, q_dev=q_dev
         )
-        combined = _final_from_packed(
-            packed_dev,
-            dev[0],
-            dev[1],
-            corpus.dev_emb,
-            q_dev,
-            n_eff,
-            wide,
-            dim=corpus.dim,
-        )
+        if self.mesh is not None:
+            from ..parallel.sharded import sharded_rescore_final
+
+            combined = sharded_rescore_final(
+                packed_dev,
+                dev[0],
+                corpus.dev_emb,
+                q_dev,
+                n_eff,
+                wide=wide,
+                mesh=self.mesh,
+                data_axis=self.data_axis,
+                dim=corpus.dim,
+            )
+        else:
+            combined = _final_from_packed(
+                packed_dev,
+                dev[0],
+                dev[1],
+                corpus.dev_emb,
+                q_dev,
+                n_eff,
+                wide,
+                dim=corpus.dim,
+            )
         arr = np.asarray(combined)  # [B, 2n+1] int32 wire
         emb = arr[:, :n_eff].astype(np.int64)
         scores = np.ascontiguousarray(arr[:, n_eff : 2 * n_eff]).view(

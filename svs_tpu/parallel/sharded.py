@@ -180,3 +180,112 @@ def _build_sharded_topk(
         return merge_topk(vals, gidx, k)
 
     return jax.jit(merged)
+
+
+def sharded_rescore_final(
+    packed: jax.Array,
+    mirror: jax.Array,
+    dev_emb: jax.Array,
+    queries: jax.Array,
+    k: int,
+    *,
+    wide: bool,
+    mesh: jax.sharding.Mesh,
+    data_axis: str = "data",
+    dim: Optional[int] = None,
+) -> jax.Array:
+    """Mesh analog of the engine's on-device rescore + final selection
+    (``engine.index._final_from_packed``): the exact f32 rescore of the
+    merged candidates runs WHERE THE ROWS LIVE — each shard gathers the
+    candidate rows in its global range from its slice of the f32 mirror,
+    computes partial exact dots, and one ``psum`` over ICI produces the
+    replicated exact scores; the final top-k selection (reference tie
+    rule) then runs replicated, and the caller fetches one compact
+    ``[B, 2k+1]`` int32 wire.  Only candidate metadata crosses ICI —
+    never embedding vectors.
+
+    ``packed``: replicated prescore wire from :func:`sharded_score_topk`
+    via ``pack_vals_idx`` (scores ++ GLOBAL row indices);
+    ``mirror``: ``[N_padded, dim]`` f32 in pack-row order, sharded
+    ``P(data_axis)``; ``dev_emb``: ``[N_padded]`` int32 emb ids in
+    pack-row order, replicated; ``queries``: ``[B, dim_padded]`` f32
+    replicated.
+    """
+    fn = _build_sharded_rescore_final(
+        mesh, data_axis, int(k), bool(wide),
+        None if dim is None else int(dim),
+    )
+    return fn(packed, mirror, dev_emb, queries)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_rescore_final(
+    mesh: jax.sharding.Mesh,
+    data_axis: str,
+    k: int,
+    wide: bool,
+    dim: Optional[int],
+) -> "Any":
+    def local_partial(
+        mirror: jax.Array, rows: jax.Array, q: jax.Array
+    ) -> jax.Array:
+        n_local = mirror.shape[0]
+        offset = jax.lax.axis_index(data_axis).astype(jnp.int32) * n_local
+        lr = rows - offset
+        valid = (lr >= 0) & (lr < n_local)
+        cand = mirror[jnp.clip(lr, 0, n_local - 1)]  # [B, C, d] local HBM
+        partial = jax.lax.dot_general(
+            cand,
+            q,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        partial = jnp.where(valid, partial, 0.0)
+        return jax.lax.psum(partial, data_axis)
+
+    shard_fn = jax.shard_map(
+        local_partial,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(None, None), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+
+    def final(
+        packed: jax.Array,
+        mirror: jax.Array,
+        dev_emb: jax.Array,
+        queries: jax.Array,
+    ) -> jax.Array:
+        if dim is not None and dim != queries.shape[1]:
+            queries = queries[:, :dim]
+        c = packed.shape[1] // 2
+        if wide:
+            rows = packed[:, c:]  # already int32
+            tail_bits = packed[:, c - 1 : c]  # f32 bits as int32
+        else:
+            rows = packed[:, c:].astype(jnp.int32)
+            tail_bits = jax.lax.bitcast_convert_type(
+                packed[:, c - 1 : c], jnp.int32
+            )
+        exact = shard_fn(mirror, rows, queries)  # [B, C] replicated
+        emb_of = dev_emb[rows]  # [B, C] int32
+        # reference tie rule in one lexicographic sort; `exact + 0.0`
+        # canonicalizes -0.0 (see engine.index._final_from_packed)
+        neg_score = jnp.negative(exact + 0.0)
+        _, _, top_emb, top_exact = jax.lax.sort(
+            (neg_score, jnp.negative(emb_of), emb_of, exact),
+            dimension=1,
+            num_keys=2,
+            is_stable=False,
+        )
+        return jnp.concatenate(
+            [
+                top_emb[:, :k],
+                jax.lax.bitcast_convert_type(top_exact[:, :k], jnp.int32),
+                tail_bits,
+            ],
+            axis=1,
+        )
+
+    return jax.jit(final)

@@ -294,3 +294,90 @@ def test_engine_mesh_dispatches_keyed_kernels(unit_rows, monkeypatch):
         got = sorted(int(cand[i]) for i in order[:10])
         oracle = sorted(i for _, i in top_k_numpy(m @ q[b], 10))
         assert got == oracle, b
+
+
+def test_mesh_topk_final_matches_host_selection(devices_available, unit_rows):
+    """Mesh analog of test_engine.test_topk_final_matches_host_selection:
+    the sharded on-device pipeline (per-shard prescore -> per-shard exact
+    f32 rescore where the rows live -> one psum -> replicated final
+    selection, ``parallel.sharded.sharded_rescore_final``) must return
+    exactly the (emb id, score) sequence host finalize computes — ties
+    break to the larger emb id (reference ``svs/util.py:190-203``)."""
+    from svs_tpu.engine.index import RetrievalEngine
+    from svs_tpu.engine.packing import pack_corpus
+    from svs_tpu.parallel import default_mesh
+
+    m = unit_rows(500, 24)
+    m[50:60] = m[50]  # exact ties: one direction, emb ids 51..60
+    emb_ids = np.arange(1, 501, dtype=np.int64)
+    eng = RetrievalEngine(precision="bf16", mesh=default_mesh())
+    corpus = pack_corpus(
+        m, emb_ids, version=1, precision="bf16",
+        placement=eng._placement(),
+        row_multiple=eng._row_multiple(500),
+        dim_multiple=eng._dim_multiple(),
+    )
+    eng._maybe_build_device_rescore(corpus)
+    assert corpus.dev_rescore is not None and corpus.dev_emb is not None
+    q = np.concatenate([m[50:51], unit_rows(3, 24)], axis=0)
+    n, c = 15, eng.candidate_count(15)
+    final = eng.topk_final(corpus, q, n, c)
+    assert final is not None
+    emb, scores, boundary = final
+    assert emb.shape == (4, n) and boundary.shape == (4,)
+
+    # host reference ordering from topk_with_rescore (mesh -> host rescore)
+    pre_vals, pre_rows, exact = eng.topk_with_rescore(corpus, q, c)
+    assert exact is None  # mesh rescore lives in topk_final only
+    exact = (m[pre_rows.astype(int)].astype(np.float32) @
+             q.astype(np.float32)[:, :, None])[:, :, 0]
+    for b in range(4):
+        order = np.lexsort((-emb_ids[pre_rows[b].astype(int)], -exact[b]))[:n]
+        want_emb = emb_ids[pre_rows[b][order].astype(int)]
+        np.testing.assert_array_equal(emb[b], want_emb)
+        np.testing.assert_allclose(scores[b], exact[b][order], atol=2e-6)
+    # the planted tie block must surface largest-emb-id first
+    tied = emb[0][scores[0] >= scores[0][0] - 1e-7]
+    assert len(tied) >= 10 and list(tied)[:10] == sorted(tied, reverse=True)[:10]
+
+
+def test_mesh_topk_final_int8_and_model_axis_policy(
+    devices_available, unit_rows
+):
+    """int8 mesh corpora get the sharded rescore mirror (exact f32 final
+    scores); 2-D model-axis meshes keep host rescore (the dim split makes
+    per-shard dots partial in d, not rows) and topk_final declines."""
+    from svs_tpu.engine.index import RetrievalEngine
+    from svs_tpu.engine.packing import pack_corpus
+    from svs_tpu.parallel import default_mesh, mesh_2d
+
+    m = unit_rows(320, 24)
+    emb_ids = np.arange(1, 321, dtype=np.int64)
+    eng = RetrievalEngine(precision="int8", mesh=default_mesh())
+    corpus = pack_corpus(
+        m, emb_ids, version=1, precision="int8",
+        placement=eng._placement(),
+        row_multiple=eng._row_multiple(320),
+        dim_multiple=eng._dim_multiple(),
+    )
+    eng._maybe_build_device_rescore(corpus)
+    assert corpus.dev_rescore is not None
+    q = m[:2].astype(np.float32)
+    final = eng.topk_final(corpus, q, 5, 40)
+    assert final is not None
+    emb, scores, _ = final
+    for b in range(2):
+        exact = m.astype(np.float32) @ q[b]
+        order = np.lexsort((-emb_ids, -exact))[:5]
+        np.testing.assert_array_equal(emb[b], emb_ids[order])
+        np.testing.assert_allclose(scores[b], exact[order], atol=2e-6)
+
+    eng2 = RetrievalEngine(precision="f32", mesh=mesh_2d(4, 2))
+    corpus2 = pack_corpus(
+        m, emb_ids, version=1, precision="f32",
+        placement=eng2._placement(),
+        row_multiple=eng2._row_multiple(320),
+        dim_multiple=eng2._dim_multiple(),
+    )
+    eng2._maybe_build_device_rescore(corpus2)
+    assert corpus2.dev_rescore is None
