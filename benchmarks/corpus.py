@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import time
+import zlib
 from pathlib import Path
 from typing import Awaitable, Callable, List
 
@@ -57,9 +58,11 @@ def query_embedder(dim: int, seed: int = 7) -> "Callable[[List[str]], Awaitable[
     :func:`query_matrix` rows; anything else hashes to a seeded index."""
 
     async def embed(texts: List[str]) -> List[List[float]]:
+        # zlib.crc32, not hash(): PYTHONHASHSEED salting would give the
+        # reused on-disk corpus different embeddings every process
         ids = [
             int(t.split(":")[1]) if t.startswith("q:")
-            else abs(hash(t)) % (2**31)
+            else zlib.crc32(t.encode()) % (2**31)
             for t in texts
         ]
         # returned as ndarray: EmbeddingFunc consumers np.asarray() it,

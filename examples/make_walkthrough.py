@@ -68,6 +68,8 @@ print(f"{len(texts)} documents, e.g. {texts[38]!r}")
     ),
     code(
         """
+import zlib
+
 DIM = 256
 
 async def embed(batch):
@@ -76,7 +78,9 @@ async def embed(batch):
         t = f"  {text.lower()}  "
         v = np.zeros(DIM, np.float32)
         for i in range(len(t) - 2):
-            v[hash(t[i : i + 3]) % DIM] += 1.0
+            # crc32, not hash(): stable across processes, so the
+            # published KB stays queryable when reopened later
+            v[zlib.crc32(t[i : i + 3].encode()) % DIM] += 1.0
         out.append((v / np.linalg.norm(v)).tolist())
     return out
 

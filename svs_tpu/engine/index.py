@@ -179,17 +179,11 @@ def _final_from_packed(
     wire this cuts fetch bytes ~4x at the default C = 4k — tunnel links
     measure tens of ms per MB per batch — and moves the two [B, C] host
     argsorts onto the device."""
+    from ..ops.topk import final_select_wire, unpack_rows_tail
+
     if dim is not None and dim != queries.shape[1]:
         queries = queries[:, :dim]  # padded upload; mirror rows are true-dim
-    c = packed.shape[1] // 2
-    if wide:
-        rows = packed[:, c:]  # already int32
-        tail_bits = packed[:, c - 1 : c]  # f32 bits as int32
-    else:
-        rows = packed[:, c:].astype(jnp.int32)
-        tail_bits = jax.lax.bitcast_convert_type(
-            packed[:, c - 1 : c], jnp.int32
-        )
+    rows, tail_bits = unpack_rows_tail(packed, packed.shape[1] // 2, wide)
     gr = rows if dev_map is None else dev_map[rows]
     cand = dev_f32[gr]  # [B, C, d] gather in HBM
     exact = jax.lax.dot_general(
@@ -199,24 +193,7 @@ def _final_from_packed(
         preferred_element_type=jnp.float32,
     )
     emb_of = dev_emb[rows]  # [B, C] int32
-    # `exact + 0.0` canonicalizes -0.0 to +0.0 so an exact-zero tie
-    # can't split on zero sign (the sort's total order puts -0 < +0;
-    # numpy's compare on the host path treats them equal).
-    neg_score = jnp.negative(exact + 0.0)
-    _, _, top_emb, top_exact = jax.lax.sort(
-        (neg_score, jnp.negative(emb_of), emb_of, exact),
-        dimension=1,
-        num_keys=2,
-        is_stable=False,
-    )
-    return jnp.concatenate(
-        [
-            top_emb[:, :k],
-            jax.lax.bitcast_convert_type(top_exact[:, :k], jnp.int32),
-            tail_bits,
-        ],
-        axis=1,
-    )
+    return final_select_wire(exact, emb_of, tail_bits, k)
 
 
 @functools.partial(jax.jit, static_argnames=("wide",))
@@ -799,12 +776,9 @@ class RetrievalEngine:
             return
         if self.mesh is not None and self.model_axis is not None:
             return  # model-axis shards split the dim; rescore stays host
-        try:
-            budget = int(
-                os.environ.get("SVS_TPU_DEVICE_RESCORE_MAX_BYTES", 8_000_000_000)
-            )
-        except ValueError:
-            budget = 8_000_000_000
+        from ..utils.env import env_int
+
+        budget = env_int("SVS_TPU_DEVICE_RESCORE_MAX_BYTES", 8_000_000_000)
         cache_f32, row_map = corpus.host_cache
         if budget <= 0 or cache_f32.nbytes > budget:
             return

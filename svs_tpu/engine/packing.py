@@ -51,16 +51,9 @@ _RESCORE_CACHE_DEFAULT = 16_000_000_000
 
 
 def rescore_cache_limit() -> int:
-    import os
+    from ..utils.env import env_int
 
-    try:
-        return int(
-            os.environ.get(
-                "SVS_TPU_RESCORE_CACHE_MAX_BYTES", _RESCORE_CACHE_DEFAULT
-            )
-        )
-    except ValueError:
-        return _RESCORE_CACHE_DEFAULT
+    return env_int("SVS_TPU_RESCORE_CACHE_MAX_BYTES", _RESCORE_CACHE_DEFAULT)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -265,24 +265,12 @@ class DocRowCache:
         max_rows: Optional[int] = None,
         max_bytes: Optional[int] = None,
     ) -> None:
-        import os
+        from .utils.env import env_int
 
         if max_rows is None:
-            try:
-                max_rows = int(
-                    os.environ.get("SVS_TPU_DOC_CACHE_MAX_ROWS", 4_000_000)
-                )
-            except ValueError:
-                max_rows = 4_000_000
+            max_rows = env_int("SVS_TPU_DOC_CACHE_MAX_ROWS", 4_000_000)
         if max_bytes is None:
-            try:
-                max_bytes = int(
-                    os.environ.get(
-                        "SVS_TPU_DOC_CACHE_MAX_BYTES", 2_000_000_000
-                    )
-                )
-            except ValueError:
-                max_bytes = 2_000_000_000
+            max_bytes = env_int("SVS_TPU_DOC_CACHE_MAX_BYTES", 2_000_000_000)
         self.max_rows = max_rows
         #: Approximate text+meta byte budget for ``prewarm`` — row COUNT
         #: alone would let a long-document corpus silently pin many GB of

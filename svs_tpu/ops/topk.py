@@ -155,6 +155,50 @@ def pack_vals_idx(vals: jax.Array, idx: jax.Array, wide: bool = False) -> jax.Ar
     return jnp.concatenate([vals, idx.astype(jnp.float32)], axis=1)
 
 
+def unpack_rows_tail(
+    packed: jax.Array, c: int, wide: bool
+) -> Tuple[jax.Array, jax.Array]:
+    """In-graph decode of a ``pack_vals_idx`` wire's candidate rows and
+    boundary (C-th, lowest) prescore: returns ``(rows int32 [B, C],
+    tail_bits int32 [B, 1])``.  Shared by the single-chip and mesh
+    device-rescore paths (``engine.index``, ``parallel.sharded``)."""
+    if wide:
+        rows = packed[:, c:]  # already int32
+        tail_bits = packed[:, c - 1 : c]  # f32 bits as int32
+    else:
+        rows = packed[:, c:].astype(jnp.int32)
+        tail_bits = jax.lax.bitcast_convert_type(
+            packed[:, c - 1 : c], jnp.int32
+        )
+    return rows, tail_bits
+
+
+def final_select_wire(
+    exact: jax.Array, emb_of: jax.Array, tail_bits: jax.Array, k: int
+) -> jax.Array:
+    """Final top-k selection with the REFERENCE tie rule — descending
+    exact score, equal scores break to the larger emb id
+    (``svs/util.py:190-203``) — as ONE lexicographic ``lax.sort``, encoded
+    as the compact int32 wire ``[B, 2k + 1]``: top-k emb ids ++ top-k
+    exact score bits ++ boundary-prescore bits.  ``exact + 0.0``
+    canonicalizes -0.0 so an exact-zero tie can't split on zero sign."""
+    neg_score = jnp.negative(exact + 0.0)
+    _, _, top_emb, top_exact = jax.lax.sort(
+        (neg_score, jnp.negative(emb_of), emb_of, exact),
+        dimension=1,
+        num_keys=2,
+        is_stable=False,
+    )
+    return jnp.concatenate(
+        [
+            top_emb[:, :k],
+            jax.lax.bitcast_convert_type(top_exact[:, :k], jnp.int32),
+            tail_bits,
+        ],
+        axis=1,
+    )
+
+
 def unpack_vals_idx(
     packed: "jnp.ndarray", k: int, wide: bool = False
 ) -> "Tuple[Any, Any]":

@@ -257,35 +257,13 @@ def _build_sharded_rescore_final(
         dev_emb: jax.Array,
         queries: jax.Array,
     ) -> jax.Array:
+        from ..ops.topk import final_select_wire, unpack_rows_tail
+
         if dim is not None and dim != queries.shape[1]:
             queries = queries[:, :dim]
-        c = packed.shape[1] // 2
-        if wide:
-            rows = packed[:, c:]  # already int32
-            tail_bits = packed[:, c - 1 : c]  # f32 bits as int32
-        else:
-            rows = packed[:, c:].astype(jnp.int32)
-            tail_bits = jax.lax.bitcast_convert_type(
-                packed[:, c - 1 : c], jnp.int32
-            )
+        rows, tail_bits = unpack_rows_tail(packed, packed.shape[1] // 2, wide)
         exact = shard_fn(mirror, rows, queries)  # [B, C] replicated
         emb_of = dev_emb[rows]  # [B, C] int32
-        # reference tie rule in one lexicographic sort; `exact + 0.0`
-        # canonicalizes -0.0 (see engine.index._final_from_packed)
-        neg_score = jnp.negative(exact + 0.0)
-        _, _, top_emb, top_exact = jax.lax.sort(
-            (neg_score, jnp.negative(emb_of), emb_of, exact),
-            dimension=1,
-            num_keys=2,
-            is_stable=False,
-        )
-        return jnp.concatenate(
-            [
-                top_emb[:, :k],
-                jax.lax.bitcast_convert_type(top_exact[:, :k], jnp.int32),
-                tail_bits,
-            ],
-            axis=1,
-        )
+        return final_select_wire(exact, emb_of, tail_bits, k)
 
     return jax.jit(final)

@@ -171,8 +171,14 @@ class MicroBatcher:
             )
         return list(await asyncio.gather(*futs))
 
-    def _on_done(self, _fut: "asyncio.Future[List[Retrieval]]") -> None:
+    def _on_done(self, fut: "asyncio.Future[List[Retrieval]]") -> None:
         self._pending -= 1
+        if fut.cancelled():
+            # a disconnected client's query must leave the queue with its
+            # capacity slot, or a timeout storm defeats the overload bound
+            # (pending drains while dead queries still fill the queue AND
+            # burn device batches)
+            self._queue = [it for it in self._queue if it[2] is not fut]
 
     def _cancel_timer(self) -> None:
         if self._timer is not None:
@@ -409,14 +415,13 @@ def make_app(
             value = await request.json()
         except ValueError:
             raise web.HTTPBadRequest(text="body must be JSON (the value)")
-        if isinstance(value, bool) or not isinstance(
-            value, (str, int, float, type(None))
-        ):
+        if isinstance(value, bool) or not isinstance(value, (str, int, float)):
             # KV values are SQLite-bindable scalars (reference semantics:
             # whatever `keyval_user.val` accepts) — a dict/list/bool would
-            # come back as something else on read
+            # come back as something else on read, and the schema's
+            # NOT NULL rejects null at the store layer
             raise web.HTTPBadRequest(
-                text="value must be a JSON string, number, or null"
+                text="value must be a JSON string or number"
             )
         async with kb.bulk_keyval_update() as kv:
             await kv.set(key, value)

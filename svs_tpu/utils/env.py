@@ -37,3 +37,23 @@ def load_env(path: Union[str, Path] = ".env") -> bool:
         if key and key not in os.environ:
             os.environ[key] = val
     return True
+
+
+def env_int(name: str, default: int) -> int:
+    """``int(os.environ[name])`` with ``default`` on missing or malformed
+    values (malformed gets a one-time warning instead of a silent
+    swallow).  The shared parser for all size/budget knobs
+    (``SVS_TPU_*_MAX_BYTES`` / ``_MAX_ROWS``)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ignoring malformed %s=%r (want an integer); using %d",
+            name, raw, default,
+        )
+        return default

@@ -166,6 +166,61 @@ async def test_batcher_propagates_errors(db_path):
     await kb2.close()
 
 
+async def test_cancelled_waiters_release_queue_capacity(db_path):
+    """A disconnected client's queries must leave the queue WITH their
+    capacity slots — otherwise a timeout storm defeats the overload
+    bound (pending drains while dead queries still fill the queue and
+    ride device batches)."""
+    kb = await _make_kb(db_path)
+    gate = asyncio.Event()
+    inner = kb.embedding_func
+
+    async def slow_embed(texts):
+        await gate.wait()
+        return await inner(texts)
+
+    slow_embed.__embedding_func_params__ = getattr(
+        inner, "__embedding_func_params__", None
+    )
+    kb.embedding_func = slow_embed
+    batcher = MicroBatcher(kb, max_batch=32, window_ms=5.0, max_queue=8)
+    try:
+        # fill the queue to the bound, then cancel every waiter
+        waiters = [
+            asyncio.ensure_future(batcher.retrieve(f"vec:{i}", 1))
+            for i in range(8)
+        ]
+        await asyncio.sleep(0)  # admit all 8
+        assert batcher._pending == 8
+        for w in waiters:
+            w.cancel()
+        await asyncio.sleep(0)  # run cancellation callbacks
+        assert batcher._pending == 0
+        assert batcher._queue == []  # dead queries evicted, not dispatched
+        # full capacity is available again and live requests complete
+        gate.set()
+        res = await asyncio.gather(
+            *(batcher.retrieve(f"vec:{i % 12}", 1) for i in range(8))
+        )
+        assert all(r[0]["score"] == pytest.approx(1.0) for r in res)
+    finally:
+        await kb.close()
+
+
+async def test_kv_put_null_rejected_not_500(db_path):
+    """JSON null must be a 400 at validation — the STRICT schema's
+    NOT NULL would otherwise surface it as a 500 IntegrityError."""
+    kb = await _make_kb(db_path)
+    client = await _client(kb, writable=True)
+    try:
+        r = await client.put("/kv/x", json=None)
+        assert r.status == 400
+        assert "null" not in (await r.text())
+    finally:
+        await client.close()
+        await kb.close()
+
+
 async def test_concurrent_writes_and_reads(db_path):
     """Writes through /add interleaved with concurrent /retrieve bursts:
     the per-KB lock + engine invalidation must keep every response
