@@ -508,3 +508,28 @@ def test_pairwise_huge_k_skips_too_narrow_widths(unit_rows):
     np.testing.assert_allclose(
         np.asarray(vals), [s for s, _, _ in oracle], rtol=1e-5
     )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SVS_TPU_SLOW_TESTS"),
+    reason="full-pipeline oracle stress takes ~a minute on the CPU "
+    "backend; set SVS_TPU_SLOW_TESTS=1 to run",
+)
+def test_stress_oracle_smoke(monkeypatch, tmp_path):
+    """The randomized end-to-end oracle stress (benchmarks/
+    tpu_stress_oracle.py) in its smoke configuration: drives the full
+    KB retrieve pipeline (prescore kernels, device/host rescore, margin
+    widen, hints, hydration) against the exhaustive NumPy oracle with
+    planted ties / near-ties / hot-subtile adversaries."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    monkeypatch.setenv("SVS_STRESS_SMOKE", "1")
+    import importlib
+
+    import benchmarks.tpu_stress_oracle as stress
+
+    importlib.reload(stress)  # re-read the SMOKE env gate
+    monkeypatch.setattr(stress, "WORK", tmp_path)
+    stress.main(seed=1)
