@@ -16,6 +16,7 @@ from .types import *  # noqa: F401,F403  (re-export the public type surface)
 from .kb import KB, AsyncKB
 from .embeddings import (
     make_embeddings_func,
+    make_local_embeddings_func,
     make_mock_embeddings_func,
     make_ollama_embeddings_func,
     make_openai_embeddings_func,
@@ -26,6 +27,7 @@ __all__ = [
     "KB",
     "AsyncKB",
     "make_embeddings_func",
+    "make_local_embeddings_func",
     "make_mock_embeddings_func",
     "make_openai_embeddings_func",
     "make_ollama_embeddings_func",

@@ -18,6 +18,7 @@ from .base import (
     wrap_embeddings_func_check_magnitude,
 )
 from ..store.blob import embedding_from_bytes, embedding_to_bytes
+from .local import make_local_embeddings_func
 from .mock import make_mock_embeddings_func
 from .ollama import make_ollama_embeddings_func
 from .openai import make_openai_embeddings_func
@@ -26,6 +27,7 @@ _PROVIDERS = {
     "mock": make_mock_embeddings_func,
     "openai": make_openai_embeddings_func,
     "ollama": make_ollama_embeddings_func,
+    "local": make_local_embeddings_func,
 }
 
 
@@ -52,5 +54,6 @@ __all__ = [
     "make_mock_embeddings_func",
     "make_openai_embeddings_func",
     "make_ollama_embeddings_func",
+    "make_local_embeddings_func",
     "make_embeddings_func",
 ]
