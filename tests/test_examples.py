@@ -86,3 +86,12 @@ def test_walkthrough_notebook_has_recorded_outputs():
     assert "Fortune favors the bold." in text
     assert "docs served from http" in text
     assert "~" in text  # near-duplicate pair lines
+
+
+def test_local_embeddings_example(tmp_path):
+    result = _run("local_embeddings.py", cwd=tmp_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "reopened: SQLite is a single-file embedded database." in (
+        result.stdout
+    )
+    assert (tmp_path / "local_kb.sqlite").exists()
