@@ -26,6 +26,7 @@ provider's identity params.
 from __future__ import annotations
 
 import asyncio
+import threading
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -67,7 +68,10 @@ class _LocalEncoder:
         self.normalize = normalize
         self.batch_size = batch_size
         self._loaded: Optional[Tuple[Any, Callable[..., Any]]] = None
-        self._lock = asyncio.Lock()
+        # threading (not asyncio) lock: one provider instance may serve
+        # several KBs on different event loops (the sync facade runs a
+        # private loop thread), and embed() executes in an executor.
+        self._lock = threading.Lock()
 
     def _load(self) -> Tuple[Any, Callable[..., Any]]:
         if self._loaded is not None:
@@ -118,7 +122,12 @@ class _LocalEncoder:
     def embed(self, texts: Tuple[str, ...]) -> np.ndarray:
         """Tokenize + forward ``texts`` in bucketed device batches;
         returns ``[len(texts), dim]`` float32.  Synchronous — callers
-        run it in an executor."""
+        run it in an executor; the lock serializes load + forward per
+        encoder (one compile stream, deterministic device use)."""
+        with self._lock:
+            return self._embed_locked(texts)
+
+    def _embed_locked(self, texts: Tuple[str, ...]) -> np.ndarray:
         tokenizer, forward = self._load()
         vecs: List[np.ndarray] = []
         buckets = _buckets(self.batch_size)
@@ -210,6 +219,5 @@ async def _local_embeddings_cached(
 ) -> np.ndarray:
     # Single-flight per (encoder, texts); the device work runs in an
     # executor so the event loop stays responsive during long forwards.
-    async with encoder._lock:  # one compile/forward stream per encoder
-        loop = asyncio.get_running_loop()
-        return await loop.run_in_executor(None, encoder.embed, texts)
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(None, encoder.embed, texts)
