@@ -31,18 +31,43 @@ _PROVIDERS = {
 }
 
 
-def make_embeddings_func(embedding_func_params: Dict[str, Any]) -> EmbeddingFunc:
+def make_embeddings_func(
+    embedding_func_params: Dict[str, Any], *, trusted: bool = True
+) -> EmbeddingFunc:
     """Rebuild an embedding function from its persisted params dict.
 
     ``params['provider']`` selects the factory; the remaining keys are
     passed through as keyword arguments.
+
+    ``trusted=False`` marks params that came from an untrusted source —
+    a downloaded/shared database file.  In that mode a ``local``
+    provider whose ``model`` is not an existing local directory is
+    refused (it would otherwise trigger an arbitrary Hugging Face hub
+    download + model instantiation on first retrieve) unless the
+    operator opts in with ``SVS_TPU_ALLOW_HUB_MODELS=1``.
     """
+    import os
+
     params = dict(embedding_func_params)
     provider = params.pop("provider")
     try:
         factory = _PROVIDERS[provider]
     except KeyError:
         raise ValueError(f"unknown embedding provider name: {provider}")
+    if (
+        provider == "local"
+        and not trusted
+        and not os.path.isdir(str(params.get("model", "")))
+        and os.environ.get("SVS_TPU_ALLOW_HUB_MODELS") != "1"
+    ):
+        raise RuntimeError(
+            "This database's stored embedding params name a 'local' "
+            f"provider with a non-local model {params.get('model')!r}. "
+            "Loading it would download and run an arbitrary checkpoint "
+            "from the Hugging Face hub. If you trust this database, set "
+            "SVS_TPU_ALLOW_HUB_MODELS=1 or pass the embedding function "
+            "explicitly: KB(path, make_local_embeddings_func(...))."
+        )
     return factory(**params)
 
 

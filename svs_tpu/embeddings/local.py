@@ -27,22 +27,22 @@ from __future__ import annotations
 
 import asyncio
 import threading
+from collections import OrderedDict
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..types import EmbeddingFunc
-from ..utils.aio import cached
 from .base import EMBEDDINGS_MAX_CACHE_SIZE
 
 _POOLINGS = ("mean", "cls")
-_MAX_BUCKET_DOUBLINGS = 16
 
 
 def _buckets(batch_size: int) -> List[int]:
-    """Power-of-two padding buckets up to ``batch_size`` (ascending)."""
+    """Power-of-two padding buckets up to ``batch_size`` (ascending);
+    the last bucket always equals ``batch_size`` so every chunk fits."""
     out = [1]
-    while out[-1] < batch_size and len(out) < _MAX_BUCKET_DOUBLINGS:
+    while out[-1] < batch_size:
         out.append(min(out[-1] * 2, batch_size))
     return out
 
@@ -71,7 +71,13 @@ class _LocalEncoder:
         # threading (not asyncio) lock: one provider instance may serve
         # several KBs on different event loops (the sync facade runs a
         # private loop thread), and embed() executes in an executor.
+        # The result LRU lives on the encoder (not at module level) so
+        # the loaded model weights die with the provider, and so the
+        # single-flight story needs no loop-bound asyncio primitives.
         self._lock = threading.Lock()
+        self._cache: "OrderedDict[Tuple[str, ...], np.ndarray]" = (
+            OrderedDict()
+        )
 
     def _load(self) -> Tuple[Any, Callable[..., Any]]:
         if self._loaded is not None:
@@ -123,9 +129,18 @@ class _LocalEncoder:
         """Tokenize + forward ``texts`` in bucketed device batches;
         returns ``[len(texts), dim]`` float32.  Synchronous — callers
         run it in an executor; the lock serializes load + forward per
-        encoder (one compile stream, deterministic device use)."""
+        encoder (one compile stream) and makes identical concurrent
+        requests single-flight through the LRU."""
         with self._lock:
-            return self._embed_locked(texts)
+            hit = self._cache.get(texts)
+            if hit is not None:
+                self._cache.move_to_end(texts)
+                return hit
+            out = self._embed_locked(texts)
+            self._cache[texts] = out
+            while len(self._cache) > EMBEDDINGS_MAX_CACHE_SIZE:
+                self._cache.popitem(last=False)
+            return out
 
     def _embed_locked(self, texts: Tuple[str, ...]) -> np.ndarray:
         tokenizer, forward = self._load()
@@ -204,20 +219,14 @@ def make_local_embeddings_func(
         assert all(isinstance(s, str) for s in list_of_strings)
         if not list_of_strings:
             return []
-        matrix = await _local_embeddings_cached(
-            encoder, tuple(list_of_strings)
+        # Device work runs in an executor so the event loop stays
+        # responsive; caching + single-flight live on the encoder
+        # (thread-safe, loop-agnostic — see _LocalEncoder).
+        loop = asyncio.get_running_loop()
+        matrix = await loop.run_in_executor(
+            None, encoder.embed, tuple(list_of_strings)
         )
         return [row.tolist() for row in matrix]
 
     setattr(local_embeddings, "__embedding_func_params__", params)
     return local_embeddings
-
-
-@cached(maxsize=EMBEDDINGS_MAX_CACHE_SIZE)
-async def _local_embeddings_cached(
-    encoder: _LocalEncoder, texts: Tuple[str, ...]
-) -> np.ndarray:
-    # Single-flight per (encoder, texts); the device work runs in an
-    # executor so the event loop stays responsive during long forwards.
-    loop = asyncio.get_running_loop()
-    return await loop.run_in_executor(None, encoder.embed, texts)

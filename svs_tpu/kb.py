@@ -148,7 +148,7 @@ def _reconcile_embedding_func(
                 db_params,
             )
         else:
-            embedding_func = make_embeddings_func(db_params)
+            embedding_func = make_embeddings_func(db_params, trusted=False)
     elif ctor_params is not None:
         with db.transaction() as tx:
             tx.set_key("embedding_func_params", json.dumps(ctor_params))

@@ -89,6 +89,7 @@ def test_walkthrough_notebook_has_recorded_outputs():
 
 
 def test_local_embeddings_example(tmp_path):
+    pytest.importorskip("transformers")
     result = _run("local_embeddings.py", cwd=tmp_path)
     assert result.returncode == 0, result.stderr[-2000:]
     assert "reopened: SQLite is a single-file embedded database." in (

@@ -16,6 +16,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytest.importorskip("transformers")
+
 from svs_tpu import KB, make_embeddings_func
 from svs_tpu.embeddings import make_local_embeddings_func
 from svs_tpu.embeddings.local import _buckets
@@ -52,6 +54,49 @@ def test_bucket_ladder():
     assert _buckets(1) == [1]
     assert _buckets(8) == [1, 2, 4, 8]
     assert _buckets(6) == [1, 2, 4, 6]
+    # the last bucket always fits a full batch, however large
+    assert _buckets(50_000)[-1] == 50_000
+
+
+def test_untrusted_db_params_refuse_hub_models(monkeypatch):
+    """Params from an untrusted database may not trigger a hub
+    download; an existing local directory or an explicit env opt-in
+    is required (a trusted/explicit call is never gated)."""
+    hub = {"provider": "local", "model": "someone/huge-model"}
+    monkeypatch.delenv("SVS_TPU_ALLOW_HUB_MODELS", raising=False)
+    with pytest.raises(RuntimeError, match="SVS_TPU_ALLOW_HUB_MODELS"):
+        make_embeddings_func(dict(hub), trusted=False)
+    # opt-in: factory returns (lazily — nothing downloads until use)
+    monkeypatch.setenv("SVS_TPU_ALLOW_HUB_MODELS", "1")
+    f = make_embeddings_func(dict(hub), trusted=False)
+    assert f.__embedding_func_params__["model"] == "someone/huge-model"
+    # trusted (caller-provided) params are never gated
+    monkeypatch.delenv("SVS_TPU_ALLOW_HUB_MODELS")
+    g = make_embeddings_func(dict(hub))
+    assert g.__embedding_func_params__["provider"] == "local"
+
+
+def test_result_cache_lives_on_the_encoder(tiny_checkpoint):
+    """Dropping the provider drops the cache and the loaded weights —
+    nothing module-level pins them."""
+    import gc
+    import weakref
+
+    from svs_tpu.embeddings.local import _LocalEncoder
+
+    f = make_local_embeddings_func(
+        str(tiny_checkpoint), max_length=16, compute_dtype="float32"
+    )
+    enc = f.__closure__  # the factory closes over the encoder
+    refs = [
+        weakref.ref(c.cell_contents)
+        for c in (enc or [])
+        if isinstance(c.cell_contents, _LocalEncoder)
+    ]
+    assert len(refs) == 1
+    del f, enc
+    gc.collect()
+    assert refs[0]() is None
 
 
 def test_factory_validation(tiny_checkpoint):
