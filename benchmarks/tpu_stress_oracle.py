@@ -50,7 +50,15 @@ WORK = Path("/tmp/svs_tpu_stress")
 import os
 
 if os.environ.get("SVS_STRESS_SMOKE"):
-    CORPORA = [("bf16", 16_384 + 517, 256)]
+    # f32 included: its rescore path (device gather from the pack
+    # itself) regressed tie order in round 3 and only this harness
+    # caught it — the smoke must keep covering all three precisions'
+    # dispatch, so int8 rides the smaller shape too.
+    CORPORA = [
+        ("bf16", 16_384 + 517, 256),
+        ("f32", 8_192 + 321, 128),
+        ("int8", 8_192 + 321, 128),
+    ]
     COMBOS = [(1, 10), (32, 25)]
     DRAWS, REPEATS = 1, 1
 else:

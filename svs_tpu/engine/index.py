@@ -101,6 +101,15 @@ def _grow_rows_np(
     return out
 
 
+def _mirror_dim(mirror: jax.Array, corpus: "PackedCorpus") -> Optional[int]:
+    """``dim`` argument for the rescore stages: a true-dim mirror (the
+    uploaded f32 cache) needs the padded queries sliced down to match;
+    an f32 pack reused as the gather source is padded-width, and its
+    zero columns against the zero query padding make the slice
+    unnecessary (``None`` keeps the shapes aligned)."""
+    return corpus.dim if int(mirror.shape[1]) == corpus.dim else None
+
+
 @functools.partial(jax.jit, static_argnames=("k", "wide", "dim"))
 def _rescore_from_packed(
     packed: jax.Array,
@@ -255,8 +264,15 @@ class RetrievalEngine:
         self._cand_hint: Dict[int, Tuple[int, int]] = {}
         self.precision = precision
         #: Exact f32 re-ranking of the device candidate set.  Defaults on
-        #: for reduced-precision storage, off for f32.
-        self.rescore = rescore if rescore is not None else precision != "f32"
+        #: for EVERY precision: beyond undoing storage quantization, the
+        #: rescore stage is what applies the reference tie rule (equal
+        #: scores break to the larger emb id) and what proves the
+        #: candidate SET covered boundary ties — raw device selection
+        #: breaks ties to the SMALLER row and fetches exactly k, so an
+        #: f32 corpus with >k tied documents would return the wrong tied
+        #: subset in the wrong order.  ``rescore=False`` is an explicit
+        #: opt-out: device prescore order, tie order unspecified.
+        self.rescore = rescore if rescore is not None else True
         self.mesh = mesh
         if mesh is not None:
             assert data_axis in mesh.axis_names, (
@@ -770,7 +786,6 @@ class RetrievalEngine:
             corpus.dev_rescore is not None
             or not self.rescore
             or self.device_rescore == "host"
-            or corpus.host_cache is None
             or corpus.n_valid == 0
         ):
             return
@@ -779,8 +794,7 @@ class RetrievalEngine:
         from ..utils.env import env_int
 
         budget = env_int("SVS_TPU_DEVICE_RESCORE_MAX_BYTES", 8_000_000_000)
-        cache_f32, row_map = corpus.host_cache
-        if budget <= 0 or cache_f32.nbytes > budget:
+        if budget <= 0:
             return
         # emb-id mirror (int32, pack-row order): lets the final top-k
         # selection run on-device with the reference tie rule (equal
@@ -788,6 +802,34 @@ class RetrievalEngine:
         # [B, 2C+1] to [B, 2k+1].  Ids past int32 are ~impossible for
         # SQLite rowids in practice; fall back to host selection if seen.
         emb_ok = int(corpus.emb_ids.max()) < 2**31
+        if corpus.precision == "f32":
+            # The pack itself IS an exact f32 gather source: pack rows
+            # index it directly, and its zero padding columns contribute
+            # nothing to the padded-query dot — so the mirror is free (no
+            # second HBM copy, no host cache required).  The rescore
+            # callers detect the padded width and skip the query slice.
+            if self.mesh is not None:
+                if not emb_ok:
+                    return  # the mesh path IS the final selection
+                self._put_mesh_emb_mirror(corpus)
+            elif emb_ok:
+                object.__setattr__(
+                    corpus,
+                    "dev_emb",
+                    jax.device_put(
+                        np.ascontiguousarray(
+                            corpus.emb_ids.astype(np.int32)
+                        ),
+                        self.device,
+                    ),
+                )
+            object.__setattr__(corpus, "dev_rescore", (corpus.data, None))
+            return
+        if corpus.host_cache is None:
+            return
+        cache_f32, row_map = corpus.host_cache
+        if cache_f32.nbytes > budget:
+            return
         if self.mesh is not None:
             if not emb_ok:
                 return  # the mesh path IS the final selection; no mirror
@@ -849,13 +891,22 @@ class RetrievalEngine:
             n_pad * d * 4 / 1e9, int(self.mesh.shape[self.data_axis]),
         )
         dev = jax.make_array_from_callback((n_pad, d), sharding, shard_rows)
-        emb_pad = np.zeros(n_pad, dtype=np.int32)
-        emb_pad[:n_valid] = corpus.emb_ids.astype(np.int32)
+        self._put_mesh_emb_mirror(corpus)
+        object.__setattr__(corpus, "dev_rescore", (dev, None))
+
+    def _put_mesh_emb_mirror(self, corpus: PackedCorpus) -> None:
+        """Replicate the int32 emb-id mirror ([n_padded], pack-row order)
+        over the mesh — the final-selection input of
+        ``parallel.sharded.sharded_rescore_final``."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert self.mesh is not None
+        emb_pad = np.zeros(corpus.n_padded, dtype=np.int32)
+        emb_pad[: corpus.n_valid] = corpus.emb_ids.astype(np.int32)
         dev_emb = jax.device_put(
             emb_pad, NamedSharding(self.mesh, PartitionSpec(None))
         )
         object.__setattr__(corpus, "dev_emb", dev_emb)
-        object.__setattr__(corpus, "dev_rescore", (dev, None))
 
     def topk_with_rescore(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
@@ -906,7 +957,8 @@ class RetrievalEngine:
             corpus, queries, k_eff, q_dev=q_dev
         )
         combined = _rescore_from_packed(
-            packed_dev, dev[0], dev[1], q_dev, k_eff, wide, dim=corpus.dim
+            packed_dev, dev[0], dev[1], q_dev, k_eff, wide,
+            dim=_mirror_dim(dev[0], corpus),
         )
         arr = np.asarray(combined)  # [B, 2C + 1] compact wire
         if wide:
@@ -1000,7 +1052,7 @@ class RetrievalEngine:
                 wide=wide,
                 mesh=self.mesh,
                 data_axis=self.data_axis,
-                dim=corpus.dim,
+                dim=_mirror_dim(dev[0], corpus),
             )
         else:
             combined = _final_from_packed(
@@ -1011,7 +1063,7 @@ class RetrievalEngine:
                 q_dev,
                 n_eff,
                 wide,
-                dim=corpus.dim,
+                dim=_mirror_dim(dev[0], corpus),
             )
         arr = np.asarray(combined)  # [B, 2n+1] int32 wire
         emb = arr[:, :n_eff].astype(np.int64)

@@ -438,6 +438,10 @@ def _finalize_batch(
                 return None
         top_emb = corpus.emb_ids[top_rows]  # [B, k_eff]
     else:
+        # rescore=False opt-out: raw device prescores in device order.
+        # Among exactly tied scores the device breaks toward the SMALLER
+        # pack row (and fetched only k candidates), so the reference tie
+        # rule does not apply here — documented on the KB constructors.
         k_eff = min(k, pre_rows.shape[1])
         top_scores = pre_vals[:, :k_eff]
         top_emb = corpus.emb_ids[pre_rows[:, :k_eff]]
@@ -583,8 +587,10 @@ class AsyncKB:
     use, or eagerly via :meth:`load` (which also warms the device corpus).
 
     Engine knobs (all optional): ``precision`` ('bf16' default, 'f32',
-    'int8'), ``rescore`` (exact f32 re-ranking; default on for reduced
-    precision), ``mesh`` (a ``jax.sharding.Mesh`` to shard the corpus
+    'int8'), ``rescore`` (verified-exact f32 re-ranking with the
+    reference tie rule; default on for every precision — ``False`` is a
+    raw-prescore opt-out whose ordering among exactly tied scores is
+    the device's), ``mesh`` (a ``jax.sharding.Mesh`` to shard the corpus
     across chips), ``device``, and ``sidecar`` (True/False/'auto': persist
     the packed matrix next to the DB for mmap cold starts).
     """

@@ -774,12 +774,30 @@ def test_device_rescore_budget_gate(db_path, unit_rows, monkeypatch):
     db.close()
 
 
-def test_device_rescore_f32_precision_skipped(db_path, unit_rows):
-    """f32 corpora default rescore off -> no mirror."""
+def test_device_rescore_f32_reuses_pack(db_path, unit_rows):
+    """f32 corpora rescore by default (the rescore stage owns the tie
+    rule), and their device gather source is the PACK ITSELF — no second
+    HBM copy is ever uploaded.  topk_with_rescore through the padded
+    source returns exact f32 scores."""
     m = unit_rows(40, 8)
     db = _fill(db_path, m)
     eng = RetrievalEngine(precision="f32")
-    assert eng.ensure_fresh(db).dev_rescore is None
+    assert eng.rescore  # default on for every precision
+    corpus = eng.ensure_fresh(db)
+    assert corpus.dev_rescore is not None
+    assert corpus.dev_rescore[0] is corpus.data  # reuse, not a mirror
+    assert corpus.dev_rescore[1] is None  # pack rows index it directly
+    q = unit_rows(2, 8)
+    _, rows, exact = eng.topk_with_rescore(corpus, q, 7)
+    assert exact is not None
+    for b in range(2):
+        host_exact = m[
+            np.asarray(corpus.emb_ids[rows[b]]) - 1
+        ] @ q[b].astype(np.float32)
+        np.testing.assert_allclose(exact[b], host_exact, atol=3e-5)
+    # 'host' policy still disables it
+    eng2 = RetrievalEngine(precision="f32", device_rescore="host")
+    assert eng2.ensure_fresh(db).dev_rescore is None
     db.close()
 
 

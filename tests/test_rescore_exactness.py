@@ -48,7 +48,7 @@ def _cluster_embedder(vectors, dim=16):
     return embed
 
 
-@pytest.mark.parametrize("precision", ["bf16", "int8"])
+@pytest.mark.parametrize("precision", ["f32", "bf16", "int8"])
 def test_adversarial_boundary_cluster_is_exact(db_path, precision, caplog):
     """200 docs within one prescore ulp, best-scoring stored LAST (prescore
     ties resolve to the lowest rows, i.e. the worst docs) -> the fixed
@@ -78,6 +78,47 @@ def test_adversarial_boundary_cluster_is_exact(db_path, precision, caplog):
     np.testing.assert_allclose(got, expect_scores, atol=2e-6)
     # the test is only meaningful if the margin check actually fired
     assert any("widening" in r.message for r in caplog.records)
+    kb.close()
+
+
+@pytest.mark.parametrize("precision", ["f32", "bf16", "int8"])
+@pytest.mark.parametrize("device_rescore", ["auto", "host"])
+def test_duplicate_ties_break_to_larger_emb_id(
+    db_path, precision, device_rescore
+):
+    """REGRESSION (round 3, caught by the silicon stress oracle): with
+    MORE exactly-tied documents than k, every precision must return the
+    larger-emb-id half in descending-id order (the reference tie rule,
+    ``svs/util.py:190-203``).  The f32 path used to skip the rescore
+    stage entirely, taking the device's smaller-row-first tie order —
+    wrong SET and wrong ORDER."""
+    n, dim, k = 120, 16, 10
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    m[40:70] = m[40]  # 30 exact duplicates, docs c:40..c:69
+
+    async def embed(texts):
+        out = []
+        for t in texts:
+            v = m[40] if t == "probe" else m[int(t.split(":")[1])]
+            out.append([float(x) for x in v])
+        return out
+
+    embed.__embedding_func_params__ = {"provider": "mock"}
+    kb = KB(
+        db_path,
+        embed,
+        force_fresh_db=True,
+        precision=precision,
+        device_rescore=device_rescore,
+    )
+    with kb.bulk_add_docs() as add:
+        for i in range(n):
+            add(f"c:{i}")
+    for hits in (kb.retrieve("probe", k), kb.retrieve_batch(["probe"], k)[0]):
+        got = [h["doc"]["text"] for h in hits]
+        assert got == [f"c:{69 - j}" for j in range(k)]
     kb.close()
 
 
