@@ -14,9 +14,11 @@ RAM cache (``svs/kb.py:856-893``).  Responsibilities:
   device instead of rescanning BLOBs;
 - **search dispatch** — single-chip jitted matmul+top-k (f32/bf16/int8) or
   the mesh-sharded path with per-shard top-k and ICI merge;
-- **candidate sizing** — when rescoring is on (default for bf16/int8), the
-  device returns an over-provisioned candidate set whose exact f32 rescore
-  happens against the store (see ``KB.retrieve``), keeping recall exact.
+- **candidate sizing** — when rescoring is on (the default for every
+  precision: beyond undoing storage quantization, the rescore stage owns
+  the reference tie rule and the exactness proof), the device returns an
+  over-provisioned candidate set whose exact f32 rescore happens against
+  the store (see ``KB.retrieve``), keeping recall exact.
 """
 
 from __future__ import annotations
@@ -660,6 +662,17 @@ class RetrievalEngine:
             cache = header["_f32_cache"]
             if cache.nbytes <= rescore_cache_limit():
                 host_cache = (cache, header.get("_f32_row_map"))
+        elif self.precision == "f32":
+            # f32 sidecars omit the cache on purpose: the mmap'd pack
+            # already IS the exact bytes.  A true-dim view of it (rows
+            # in pack order, zero padding columns sliced away) makes the
+            # host gather source free — no background rescan thread, no
+            # RAM duplicate (reads page in from the sidecar file), and
+            # the zero-scan cold-start promise holds for f32 too.
+            host_cache = (
+                np.asarray(data)[:n_valid, : header["dim"]],
+                None,
+            )
         return PackedCorpus(
             data=device_data,
             row_scales=scales_arr,
@@ -774,14 +787,14 @@ class RetrievalEngine:
         the measured end-to-end bottleneck on small host VMs).
 
         Policy: single chip, rescoring on, ``device_rescore`` not 'host',
-        host cache present, and the f32 bytes fit
-        ``SVS_TPU_DEVICE_RESCORE_MAX_BYTES`` (default 8e9; 0 disables).
-        Incremental appends drop the mirror (a fresh corpus object) and it
-        is rebuilt here on the next query — a full re-upload, cheap
-        on-chip, deliberate simplicity over incremental HBM appends.
+        and an exact f32 gather source available — for bf16/int8 the host
+        cache uploaded within ``SVS_TPU_DEVICE_RESCORE_MAX_BYTES``
+        (default 8e9; 0 disables); for f32 the pack itself (already in
+        HBM — no second copy, no host cache required).  Incremental
+        appends drop the mirror (a fresh corpus object) and it is rebuilt
+        here on the next query — a full re-upload, cheap on-chip,
+        deliberate simplicity over incremental HBM appends.
         """
-        import os
-
         if (
             corpus.dev_rescore is not None
             or not self.rescore
@@ -799,9 +812,9 @@ class RetrievalEngine:
         # emb-id mirror (int32, pack-row order): lets the final top-k
         # selection run on-device with the reference tie rule (equal
         # scores -> larger emb id), shrinking the result wire from
-        # [B, 2C+1] to [B, 2k+1].  Ids past int32 are ~impossible for
-        # SQLite rowids in practice; fall back to host selection if seen.
-        emb_ok = int(corpus.emb_ids.max()) < 2**31
+        # [B, 2C+1] to [B, 2k+1].  (``emb_ids_fit_int32`` is memoized —
+        # this runs on the query hot path whenever the mirror is gated
+        # off and must stay O(1) after the first call.)
         if corpus.precision == "f32":
             # The pack itself IS an exact f32 gather source: pack rows
             # index it directly, and its zero padding columns contribute
@@ -809,20 +822,11 @@ class RetrievalEngine:
             # second HBM copy, no host cache required).  The rescore
             # callers detect the padded width and skip the query slice.
             if self.mesh is not None:
-                if not emb_ok:
+                if not corpus.emb_ids_fit_int32():
                     return  # the mesh path IS the final selection
                 self._put_mesh_emb_mirror(corpus)
-            elif emb_ok:
-                object.__setattr__(
-                    corpus,
-                    "dev_emb",
-                    jax.device_put(
-                        np.ascontiguousarray(
-                            corpus.emb_ids.astype(np.int32)
-                        ),
-                        self.device,
-                    ),
-                )
+            elif corpus.emb_ids_fit_int32():
+                self._put_emb_mirror(corpus)
             object.__setattr__(corpus, "dev_rescore", (corpus.data, None))
             return
         if corpus.host_cache is None:
@@ -831,7 +835,7 @@ class RetrievalEngine:
         if cache_f32.nbytes > budget:
             return
         if self.mesh is not None:
-            if not emb_ok:
+            if not corpus.emb_ids_fit_int32():
                 return  # the mesh path IS the final selection; no mirror
             self._build_mesh_rescore(corpus, cache_f32, row_map)
             return
@@ -845,15 +849,8 @@ class RetrievalEngine:
             if row_map is not None
             else None
         )
-        if emb_ok:
-            object.__setattr__(
-                corpus,
-                "dev_emb",
-                jax.device_put(
-                    np.ascontiguousarray(corpus.emb_ids.astype(np.int32)),
-                    self.device,
-                ),
-            )
+        if corpus.emb_ids_fit_int32():
+            self._put_emb_mirror(corpus)
         object.__setattr__(corpus, "dev_rescore", (dev, dev_map))
 
     def _build_mesh_rescore(
@@ -894,6 +891,18 @@ class RetrievalEngine:
         self._put_mesh_emb_mirror(corpus)
         object.__setattr__(corpus, "dev_rescore", (dev, None))
 
+    def _put_emb_mirror(self, corpus: PackedCorpus) -> None:
+        """Single-chip int32 emb-id mirror ([n_valid], pack-row order) —
+        the final-selection input of :meth:`topk_final`."""
+        object.__setattr__(
+            corpus,
+            "dev_emb",
+            jax.device_put(
+                np.ascontiguousarray(corpus.emb_ids.astype(np.int32)),
+                self.device,
+            ),
+        )
+
     def _put_mesh_emb_mirror(self, corpus: PackedCorpus) -> None:
         """Replicate the int32 emb-id mirror ([n_padded], pack-row order)
         over the mesh — the final-selection input of
@@ -932,9 +941,12 @@ class RetrievalEngine:
         dev = corpus.dev_rescore
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         k_eff = min(int(k), corpus.n_valid)
+        # Size the [B, C, d] gather guard with the MIRROR's width: the
+        # f32 pack-reuse mirror materializes dim_padded columns per
+        # candidate, not corpus.dim.
         if dev is not None and (
             self.mesh is not None  # mesh rescore lives in topk_final only
-            or queries.shape[0] * k_eff * corpus.dim * 4
+            or queries.shape[0] * k_eff * int(dev[0].shape[1]) * 4
             > _DEVICE_GATHER_MAX_BYTES
         ):
             dev = None  # host rescore instead
@@ -1021,9 +1033,11 @@ class RetrievalEngine:
         c_eff = min(int(c), corpus.n_valid)
         # the rescore gather materializes [B, C, d] f32 in HBM; at wide
         # retry widths (C >= 16k at B=256, d=1536) that alone exceeds the
-        # chip — route pathological widths to the host fallback instead
+        # chip — route pathological widths to the host fallback instead.
+        # d is the MIRROR's width (dim_padded when the f32 pack is the
+        # gather source), which is what the gather actually materializes.
         if (
-            queries.shape[0] * c_eff * corpus.dim * 4
+            queries.shape[0] * c_eff * int(dev[0].shape[1]) * 4
             > _DEVICE_GATHER_MAX_BYTES
         ):
             return None

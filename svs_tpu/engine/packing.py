@@ -148,9 +148,14 @@ class PackedCorpus:
         dataclasses.field(default=None, repr=False, compare=False)
     )
     #: Device mirror of the f32 rescore cache, published as ONE
-    #: ``(dev_f32 [n_valid, dim], dev_row_map int32 | None)`` tuple (same
-    #: atomic-publish rule as ``host_cache``).  When present, the rescore
-    #: stage runs on-device: gather candidate rows from HBM + f32 dot —
+    #: ``(dev_f32, dev_row_map int32 | None)`` tuple (same atomic-publish
+    #: rule as ``host_cache``).  ``dev_f32`` is either a true-dim
+    #: ``[n_valid, dim]`` upload of the host cache (bf16/int8) or, for
+    #: f32 corpora, the ``[n_padded, dim_padded]`` pack itself reused as
+    #: the gather source (its zero padding columns are exact against the
+    #: zero-padded queries; see ``index._mirror_dim``).  When present,
+    #: the rescore stage runs on-device: gather candidate rows from HBM
+    #: + f32 dot —
     #: the host never touches the ~O(B*C*d) candidate bytes (measured
     #: 630 MB per 256-query batch at 1M x 1536, the end-to-end
     #: bottleneck on small hosts).  Built by the engine when policy
@@ -173,6 +178,11 @@ class PackedCorpus:
     _n_valid_dev: Optional[jax.Array] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    # memoized max(emb_ids) for :meth:`emb_ids_fit_int32` (the scan is
+    # O(n_valid) — never pay it per query on an engine hot path)
+    _emb_ids_max: Optional[int] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def host_f32(self) -> Optional[np.ndarray]:
@@ -183,6 +193,15 @@ class PackedCorpus:
     def host_row_map(self) -> Optional[np.ndarray]:
         cache = self.host_cache
         return cache[1] if cache is not None else None
+
+    def emb_ids_fit_int32(self) -> bool:
+        """Whether every emb id fits the int32 device mirror (the
+        final-selection wire).  Ids past int32 are ~impossible for SQLite
+        rowids in practice; when seen, the engine finishes on the host."""
+        if self._emb_ids_max is None:
+            mx = int(self.emb_ids.max()) if self.n_valid > 0 else 0
+            object.__setattr__(self, "_emb_ids_max", mx)
+        return self._emb_ids_max < 2**31  # type: ignore[operator]
 
     def n_valid_device(self) -> jax.Array:
         if self._n_valid_dev is None:

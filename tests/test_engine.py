@@ -594,6 +594,36 @@ def test_sidecar_loaded_pack_mmaps_published_rescore_cache(
     db.close()
 
 
+def test_f32_sidecar_cold_start_reuses_pack_no_rescan(
+    db_path, unit_rows, tmp_path
+):
+    """f32 sidecars omit the f32 cache on purpose (the pack IS the exact
+    bytes); loading one must reuse the mmap'd pack as the host gather
+    source — NO background store rescan, NO RAM duplicate — and the
+    reused view must match the store rows bit-for-bit."""
+    m = unit_rows(30, 12)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    eng.ensure_fresh(db)
+    side = tmp_path / "s.svsidecar"
+    eng.write_sidecar(side)
+
+    eng2 = RetrievalEngine(precision="f32")
+    c2 = eng2.ensure_fresh(db, sidecar_path=side)
+    assert c2.host_f32 is not None  # the pack view, not a rebuilt cache
+    assert c2.host_row_map is None  # pack order by construction
+    assert eng2._cache_rebuild_thread is None  # zero-scan promise holds
+    assert c2.host_f32.shape == (30, 12)
+    with db.transaction() as tx:
+        fetched = tx.fetch_embedding_rows([int(e) for e in c2.emb_ids])
+    np.testing.assert_array_equal(c2.host_f32, fetched)
+    # the full exact pipeline runs against the reused view
+    q = m[11:12]
+    vals, rows = eng2.topk(c2, q, eng2.candidate_count(5))
+    assert int(c2.emb_ids[rows[0][0]]) == 12
+    db.close()
+
+
 def test_fused_native_pack_matches_stepwise_and_maps_rows(
     monkeypatch, unit_rows
 ):
