@@ -341,6 +341,44 @@ def test_mesh_topk_final_matches_host_selection(devices_available, unit_rows):
     assert len(tied) >= 10 and list(tied)[:10] == sorted(tied, reverse=True)[:10]
 
 
+def test_mesh_topk_final_f32_pack_reuse(devices_available, unit_rows):
+    """f32 mesh corpora reuse the sharded PACK as the rescore mirror (no
+    second HBM copy; padded width, so the query slice is skipped via
+    ``_mirror_dim``) — the final on-device selection must still match the
+    host tie-rule ordering exactly."""
+    from svs_tpu.engine.index import RetrievalEngine
+    from svs_tpu.engine.packing import pack_corpus
+    from svs_tpu.parallel import default_mesh
+
+    m = unit_rows(400, 20)
+    m[30:38] = m[30]  # exact ties straddling k
+    emb_ids = np.arange(1, 401, dtype=np.int64)
+    eng = RetrievalEngine(precision="f32", mesh=default_mesh())
+    corpus = pack_corpus(
+        m, emb_ids, version=1, precision="f32",
+        placement=eng._placement(),
+        row_multiple=eng._row_multiple(400),
+        dim_multiple=eng._dim_multiple(),
+    )
+    eng._maybe_build_device_rescore(corpus)
+    assert corpus.dev_rescore is not None and corpus.dev_emb is not None
+    assert corpus.dev_rescore[0] is corpus.data  # pack reuse, not a copy
+    assert int(corpus.dev_rescore[0].shape[1]) == corpus.dim_padded
+
+    q = np.concatenate([m[30:31], unit_rows(2, 20)], axis=0)
+    n = 5
+    final = eng.topk_final(corpus, q, n, eng.candidate_count(n))
+    assert final is not None
+    emb, scores, _ = final
+    for b in range(3):
+        exact = m.astype(np.float32) @ q[b].astype(np.float32)
+        order = np.lexsort((-emb_ids, -exact))[:n]
+        np.testing.assert_array_equal(emb[b], emb_ids[order])
+        np.testing.assert_allclose(scores[b], exact[order], atol=2e-6)
+    # the planted tie block surfaces largest-emb-id first
+    assert list(emb[0][:5]) == [38, 37, 36, 35, 34]
+
+
 def test_mesh_topk_final_int8_and_model_axis_policy(
     devices_available, unit_rows
 ):
