@@ -578,6 +578,59 @@ def _finalize_pairwise(
 # ---------------------------------------------------------------------------
 
 
+def _make_engine(
+    precision: str,
+    rescore: Optional[bool],
+    mesh: Optional[Any],
+    device: Optional[Any],
+    kernel: str,
+    device_rescore: str,
+    replicas: Optional[Any],
+) -> RetrievalEngine:
+    """Engine factory shared by both facades: a plain single-chip/mesh
+    engine, or a :class:`parallel.replicas.ReplicaEngine` when
+    ``replicas`` is set (int = first N devices, or an explicit device
+    sequence).  Replication multiplies query THROUGHPUT for corpora that
+    fit one chip; a mesh multiplies CAPACITY — they are different axes
+    and mutually exclusive here."""
+    if replicas is None:
+        return RetrievalEngine(
+            precision=precision,
+            rescore=rescore,
+            mesh=mesh,
+            device=device,
+            kernel=kernel,
+            device_rescore=device_rescore,
+        )
+    if mesh is not None:
+        raise ValueError(
+            "mesh and replicas are mutually exclusive: a mesh SHARDS the "
+            "corpus (capacity/latency), replicas COPY it (throughput)"
+        )
+    if device is not None:
+        raise ValueError(
+            "pass devices via replicas=[dev, ...] instead of device= in "
+            "replica mode"
+        )
+    from .parallel.replicas import ReplicaEngine
+
+    if isinstance(replicas, int):
+        return ReplicaEngine(
+            precision=precision,
+            rescore=rescore,
+            n_replicas=replicas,
+            kernel=kernel,
+            device_rescore=device_rescore,
+        )
+    return ReplicaEngine(
+        precision=precision,
+        rescore=rescore,
+        devices=list(replicas),
+        kernel=kernel,
+        device_rescore=device_rescore,
+    )
+
+
 class AsyncKB:
     """Async knowledge base for web services and pipelines.
 
@@ -591,8 +644,11 @@ class AsyncKB:
     reference tie rule; default on for every precision — ``False`` is a
     raw-prescore opt-out whose ordering among exactly tied scores is
     the device's), ``mesh`` (a ``jax.sharding.Mesh`` to shard the corpus
-    across chips), ``device``, and ``sidecar`` (True/False/'auto': persist
-    the packed matrix next to the DB for mmap cold starts).
+    across chips — capacity), ``replicas`` (int or device list: REPLICATE
+    the corpus across chips and split query batches over them —
+    throughput; mutually exclusive with ``mesh``), ``device``, and
+    ``sidecar`` (True/False/'auto': persist the packed matrix next to the
+    DB for mmap cold starts).
     """
 
     def __init__(
@@ -608,6 +664,7 @@ class AsyncKB:
         sidecar: Union[bool, str] = "auto",
         kernel: str = "auto",
         device_rescore: str = "auto",
+        replicas: Optional[Any] = None,
     ) -> None:
         self.local_path_or_remote_url = local_path_or_remote_url
         self.db: Optional[Database] = None
@@ -615,13 +672,9 @@ class AsyncKB:
         self.embedding_func = embedding_func
         self.embedding_func_orig = embedding_func
         self.force_fresh_db = force_fresh_db
-        self.engine = RetrievalEngine(
-            precision=precision,
-            rescore=rescore,
-            mesh=mesh,
-            device=device,
-            kernel=kernel,
-            device_rescore=device_rescore,
+        self.engine = _make_engine(
+            precision, rescore, mesh, device, kernel, device_rescore,
+            replicas,
         )
         self.sidecar = sidecar
         self._stats = QueryStats()
@@ -1240,17 +1293,14 @@ class KB:
         sidecar: Union[bool, str] = "auto",
         kernel: str = "auto",
         device_rescore: str = "auto",
+        replicas: Optional[Any] = None,
     ) -> None:
         self.local_path_or_remote_url = local_path_or_remote_url
         self.embedding_func = embedding_func
         self.embedding_func_orig = embedding_func
-        self.engine = RetrievalEngine(
-            precision=precision,
-            rescore=rescore,
-            mesh=mesh,
-            device=device,
-            kernel=kernel,
-            device_rescore=device_rescore,
+        self.engine = _make_engine(
+            precision, rescore, mesh, device, kernel, device_rescore,
+            replicas,
         )
         self.sidecar = sidecar
         self._stats = QueryStats()

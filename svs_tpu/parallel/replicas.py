@@ -1,0 +1,308 @@
+"""Corpus replication: N single-chip replicas, queries split across them.
+
+The mesh path (``parallel.sharded``) shards the CORPUS — it buys
+capacity (corpora past one chip's HBM) and per-query latency, at the
+cost of an ICI merge per batch.  Replication is the opposite trade for
+corpora that FIT one chip: every device holds a full copy of the pack,
+an incoming query batch splits into per-device sub-batches, and each
+replica runs the unmodified single-chip pipeline (fused prescore
+kernels, on-device f32 rescore, final tie-rule selection) on its slice.
+No collectives, no merge — results concatenate — so throughput scales
+~linearly with devices while each query sees single-chip latency.
+
+This is the TPU-native throughput analog of scaling the reference by
+running more processes against the same SQLite file (its hot path is
+one ``np.dot`` per process, ``svs/kb.py:1185``): here one process
+drives all replicas, the store stays the single source of truth, and
+the pack is cloned device-to-device once per store change.
+
+Design notes:
+
+- The PRIMARY engine (devices[0]) owns the store relationship: packing,
+  sidecar reads/writes, incremental appends, width hints.  Secondaries
+  never touch SQLite; they receive clones of the primary's pack via
+  ``jax.device_put`` (device-to-device, no host round trip on real
+  hardware) keyed by pack identity — a store change reclones.
+- Host-side state (``emb_ids``, the f32 rescore cache) is shared by
+  reference across replicas; device mirrors (rescore gather source,
+  int32 emb ids) are built per device by the same policy code the
+  single-chip engine uses.
+- Per-replica batch sizes can differ by one query (``np.array_split``);
+  kernel dispatch and the prescore error bound are both evaluated at
+  the REPLICA batch size (``prescore_eps`` is overridden accordingly),
+  so the margin proof stays sound when a split crosses a dispatch
+  boundary (e.g. the guarded kernels' minimum batch).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import numpy as np
+
+from ..engine.index import RetrievalEngine
+from ..engine.packing import PackedCorpus
+from ..store.db import Database
+
+log = logging.getLogger(__name__)
+
+
+class ReplicaEngine(RetrievalEngine):
+    """A :class:`RetrievalEngine` whose corpus is replicated over
+    ``devices`` and whose batched searches fan out across them.
+
+    Single-query calls run on the primary device exactly like a plain
+    engine; batches of ``B`` queries split into ``min(B, n_devices)``
+    contiguous slices dispatched concurrently (JAX dispatch is async —
+    the slices execute in parallel; threads only overlap the blocking
+    result fetches).
+    """
+
+    def __init__(
+        self,
+        precision: str = "bf16",
+        rescore: Optional[bool] = None,
+        devices: Optional[Sequence[jax.Device]] = None,
+        n_replicas: Optional[int] = None,
+        kernel: str = "auto",
+        device_rescore: str = "auto",
+    ) -> None:
+        devs = list(devices) if devices is not None else jax.devices()
+        if n_replicas is not None:
+            if n_replicas < 1:
+                raise ValueError("n_replicas must be >= 1")
+            if n_replicas > len(devs):
+                raise ValueError(
+                    f"n_replicas={n_replicas} but only {len(devs)} "
+                    "devices available"
+                )
+            devs = devs[:n_replicas]
+        if not devs:
+            raise ValueError("no devices for replication")
+        super().__init__(
+            precision=precision,
+            rescore=rescore,
+            device=devs[0],
+            kernel=kernel,
+            device_rescore=device_rescore,
+        )
+        self.devices: List[jax.Device] = devs
+        #: Secondary engines (one per extra device) — pure compute
+        #: endpoints: they never see the store; their corpus is always a
+        #: clone of the primary's.
+        self._secondaries: List[RetrievalEngine] = [
+            RetrievalEngine(
+                precision=precision,
+                rescore=rescore,
+                device=d,
+                kernel=kernel,
+                device_rescore=device_rescore,
+            )
+            for d in devs[1:]
+        ]
+        self._clone_src: Optional[PackedCorpus] = None
+        self._clone_lock = threading.Lock()
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    # -- replication ---------------------------------------------------------
+
+    def _executor(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=max(1, len(self.devices) - 1),
+                thread_name_prefix="svs-tpu-replica",
+            )
+        return self._pool
+
+    def _clone_corpus(
+        self, corpus: PackedCorpus, dev: jax.Device
+    ) -> PackedCorpus:
+        clone = PackedCorpus(
+            data=jax.device_put(corpus.data, dev),
+            row_scales=(
+                jax.device_put(corpus.row_scales, dev)
+                if corpus.row_scales is not None
+                else None
+            ),
+            emb_ids=corpus.emb_ids,  # host state: shared by reference
+            n_valid=corpus.n_valid,
+            dim=corpus.dim,
+            version=corpus.version,
+            precision=corpus.precision,
+            scale_max=corpus.scale_max,
+            host_cache=corpus.host_cache,
+        )
+        return clone
+
+    def _sync_replicas(self, corpus: PackedCorpus) -> None:
+        """Make every secondary serve ``corpus`` (clone if stale).  Also
+        re-checks mirror presence per call: the primary's host rescore
+        cache can attach late (background rebuild), and the secondaries'
+        device mirrors should follow without waiting for a store change.
+        """
+        with self._clone_lock:
+            fresh = corpus is not self._clone_src
+            if fresh:
+                log.info(
+                    "cloning pack to %d replica device(s)",
+                    len(self._secondaries),
+                )
+            for eng in self._secondaries:
+                if fresh or eng._corpus is None:
+                    c = self._clone_corpus(corpus, eng.device)
+                    eng._corpus = c
+                    eng._fingerprint = self._fingerprint
+                elif (
+                    eng._corpus.host_cache is None
+                    and corpus.host_cache is not None
+                ):
+                    # late-attached rescore cache: share it so the
+                    # secondary can build its device mirror too
+                    object.__setattr__(
+                        eng._corpus, "host_cache", corpus.host_cache
+                    )
+                eng._maybe_build_device_rescore(eng._corpus)
+            self._clone_src = corpus
+
+    def ensure_fresh(
+        self,
+        db: Database,
+        sidecar_path: Union[str, Path, None] = None,
+    ) -> PackedCorpus:
+        corpus = super().ensure_fresh(db, sidecar_path=sidecar_path)
+        self._sync_replicas(corpus)
+        return corpus
+
+    def invalidate(self) -> None:
+        super().invalidate()
+        with self._clone_lock:
+            self._clone_src = None
+            for eng in self._secondaries:
+                eng.invalidate()
+
+    # -- fan-out -------------------------------------------------------------
+
+    def _plan(
+        self, queries: np.ndarray
+    ) -> List[Tuple[RetrievalEngine, np.ndarray]]:
+        """Split a query batch into per-replica slices (contiguous, sizes
+        within one of each other).  Fewer queries than replicas -> only
+        the first ``B`` replicas run."""
+        b = queries.shape[0]
+        engines: List[RetrievalEngine] = [self, *self._secondaries]
+        r = min(len(engines), max(1, b))
+        if r == 1:
+            return [(self, queries)]
+        return list(zip(engines[:r], np.array_split(queries, r)))
+
+    def _replica_corpus(
+        self, eng: RetrievalEngine, corpus: PackedCorpus
+    ) -> PackedCorpus:
+        """The engine-local clone of ``corpus`` (identity for the
+        primary).  ``corpus`` is the caller-held pack from
+        :meth:`ensure_fresh`; by the sync in there, each secondary's
+        ``_corpus`` is its clone."""
+        if eng is self:
+            return corpus
+        c = eng._corpus
+        assert c is not None and c.version == corpus.version, (
+            "replica out of sync — ensure_fresh must run before searches"
+        )
+        return c
+
+    def topk(
+        self, corpus: PackedCorpus, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        plan = self._plan(queries)
+        if len(plan) == 1:
+            return super().topk(corpus, queries, k)
+        outs = self._run(
+            plan,
+            lambda eng, q: (
+                RetrievalEngine.topk(eng, self._replica_corpus(eng, corpus), q, k)
+            ),
+        )
+        return (
+            np.concatenate([o[0] for o in outs], axis=0),
+            np.concatenate([o[1] for o in outs], axis=0),
+        )
+
+    def topk_with_rescore(
+        self, corpus: PackedCorpus, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        plan = self._plan(queries)
+        if len(plan) == 1:
+            return super().topk_with_rescore(corpus, queries, k)
+        outs = self._run(
+            plan,
+            lambda eng, q: RetrievalEngine.topk_with_rescore(
+                eng, self._replica_corpus(eng, corpus), q, k
+            ),
+        )
+        vals = np.concatenate([o[0] for o in outs], axis=0)
+        rows = np.concatenate([o[1] for o in outs], axis=0)
+        if any(o[2] is None for o in outs):
+            # mixed device/host rescore across replicas (e.g. a mirror
+            # budget edge): callers treat None as "host rescore needed";
+            # degrade the whole batch rather than mix exact sources
+            return vals, rows, None
+        exact = np.concatenate([o[2] for o in outs], axis=0)
+        return vals, rows, exact
+
+    def topk_final(
+        self, corpus: PackedCorpus, queries: np.ndarray, n: int, c: int
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        plan = self._plan(queries)
+        if len(plan) == 1:
+            return super().topk_final(corpus, queries, n, c)
+        outs = self._run(
+            plan,
+            lambda eng, q: RetrievalEngine.topk_final(
+                eng, self._replica_corpus(eng, corpus), q, n, c
+            ),
+        )
+        if any(o is None for o in outs):
+            return None  # callers fall back to topk_with_rescore
+        return (
+            np.concatenate([o[0] for o in outs], axis=0),
+            np.concatenate([o[1] for o in outs], axis=0),
+            np.concatenate([o[2] for o in outs], axis=0),
+        )
+
+    def prescore_eps(
+        self, corpus: PackedCorpus, queries: np.ndarray, k: int
+    ) -> np.ndarray:
+        """Per-query error bounds evaluated at the REPLICA batch size:
+        kernel dispatch inside each replica sees its slice's ``b``, and
+        the bound must match the kernel that actually ran (a full-batch
+        ``b`` could disagree across dispatch boundaries such as the
+        guarded kernels' minimum batch)."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        plan = self._plan(queries)
+        if len(plan) == 1:
+            return super().prescore_eps(corpus, queries, k)
+        return np.concatenate(
+            [RetrievalEngine.prescore_eps(self, corpus, q, k) for _, q in plan]
+        )
+
+    def _run(
+        self,
+        plan: List[Tuple[RetrievalEngine, np.ndarray]],
+        fn: "Callable[[RetrievalEngine, np.ndarray], Any]",
+    ) -> List[Any]:
+        """Run ``fn(engine, slice)`` for every plan entry — secondaries
+        on the pool (their fetches block concurrently), the primary's
+        slice on the calling thread."""
+        futures = [
+            self._executor().submit(fn, eng, q) for eng, q in plan[1:]
+        ]
+        first = fn(*plan[0])
+        return [first, *[f.result() for f in futures]]
