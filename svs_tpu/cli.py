@@ -132,6 +132,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         max_queue=args.max_queue,
         precision=args.precision,
         sidecar="auto",
+        replicas=args.replicas,
     )
     return 0
 
@@ -211,6 +212,10 @@ def main(argv: Optional[list] = None) -> int:
                    "(default: 16 x max-batch)")
     p.add_argument("--precision", choices=["f32", "bf16", "int8"],
                    default="bf16")
+    p.add_argument("--replicas", type=int, default=None,
+                   help="replicate the corpus to the first N devices and "
+                   "split each micro-batch across them (throughput mode; "
+                   "corpus must fit one chip)")
     p.set_defaults(fn=cmd_serve)
 
     sub.add_parser("bench", help="run the benchmark harness (see bench.py)")

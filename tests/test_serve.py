@@ -392,3 +392,28 @@ async def test_kv_routes(db_path):
     finally:
         await client.close()
         await kb.close()
+
+
+async def test_serve_with_replica_engine(db_path):
+    """The serving facade works unchanged over a replica-mode KB: each
+    micro-batch splits across the replica devices inside the engine."""
+    kb = AsyncKB(
+        db_path, make_onehot_embedder(), force_fresh_db=True, replicas=4
+    )
+    async with kb.bulk_add_docs() as add:
+        for i in range(16):
+            await add(f"vec:{i}")
+    client = await _client(kb)
+    try:
+        # a burst that co-batches and then fans out over 4 replicas
+        rs = await asyncio.gather(*[
+            client.post("/retrieve", json={"query": f"vec:{i}", "n": 1})
+            for i in range(10)
+        ])
+        for i, r in enumerate(rs):
+            assert r.status == 200
+            body = await r.json()
+            assert body["results"][0]["doc"]["text"] == f"vec:{i}"
+    finally:
+        await client.close()
+        await kb.close()
