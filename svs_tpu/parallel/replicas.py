@@ -60,7 +60,8 @@ class ReplicaEngine(RetrievalEngine):
     engine; batches of ``B`` queries split into ``min(B, n_devices)``
     contiguous slices dispatched concurrently (JAX dispatch is async —
     the slices execute in parallel; threads only overlap the blocking
-    result fetches).
+    result fetches).  Pairwise scoring (corpus x corpus, no query batch
+    to split) runs on the primary, inherited unchanged.
     """
 
     def __init__(
