@@ -96,3 +96,9 @@ def test_local_embeddings_example(tmp_path):
         result.stdout
     )
     assert (tmp_path / "local_kb.sqlite").exists()
+
+
+def test_replicas_example(tmp_path):
+    result = _run("replicas.py", cwd=tmp_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "verified" in result.stdout
