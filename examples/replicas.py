@@ -77,14 +77,19 @@ def main() -> None:
         assert [h["doc"]["id"] for h in r_hits] == [
             h["doc"]["id"] for h in s_hits
         ]
-        assert [h["score"] for h in r_hits] == [h["score"] for h in s_hits]
+        # device-rescored f32 scores can differ in the last ulp across
+        # differently-shaped compiled programs (batch 32 vs the 8-query
+        # replica slices); doc identity and ordering must be exact
+        for hs, hr in zip(s_hits, r_hits):
+            assert abs(hs["score"] - hr["score"]) <= 2e-6
     print(
         f"{len(queries)} queries through "
         f"{min(4, len(devices))} replicas == single chip "
-        f"(docs, scores, tie order) -- verified"
+        f"(docs, tie order exact; scores to 2e-6) -- verified"
     )
     eng = kb_rep.engine
-    clones = [eng.corpus, *[s._corpus for s in eng._secondaries]]
+    corpus = eng.corpus
+    clones = [corpus, *(corpus.replica_clones or ())]
     homes = [tuple(str(d) for d in c.data.devices()) for c in clones]
     print("pack copies live on:", homes)
 

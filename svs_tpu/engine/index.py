@@ -301,6 +301,11 @@ class RetrievalEngine:
         self._cache_rebuild_fp: Optional[Tuple[int, int, int, int]] = None
         self._lock = threading.Lock()
 
+    def shutdown(self) -> None:
+        """Release engine-owned background resources (no-op here; the
+        replica engine overrides it to stop its fan-out pool).  Called by
+        ``KB.close()``/``AsyncKB.close()``."""
+
     # -- freshness ----------------------------------------------------------
 
     def invalidate(self) -> None:

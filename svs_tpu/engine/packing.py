@@ -183,6 +183,16 @@ class PackedCorpus:
     _emb_ids_max: Optional[int] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    #: Replica-mode clones of this pack on other devices (one per
+    #: secondary device, set by ``parallel.replicas.ReplicaEngine``).
+    #: Attached to the CORPUS — not to engine state — so an in-flight
+    #: search holding this snapshot keeps exactly its clones even if a
+    #: concurrent store write re-packs and re-clones (same snapshot
+    #: contract as the single-chip engine: the caller's corpus object is
+    #: authoritative for the whole search).
+    replica_clones: Optional[Tuple["PackedCorpus", ...]] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def host_f32(self) -> Optional[np.ndarray]:

@@ -783,6 +783,7 @@ class AsyncKB:
             self.db = None
             self.embedding_func = self.embedding_func_orig
             self.engine.invalidate()
+            self.engine.shutdown()
             if also_gzip:
                 await loop.run_in_executor(
                     None, atomic_gzip_file, path, f"{path}.gz"
@@ -1380,6 +1381,7 @@ class KB:
             self.db = None
             self.embedding_func = self.embedding_func_orig
             self.engine.invalidate()
+            self.engine.shutdown()
             if also_gzip:
                 atomic_gzip_file(path, f"{path}.gz")
 

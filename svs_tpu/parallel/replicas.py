@@ -93,9 +93,12 @@ class ReplicaEngine(RetrievalEngine):
             device_rescore=device_rescore,
         )
         self.devices: List[jax.Device] = devs
-        #: Secondary engines (one per extra device) — pure compute
-        #: endpoints: they never see the store; their corpus is always a
-        #: clone of the primary's.
+        #: Secondary engines (one per extra device) — pure, stateless
+        #: compute endpoints: they never see the store, and they carry NO
+        #: corpus state (clones ride the corpus snapshot itself, see
+        #: ``PackedCorpus.replica_clones``) — every engine method takes
+        #: the corpus explicitly, so an in-flight search is pinned to its
+        #: snapshot's clones even across a concurrent re-pack.
         self._secondaries: List[RetrievalEngine] = [
             RetrievalEngine(
                 precision=precision,
@@ -106,19 +109,27 @@ class ReplicaEngine(RetrievalEngine):
             )
             for d in devs[1:]
         ]
-        self._clone_src: Optional[PackedCorpus] = None
         self._clone_lock = threading.Lock()
-        self._pool: Optional[ThreadPoolExecutor] = None
+        # Eager pool (no lazy check-then-set race); shut down via
+        # :meth:`shutdown` (KB.close calls it).
+        self._pool: Optional[ThreadPoolExecutor] = (
+            ThreadPoolExecutor(
+                max_workers=len(devs) - 1,
+                thread_name_prefix="svs-tpu-replica",
+            )
+            if len(devs) > 1
+            else None
+        )
 
     # -- replication ---------------------------------------------------------
 
-    def _executor(self) -> ThreadPoolExecutor:
-        if self._pool is None:
-            self._pool = ThreadPoolExecutor(
-                max_workers=max(1, len(self.devices) - 1),
-                thread_name_prefix="svs-tpu-replica",
-            )
-        return self._pool
+    def shutdown(self) -> None:
+        """Release the fan-out worker threads (KB/AsyncKB ``close()``
+        call this; the engine is unusable for multi-replica batches
+        afterwards)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def _clone_corpus(
         self, corpus: PackedCorpus, dev: jax.Device
@@ -141,34 +152,30 @@ class ReplicaEngine(RetrievalEngine):
         return clone
 
     def _sync_replicas(self, corpus: PackedCorpus) -> None:
-        """Make every secondary serve ``corpus`` (clone if stale).  Also
-        re-checks mirror presence per call: the primary's host rescore
-        cache can attach late (background rebuild), and the secondaries'
+        """Attach one clone per secondary device to ``corpus`` (idempotent
+        per pack).  Also re-checks per call: the primary's host rescore
+        cache can attach late (background rebuild), and the clones'
         device mirrors should follow without waiting for a store change.
         """
         with self._clone_lock:
-            fresh = corpus is not self._clone_src
-            if fresh:
+            clones = corpus.replica_clones
+            if clones is None:
                 log.info(
                     "cloning pack to %d replica device(s)",
                     len(self._secondaries),
                 )
-            for eng in self._secondaries:
-                if fresh or eng._corpus is None:
-                    c = self._clone_corpus(corpus, eng.device)
-                    eng._corpus = c
-                    eng._fingerprint = self._fingerprint
-                elif (
-                    eng._corpus.host_cache is None
-                    and corpus.host_cache is not None
-                ):
-                    # late-attached rescore cache: share it so the
-                    # secondary can build its device mirror too
-                    object.__setattr__(
-                        eng._corpus, "host_cache", corpus.host_cache
-                    )
-                eng._maybe_build_device_rescore(eng._corpus)
-            self._clone_src = corpus
+                clones = tuple(
+                    self._clone_corpus(corpus, eng.device)
+                    for eng in self._secondaries
+                )
+                # single atomic publish: readers see all clones or none
+                object.__setattr__(corpus, "replica_clones", clones)
+            for eng, c in zip(self._secondaries, clones):
+                if c.host_cache is None and corpus.host_cache is not None:
+                    # late-attached rescore cache: share it so the clone
+                    # can build its device mirror too
+                    object.__setattr__(c, "host_cache", corpus.host_cache)
+                eng._maybe_build_device_rescore(c)
 
     def ensure_fresh(
         self,
@@ -179,55 +186,41 @@ class ReplicaEngine(RetrievalEngine):
         self._sync_replicas(corpus)
         return corpus
 
-    def invalidate(self) -> None:
-        super().invalidate()
-        with self._clone_lock:
-            self._clone_src = None
-            for eng in self._secondaries:
-                eng.invalidate()
-
     # -- fan-out -------------------------------------------------------------
 
     def _plan(
-        self, queries: np.ndarray
-    ) -> List[Tuple[RetrievalEngine, np.ndarray]]:
-        """Split a query batch into per-replica slices (contiguous, sizes
-        within one of each other).  Fewer queries than replicas -> only
-        the first ``B`` replicas run."""
+        self, corpus: PackedCorpus, queries: np.ndarray
+    ) -> List[Tuple[RetrievalEngine, PackedCorpus, np.ndarray]]:
+        """Split a query batch into per-replica ``(engine, clone, slice)``
+        work items (contiguous slices, sizes within one of each other).
+        Fewer queries than replicas -> only the first ``B`` replicas run.
+        The clones come from the CALLER's corpus snapshot
+        (``replica_clones``), so a concurrent re-pack can never mix packs
+        within one search; a corpus that was never synced (no clones)
+        runs entirely on the primary."""
         b = queries.shape[0]
-        engines: List[RetrievalEngine] = [self, *self._secondaries]
-        r = min(len(engines), max(1, b))
-        if r == 1:
-            return [(self, queries)]
-        return list(zip(engines[:r], np.array_split(queries, r)))
-
-    def _replica_corpus(
-        self, eng: RetrievalEngine, corpus: PackedCorpus
-    ) -> PackedCorpus:
-        """The engine-local clone of ``corpus`` (identity for the
-        primary).  ``corpus`` is the caller-held pack from
-        :meth:`ensure_fresh`; by the sync in there, each secondary's
-        ``_corpus`` is its clone."""
-        if eng is self:
-            return corpus
-        c = eng._corpus
-        assert c is not None and c.version == corpus.version, (
-            "replica out of sync — ensure_fresh must run before searches"
-        )
-        return c
+        clones = corpus.replica_clones
+        if clones is None or b <= 1 or self._pool is None:
+            return [(self, corpus, queries)]
+        pairs: List[Tuple[RetrievalEngine, PackedCorpus]] = [
+            (self, corpus),
+            *zip(self._secondaries, clones),
+        ]
+        r = min(len(pairs), b)
+        return [
+            (eng, c, q)
+            for (eng, c), q in zip(pairs[:r], np.array_split(queries, r))
+        ]
 
     def topk(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        plan = self._plan(queries)
+        plan = self._plan(corpus, queries)
         if len(plan) == 1:
             return super().topk(corpus, queries, k)
         outs = self._run(
-            plan,
-            lambda eng, q: (
-                RetrievalEngine.topk(eng, self._replica_corpus(eng, corpus), q, k)
-            ),
+            plan, lambda eng, c, q: RetrievalEngine.topk(eng, c, q, k)
         )
         return (
             np.concatenate([o[0] for o in outs], axis=0),
@@ -238,13 +231,13 @@ class ReplicaEngine(RetrievalEngine):
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
     ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        plan = self._plan(queries)
+        plan = self._plan(corpus, queries)
         if len(plan) == 1:
             return super().topk_with_rescore(corpus, queries, k)
         outs = self._run(
             plan,
-            lambda eng, q: RetrievalEngine.topk_with_rescore(
-                eng, self._replica_corpus(eng, corpus), q, k
+            lambda eng, c, q: RetrievalEngine.topk_with_rescore(
+                eng, c, q, k
             ),
         )
         vals = np.concatenate([o[0] for o in outs], axis=0)
@@ -261,13 +254,13 @@ class ReplicaEngine(RetrievalEngine):
         self, corpus: PackedCorpus, queries: np.ndarray, n: int, c: int
     ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        plan = self._plan(queries)
+        plan = self._plan(corpus, queries)
         if len(plan) == 1:
             return super().topk_final(corpus, queries, n, c)
         outs = self._run(
             plan,
-            lambda eng, q: RetrievalEngine.topk_final(
-                eng, self._replica_corpus(eng, corpus), q, n, c
+            lambda eng, cl, q: RetrievalEngine.topk_final(
+                eng, cl, q, n, c
             ),
         )
         if any(o is None for o in outs):
@@ -287,23 +280,26 @@ class ReplicaEngine(RetrievalEngine):
         ``b`` could disagree across dispatch boundaries such as the
         guarded kernels' minimum batch)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-        plan = self._plan(queries)
+        plan = self._plan(corpus, queries)
         if len(plan) == 1:
             return super().prescore_eps(corpus, queries, k)
         return np.concatenate(
-            [RetrievalEngine.prescore_eps(self, corpus, q, k) for _, q in plan]
+            [
+                RetrievalEngine.prescore_eps(self, corpus, q, k)
+                for _, _, q in plan
+            ]
         )
 
     def _run(
         self,
-        plan: List[Tuple[RetrievalEngine, np.ndarray]],
-        fn: "Callable[[RetrievalEngine, np.ndarray], Any]",
+        plan: List[Tuple[RetrievalEngine, PackedCorpus, np.ndarray]],
+        fn: "Callable[[RetrievalEngine, PackedCorpus, np.ndarray], Any]",
     ) -> List[Any]:
-        """Run ``fn(engine, slice)`` for every plan entry — secondaries
-        on the pool (their fetches block concurrently), the primary's
-        slice on the calling thread."""
-        futures = [
-            self._executor().submit(fn, eng, q) for eng, q in plan[1:]
-        ]
+        """Run ``fn(engine, clone, slice)`` for every plan entry —
+        secondaries on the pool (their fetches block concurrently), the
+        primary's slice on the calling thread."""
+        pool = self._pool
+        assert pool is not None  # _plan degrades to 1 entry without it
+        futures = [pool.submit(fn, eng, c, q) for eng, c, q in plan[1:]]
         first = fn(*plan[0])
         return [first, *[f.result() for f in futures]]

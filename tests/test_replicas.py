@@ -100,16 +100,18 @@ def test_replica_kb_matches_single_kb(db_path, tmp_path):
 
 
 def test_replica_clones_and_recloning(db_path, unit_rows):
-    """Clones land on distinct devices, share host state by reference,
-    and a store change re-clones (no stale replica can serve)."""
+    """Clones ride the corpus snapshot (one per secondary device, host
+    state shared by reference), and a store change produces a NEW corpus
+    with its own clones — an in-flight search pinned to the old snapshot
+    keeps the old clones (the single-chip snapshot contract)."""
     m = unit_rows(64, 16)
     db = _fill(db_path, m)
     rep = ReplicaEngine(precision="bf16", n_replicas=3)
     corpus = rep.ensure_fresh(db)
+    assert corpus.replica_clones is not None
+    assert len(corpus.replica_clones) == 2
     devs = {tuple(corpus.data.devices())}
-    for eng in rep._secondaries:
-        c = eng._corpus
-        assert c is not None
+    for c in corpus.replica_clones:
         assert c.emb_ids is corpus.emb_ids  # host state shared
         assert c.host_cache is corpus.host_cache
         devs.add(tuple(c.data.devices()))
@@ -124,8 +126,13 @@ def test_replica_clones_and_recloning(db_path, unit_rows):
         tx.bump_matrix_version()
     c2 = rep.ensure_fresh(db)
     assert c2.n_valid == 65
-    for eng in rep._secondaries:
-        assert eng._corpus is not None and eng._corpus.n_valid == 65
+    assert c2.replica_clones is not None
+    assert all(c.n_valid == 65 for c in c2.replica_clones)
+    # the old snapshot keeps ITS clones: an in-flight search using it
+    # still fans out against matching packs
+    assert all(c.n_valid == 64 for c in corpus.replica_clones)
+    vals, rows = rep.topk(corpus, m[:6], 3)
+    assert rows.shape == (6, 3) and (rows < 64).all()
     db.close()
 
 
@@ -150,6 +157,39 @@ def test_replica_eps_matches_slice_dispatch(db_path, unit_rows):
         np.testing.assert_array_equal(eps[start : start + size], want)
         start += size
     db.close()
+
+
+def test_replica_pool_shutdown_on_close(tmp_path):
+    """KB.close() must release the fan-out worker threads (a long-lived
+    process opening/closing replica KBs must not accumulate them)."""
+    import threading
+
+    def replica_threads():
+        return [
+            t for t in threading.enumerate()
+            if t.name.startswith("svs-tpu-replica") and t.is_alive()
+        ]
+
+    kb = KB(
+        tmp_path / "s.sqlite",
+        make_onehot_embedder(),
+        force_fresh_db=True,
+        replicas=3,
+    )
+    with kb.bulk_add_docs() as add:
+        for i in range(8):
+            add(f"vec:{i}")
+    kb.retrieve_batch(["vec:1", "vec:2", "vec:3"], 1)  # spin up workers
+    assert replica_threads()
+    kb.close()
+    assert kb.engine._pool is None
+    import time
+
+    for _ in range(50):  # workers exit asynchronously after shutdown
+        if not replica_threads():
+            break
+        time.sleep(0.1)
+    assert not replica_threads()
 
 
 def test_replica_argument_validation(tmp_path):
