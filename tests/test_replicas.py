@@ -159,6 +159,34 @@ def test_replica_eps_matches_slice_dispatch(db_path, unit_rows):
     db.close()
 
 
+def test_replica_mixed_rescore_degrades_whole_batch(db_path, unit_rows):
+    """If any replica can't rescore on-device (mirror missing), the whole
+    batch degrades together: topk_with_rescore returns exact=None (host
+    rescore for everyone) and topk_final returns None (caller falls back)
+    — never a mix of exact-score sources within one batch."""
+    m = unit_rows(200, 16)
+    db = _fill(db_path, m)
+    rep = ReplicaEngine(precision="bf16", n_replicas=3)
+    corpus = rep.ensure_fresh(db)
+    assert corpus.replica_clones is not None
+    q = unit_rows(9, 16)
+    c = rep.candidate_count(5)
+
+    # strip ONE clone's device mirrors (e.g. an HBM budget edge)
+    object.__setattr__(corpus.replica_clones[0], "dev_rescore", None)
+    object.__setattr__(corpus.replica_clones[0], "dev_emb", None)
+
+    assert rep.topk_final(corpus, q, 5, c) is None
+    vals, rows, exact = rep.topk_with_rescore(corpus, q, c)
+    assert exact is None  # degrade together -> host rescore everywhere
+    assert vals.shape[0] == 9 and rows.shape[0] == 9
+    # candidate sets still correct per query
+    for b in range(9):
+        true_top = np.argsort(-(m @ q[b]))[:5]
+        assert set(true_top.tolist()) <= set(rows[b].tolist())
+    db.close()
+
+
 def test_replica_pool_shutdown_on_close(tmp_path):
     """KB.close() must release the fan-out worker threads (a long-lived
     process opening/closing replica KBs must not accumulate them)."""
