@@ -956,7 +956,12 @@ class RetrievalEngine:
         ):
             dev = None  # host rescore instead
         if dev is None:
-            vals, rows = self.topk(corpus, queries, k)
+            # NON-virtual on purpose: under a ReplicaEngine this method
+            # already runs on a per-replica slice; a virtual self.topk
+            # would re-enter the replica splitter and dispatch kernels at
+            # batch sizes prescore_eps never evaluated (unsound margin
+            # proof) while double-splitting the work.
+            vals, rows = RetrievalEngine.topk(self, corpus, queries, k)
             return vals, rows, None
         if k_eff <= 0:
             b = queries.shape[0]

@@ -614,18 +614,12 @@ def _make_engine(
         )
     from .parallel.replicas import ReplicaEngine
 
-    if isinstance(replicas, int):
-        return ReplicaEngine(
-            precision=precision,
-            rescore=rescore,
-            n_replicas=replicas,
-            kernel=kernel,
-            device_rescore=device_rescore,
-        )
+    by_count = isinstance(replicas, int)
     return ReplicaEngine(
         precision=precision,
         rescore=rescore,
-        devices=list(replicas),
+        n_replicas=replicas if by_count else None,
+        devices=None if by_count else list(replicas),
         kernel=kernel,
         device_rescore=device_rescore,
     )

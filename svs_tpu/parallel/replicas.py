@@ -111,25 +111,30 @@ class ReplicaEngine(RetrievalEngine):
         ]
         self._clone_lock = threading.Lock()
         # Eager pool (no lazy check-then-set race); shut down via
-        # :meth:`shutdown` (KB.close calls it).
+        # :meth:`shutdown` (KB.close calls it) and re-created by
+        # :meth:`ensure_fresh` if the KB reopens (AsyncKB is documented
+        # to lazily reopen after close()).
         self._pool: Optional[ThreadPoolExecutor] = (
-            ThreadPoolExecutor(
-                max_workers=len(devs) - 1,
-                thread_name_prefix="svs-tpu-replica",
-            )
-            if len(devs) > 1
-            else None
+            self._make_pool() if len(devs) > 1 else None
         )
 
     # -- replication ---------------------------------------------------------
 
+    def _make_pool(self) -> ThreadPoolExecutor:
+        return ThreadPoolExecutor(
+            max_workers=max(1, len(self.devices) - 1),
+            thread_name_prefix="svs-tpu-replica",
+        )
+
     def shutdown(self) -> None:
         """Release the fan-out worker threads (KB/AsyncKB ``close()``
-        call this; the engine is unusable for multi-replica batches
-        afterwards)."""
-        if self._pool is not None:
-            self._pool.shutdown(wait=False)
-            self._pool = None
+        call this).  A search racing the shutdown degrades to running
+        its slices inline (see :meth:`_run`); the next
+        :meth:`ensure_fresh` re-creates the pool if the KB reopens."""
+        with self._clone_lock:
+            pool, self._pool = self._pool, None
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     def _clone_corpus(
         self, corpus: PackedCorpus, dev: jax.Device
@@ -183,6 +188,10 @@ class ReplicaEngine(RetrievalEngine):
         sidecar_path: Union[str, Path, None] = None,
     ) -> PackedCorpus:
         corpus = super().ensure_fresh(db, sidecar_path=sidecar_path)
+        if self._secondaries:
+            with self._clone_lock:
+                if self._pool is None:  # reopened after close()
+                    self._pool = self._make_pool()
         self._sync_replicas(corpus)
         return corpus
 
@@ -200,7 +209,7 @@ class ReplicaEngine(RetrievalEngine):
         runs entirely on the primary."""
         b = queries.shape[0]
         clones = corpus.replica_clones
-        if clones is None or b <= 1 or self._pool is None:
+        if clones is None or b <= 1 or not self._secondaries:
             return [(self, corpus, queries)]
         pairs: List[Tuple[RetrievalEngine, PackedCorpus]] = [
             (self, corpus),
@@ -297,9 +306,22 @@ class ReplicaEngine(RetrievalEngine):
     ) -> List[Any]:
         """Run ``fn(engine, clone, slice)`` for every plan entry —
         secondaries on the pool (their fetches block concurrently), the
-        primary's slice on the calling thread."""
+        primary's slice on the calling thread.  A ``close()`` racing an
+        in-flight search (pool gone or shut down between planning and
+        here) degrades to running the slices inline — slower, never
+        wrong, never an internal error."""
         pool = self._pool
-        assert pool is not None  # _plan degrades to 1 entry without it
-        futures = [pool.submit(fn, eng, c, q) for eng, c, q in plan[1:]]
+        futures: List[Tuple[bool, Any]] = []
+        for entry in plan[1:]:
+            try:
+                if pool is None:
+                    raise RuntimeError("no pool")
+                futures.append((True, pool.submit(fn, *entry)))
+            except RuntimeError:  # shut down mid-flight
+                pool = None
+                futures.append((False, entry))
         first = fn(*plan[0])
-        return [first, *[f.result() for f in futures]]
+        out = [first]
+        for ok, item in futures:
+            out.append(item.result() if ok else fn(*item))
+        return out

@@ -220,6 +220,80 @@ def test_replica_pool_shutdown_on_close(tmp_path):
     assert not replica_threads()
 
 
+def test_replica_host_fallback_never_resplits(db_path, unit_rows):
+    """The parent engine's host-rescore fallback must not re-enter the
+    replica splitter (virtual dispatch): each slice runs single-chip at
+    ITS batch size — the size prescore_eps was evaluated at — or the
+    margin proof could drop a kernel quantization term (unsound)."""
+    m = unit_rows(300, 16)
+    db = _fill(db_path, m)
+    rep = ReplicaEngine(
+        precision="bf16", n_replicas=3, device_rescore="host"
+    )
+    corpus = rep.ensure_fresh(db)
+    assert corpus.dev_rescore is None  # host mode: fallback path taken
+
+    calls = []
+    orig = ReplicaEngine._plan
+
+    def spying(self, c, q):
+        calls.append(q.shape[0])
+        return orig(self, c, q)
+
+    ReplicaEngine._plan = spying  # type: ignore[method-assign]
+    try:
+        q = unit_rows(12, 16)
+        vals, rows, exact = rep.topk_with_rescore(
+            corpus, q, rep.candidate_count(5)
+        )
+    finally:
+        ReplicaEngine._plan = orig  # type: ignore[method-assign]
+    assert exact is None
+    # exactly ONE fan-out (the outer topk_with_rescore); the per-slice
+    # host fallback must not have re-planned at nested batch sizes
+    assert calls == [12], calls
+    for b in range(12):
+        true_top = np.argsort(-(m @ q[b]))[:5]
+        assert set(true_top.tolist()) <= set(rows[b].tolist())
+    db.close()
+
+
+def test_replica_shutdown_race_degrades_inline(db_path, unit_rows):
+    """A search overlapping close(): the pool may vanish between
+    planning and running — slices then run inline (correct results,
+    no internal error)."""
+    m = unit_rows(128, 16)
+    db = _fill(db_path, m)
+    rep = ReplicaEngine(precision="bf16", n_replicas=3)
+    corpus = rep.ensure_fresh(db)
+    rep.shutdown()  # pool gone; clones + secondaries still exist
+    q = unit_rows(9, 16)
+    c = rep.candidate_count(5)  # overprovision absorbs bf16 prescore err
+    vals, rows = rep.topk(corpus, q, c)
+    assert rows.shape == (9, min(c, 128))
+    for b in range(9):
+        true_top = np.argsort(-(m @ q[b]))[:5]
+        assert set(true_top.tolist()) <= set(rows[b].tolist())
+    db.close()
+
+
+def test_replica_pool_recreated_on_reopen(db_path, unit_rows):
+    """AsyncKB documents reopen-after-close; ensure_fresh must re-arm
+    the fan-out pool so a reopened replica KB keeps its throughput."""
+    m = unit_rows(64, 16)
+    db = _fill(db_path, m)
+    rep = ReplicaEngine(precision="bf16", n_replicas=3)
+    rep.ensure_fresh(db)
+    rep.shutdown()
+    assert rep._pool is None
+    corpus = rep.ensure_fresh(db)
+    assert rep._pool is not None  # re-armed
+    vals, rows = rep.topk(corpus, unit_rows(6, 16), 3)
+    assert rows.shape == (6, 3)
+    rep.shutdown()
+    db.close()
+
+
 def test_replica_argument_validation(tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         from svs_tpu.parallel import default_mesh
