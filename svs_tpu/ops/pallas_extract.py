@@ -47,14 +47,14 @@ blends with -inf), no reshapes inside the kernel.
 from __future__ import annotations
 
 import functools
-from typing import Any, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .topk import NEG_INF, pack_vals_idx, score_topk, scores_matmul
+from .topk import NEG_INF, mask_cols, pack_vals_idx, score_topk, scores_matmul
 
 #: Pallas memory-ref handle type inside kernel bodies.  Pallas exposes no
 #: public Ref class to annotate with, so kernels annotate refs as ``Any``
@@ -132,7 +132,14 @@ def _extract(scores: jax.Array, interpret: bool = False) -> Tuple[jax.Array, jax
 
 def extract_supported(n: int, b: int, k: int) -> bool:
     """Shapes the kernel handles: block-aligned corpus below the f32-exact
-    index ceiling, with enough subtiles that top-k sparsity holds."""
+    index ceiling, with enough subtiles that top-k sparsity holds.
+
+    ``b`` is deliberately unconstrained today — the two-pass kernel
+    streams ``[b, BLOCK_N]`` score blocks and has no measured batch
+    ceiling at the engine's batch sizes; the parameter stays in the
+    signature so every dispatch site already passes it if a constraint
+    ever appears."""
+    del b  # see docstring
     t = n // SUBTILE
     return (
         n % BLOCK_N == 0
@@ -140,6 +147,36 @@ def extract_supported(n: int, b: int, k: int) -> bool:
         and t >= 2
         and k <= t * EXTRACT_H
     )
+
+
+def _verified_merge(
+    ev: jax.Array,
+    ei: jax.Array,
+    k: int,
+    fallback: "Callable[[], Tuple[jax.Array, jax.Array]]",
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared epilogue of the v1 extraction paths: merge the per-subtile
+    winners with one ~k-wide ``top_k`` and prove coverage in-graph — a
+    subtile can hide a true top-k element only if its H-th (smallest
+    extracted) value still beats the merged k-th value; any such subtile
+    routes the whole batch through ``fallback`` (a full exact top-k)
+    inside ``lax.cond``.  One definition so a coverage-rule change lands
+    in every epilogue at once.  Returns ``(vals f32, idx int32)`` over
+    the padded batch."""
+    vals, pos = jax.lax.top_k(ev, k)
+    idx = jnp.take_along_axis(ei, pos, axis=1).astype(jnp.int32)
+    v_k = vals[:, k - 1 : k]
+    tails = ev[:, EXTRACT_H - 1 :: EXTRACT_H]  # [B, T]: each group's H-th
+    covered = jnp.logical_not(jnp.any(tails > v_k))
+
+    def fast(_: None) -> Tuple[jax.Array, jax.Array]:
+        return vals, idx
+
+    def full(_: None) -> Tuple[jax.Array, jax.Array]:
+        fv, fi = fallback()
+        return fv.astype(jnp.float32), fi
+
+    return jax.lax.cond(covered, fast, full, None)
 
 
 def extract_topk(
@@ -155,22 +192,9 @@ def extract_topk(
             [scores, jnp.full((b_pad - b, n), NEG_INF, scores.dtype)], axis=0
         )
     ev, ei = _extract(scores, interpret=interpret)
-    vals, pos = jax.lax.top_k(ev, k)
-    idx = jnp.take_along_axis(ei, pos, axis=1).astype(jnp.int32)
-    # hidden-element check: subtile t hides a candidate only if its H-th
-    # (smallest extracted) value still beats the merged k-th value
-    v_k = vals[:, k - 1 : k]
-    tails = ev[:, EXTRACT_H - 1 :: EXTRACT_H]  # [B, T]: each group's H-th
-    covered = jnp.logical_not(jnp.any(tails > v_k))
-
-    def fast(_: None) -> Tuple[jax.Array, jax.Array]:
-        return vals, idx
-
-    def full(_: None) -> Tuple[jax.Array, jax.Array]:
-        fv, fi = jax.lax.top_k(scores, k)
-        return fv.astype(jnp.float32), fi
-
-    vals, idx = jax.lax.cond(covered, fast, full, None)
+    vals, idx = _verified_merge(
+        ev, ei, k, lambda: jax.lax.top_k(scores, k)
+    )
     return vals[:b], idx[:b]
 
 
@@ -316,20 +340,10 @@ def score_topk_fused_packed(
             [q, jnp.zeros((b_pad - b, d), q.dtype)], axis=0
         )
     ev, ei = _fused_extract(docs, q, n_valid, interpret=interpret)
-    vals, pos = jax.lax.top_k(ev, k)
-    idx = jnp.take_along_axis(ei, pos, axis=1).astype(jnp.int32)
-    v_k = vals[:, k - 1 : k]
-    tails = ev[:, EXTRACT_H - 1 :: EXTRACT_H]
-    covered = jnp.logical_not(jnp.any(tails > v_k))
-
-    def fast(_: None) -> Tuple[jax.Array, jax.Array]:
-        return vals, idx
-
-    def full(_: None) -> Tuple[jax.Array, jax.Array]:
-        fv, fi = score_topk(docs, queries if b_pad == b else q, n_valid, k)
-        return fv.astype(jnp.float32), fi
-
-    vals, idx = jax.lax.cond(covered, fast, full, None)
+    vals, idx = _verified_merge(
+        ev, ei, k,
+        lambda: score_topk(docs, queries if b_pad == b else q, n_valid, k),
+    )
     return pack_vals_idx(vals[:b], idx[:b], wide=wide)
 
 
@@ -399,7 +413,7 @@ def _fused_extract_int8(
         _fused_int8_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid [1] f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid [1] int32
             pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
             pl.BlockSpec((b, 1), lambda j, c: (0, 0)),
             pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
@@ -449,22 +463,12 @@ def score_topk_fused_int8_packed(
     ev, ei = _fused_extract_int8(
         q_docs, row_scales, q_int8, q_scales, n_valid, interpret=interpret
     )
-    vals, pos = jax.lax.top_k(ev, k)
-    idx = jnp.take_along_axis(ei, pos, axis=1).astype(jnp.int32)
-    v_k = vals[:, k - 1 : k]
-    tails = ev[:, EXTRACT_H - 1 :: EXTRACT_H]
-    covered = jnp.logical_not(jnp.any(tails > v_k))
-
-    def fast(_: None) -> Tuple[jax.Array, jax.Array]:
-        return vals, idx
-
-    def full(_: None) -> Tuple[jax.Array, jax.Array]:
+    def _int8_exact() -> Tuple[jax.Array, jax.Array]:
         from .quant import score_topk_int8
 
-        fv, fi = score_topk_int8(q_docs, row_scales, queries, n_valid, k)
-        return fv.astype(jnp.float32), fi
+        return score_topk_int8(q_docs, row_scales, queries, n_valid, k)
 
-    vals, idx = jax.lax.cond(covered, fast, full, None)
+    vals, idx = _verified_merge(ev, ei, k, _int8_exact)
     return pack_vals_idx(vals[:b], idx[:b], wide=wide)
 
 
@@ -609,7 +613,7 @@ def _fused2_extract(
         _fused2_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid [1] f32
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid [1] int32
             pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
             pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
         ],
@@ -787,7 +791,6 @@ def fused2_supported(n: int, d: int, b: int, k: int) -> bool:
 
 def _fused2_finish(
     keys1: jax.Array,
-    n: int,
     k: int,
     h2: int,
     b_real: int,
@@ -859,7 +862,7 @@ def fused2_topk(
         q = jnp.concatenate([q, jnp.zeros((b_pad - b, d), q.dtype)], axis=0)
     keys1 = _fused2_extract(docs, q, n_valid, interpret=interpret)
     vals, idx, covered = _fused2_finish(
-        keys1, n, k, _reduce_h2(n, k), b, interpret
+        keys1, k, _reduce_h2(n, k), b, interpret
     )
 
     def fast(_: None) -> Tuple[jax.Array, jax.Array]:
@@ -914,7 +917,7 @@ def fused2_topk_int8(
         q_docs, row_scales, q_int8, q_scales, n_valid, interpret=interpret
     )
     vals, idx, covered = _fused2_finish(
-        keys1, n, k, _reduce_h2(n, k), b, interpret
+        keys1, k, _reduce_h2(n, k), b, interpret
     )
 
     def fast(_: None) -> Tuple[jax.Array, jax.Array]:
@@ -1039,7 +1042,7 @@ def _guard_emit(
         + lane
     )
     keys = jnp.where(lane < live_from, keys, KEY_DEAD)
-    mkey = keys[:, :1]
+    assert GUARD_H >= 1
     for h in range(GUARD_H):
         mkey = jnp.max(keys, axis=1, keepdims=True)
         out_ref[:, col0 + h : col0 + h + 1] = mkey
@@ -1405,9 +1408,7 @@ def score_topk_extract_packed(
     engine's prescore error bound covers the extra rounding, so rescore
     stays verified-exact.
     """
-    scores = scores_matmul(docs, queries)
-    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
-    scores = jnp.where(live < n_valid, scores, NEG_INF)
+    scores = mask_cols(scores_matmul(docs, queries), n_valid)
     if score_dtype == "bf16":
         scores = scores.astype(jnp.bfloat16)
     vals, idx = extract_topk(scores, k, interpret=interpret)

@@ -93,11 +93,9 @@ def score_topk_int8_extract_packed(
     """int8 scoring + the pallas tile-extraction selection (the batched
     fast path; see ``ops.pallas_extract``)."""
     from .pallas_extract import extract_topk
-    from .topk import NEG_INF, pack_vals_idx
+    from .topk import mask_cols, pack_vals_idx
 
-    scores = _int8_scores(q_docs, row_scales, queries)
-    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
-    scores = jnp.where(live < n_valid, scores, NEG_INF)
+    scores = mask_cols(_int8_scores(q_docs, row_scales, queries), n_valid)
     vals, idx = extract_topk(scores, k, interpret=interpret)
     return pack_vals_idx(vals, idx, wide=wide)
 
@@ -112,9 +110,7 @@ def score_topk_int8_fast(
 ) -> Tuple[jax.Array, jax.Array]:
     """Quantized scoring + the verified-exact approx_max_k selection (see
     ``ops.topk.score_topk_fast`` for the counting-proof argument)."""
-    from .topk import NEG_INF, verified_topk
+    from .topk import mask_cols, verified_topk
 
-    scores = _int8_scores(q_docs, row_scales, queries)
-    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
-    scores = jnp.where(live < n_valid, scores, NEG_INF)
+    scores = mask_cols(_int8_scores(q_docs, row_scales, queries), n_valid)
     return verified_topk(scores, k)

@@ -45,16 +45,22 @@ def scores_matmul(docs: jax.Array, queries: jax.Array) -> jax.Array:
     )
 
 
+def mask_cols(scores: jax.Array, n_valid: jax.Array) -> jax.Array:
+    """Replace columns >= ``n_valid`` (padding rows of the pack) with
+    ``NEG_INF`` along the last axis — THE validity-mask idiom every
+    scoring path shares (one definition so a masking-rule change, e.g.
+    an iota dtype bump, lands everywhere at once)."""
+    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    return jnp.where(live < n_valid, scores, NEG_INF)
+
+
 def masked_topk(
     scores: jax.Array, k: int, n_valid: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k over the last axis of ``scores`` with positions >= ``n_valid``
     masked out.  Returns ``(values f32, indices int32)``."""
-    n = scores.shape[-1]
-    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
-    masked = jnp.where(live < n_valid, scores, NEG_INF)
-    vals, idx = jax.lax.top_k(masked, k)  # normalize: lax returns a list
-    return vals, idx
+    vals, idx = jax.lax.top_k(mask_cols(scores, n_valid), k)
+    return vals, idx  # normalize: lax returns a list
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -130,9 +136,7 @@ def score_topk_fast(
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scoring + :func:`verified_topk` selection."""
-    scores = scores_matmul(docs, queries)
-    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
-    scores = jnp.where(live < n_valid, scores, NEG_INF)
+    scores = mask_cols(scores_matmul(docs, queries), n_valid)
     return verified_topk(scores, k)
 
 
@@ -257,11 +261,13 @@ def tiled_topk(
     argpartition — is unaffected.)
     """
     b, n = scores.shape
-    if n % tile != 0 or n // tile < 2 or k > (n // tile) * m:
+    m_eff = min(m, tile)  # the candidate pool is built from m_eff, so
+    # the bypass guard must use it too (m > tile with k > T*tile would
+    # otherwise pass the guard and crash the merge top_k)
+    if n % tile != 0 or n // tile < 2 or k > (n // tile) * m_eff:
         _v, _i = jax.lax.top_k(scores, k)
         return _v, _i
     t = n // tile
-    m_eff = min(m, tile)
     tiles = scores.reshape(b, t, tile)
     tv, ti = jax.lax.top_k(tiles, m_eff)  # [B, T, m]
     base = (jnp.arange(t, dtype=jnp.int32) * tile)[None, :, None]
@@ -301,10 +307,7 @@ def score_topk_tiled_packed(
     rounding is covered by the engine's prescore error bound (rescore
     stays verified-exact).
     """
-    scores = scores_matmul(docs, queries)
-    n = scores.shape[-1]
-    live = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
-    scores = jnp.where(live < n_valid, scores, NEG_INF)
+    scores = mask_cols(scores_matmul(docs, queries), n_valid)
     if score_dtype == "bf16":
         scores = scores.astype(jnp.bfloat16)
     vals, idx = tiled_topk(scores, k, m=m)

@@ -448,7 +448,7 @@ def test_fused2_no_size_ceiling_and_wide_decode():
     ]
     k = 4
     vals, idx, covered = _fused2_finish(
-        jnp.asarray(keys1), n, k, _reduce_h2(n, k), 8, True
+        jnp.asarray(keys1), k, _reduce_h2(n, k), 8, True
     )
     idx = np.asarray(idx)
     for b in range(8):
