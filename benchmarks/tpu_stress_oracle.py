@@ -55,20 +55,25 @@ if os.environ.get("SVS_STRESS_SMOKE"):
     # caught it — the smoke must keep covering all three precisions'
     # dispatch, so int8 rides the smaller shape too.
     CORPORA = [
-        ("bf16", 16_384 + 517, 256),
-        ("f32", 8_192 + 321, 128),
-        ("int8", 8_192 + 321, 128),
+        ("bf16", 16_384 + 517, 256, None),
+        ("f32", 8_192 + 321, 128, None),
+        ("int8", 8_192 + 321, 128, None),
+        # replica fan-out: same adversarial corpus, query batches split
+        # across devices — the oracle must hold through the slicing
+        ("bf16", 16_384 + 517, 256, 4),
     ]
     COMBOS = [(1, 10), (32, 25)]
     DRAWS, REPEATS = 1, 1
 else:
     CORPORA = [
-        # (precision, n_docs, dim)
-        ("bf16", 16_384 + 517, 256),
-        ("bf16", 40_000, 768),
-        ("int8", 50_000, 1536),
-        ("int8", 20_123, 256),
-        ("f32", 30_000, 512),
+        # (precision, n_docs, dim, replicas)
+        ("bf16", 16_384 + 517, 256, None),
+        ("bf16", 40_000, 768, None),
+        ("int8", 50_000, 1536, None),
+        ("int8", 20_123, 256, None),
+        ("f32", 30_000, 512, None),
+        ("bf16", 40_000, 768, 4),  # replica fan-out (degrades to the
+        # available device count; exercises slice-level dispatch + eps)
     ]
     COMBOS = [(1, 10), (8, 100), (32, 25), (64, 100), (256, 100), (256, 400)]
     DRAWS = 3  # query draws per combo
@@ -203,13 +208,20 @@ def main(seed: int = 0) -> None:
     rng = np.random.default_rng(seed)
     t_start = time.perf_counter()
     checks = 0
-    for precision, n, dim in CORPORA:
+    for precision, n, dim, replicas in CORPORA:
         m = build_matrix(rng, n, dim)
         path = WORK / f"stress_{precision}_{n}_{dim}.sqlite"
         build_kb(path, m)
         qvecs: dict = {}
         embed, _ = make_embedder(qvecs)
-        kb = KB(path, embed, precision=precision, sidecar=False)
+        rep = None
+        if replicas is not None:
+            import jax
+
+            rep = min(replicas, len(jax.devices()))
+        kb = KB(
+            path, embed, precision=precision, sidecar=False, replicas=rep
+        )
         try:
             for b, k in COMBOS:
                 for d in range(DRAWS + REPEATS):
@@ -227,7 +239,8 @@ def main(seed: int = 0) -> None:
                         )
                         checks += 1
             print(
-                f"[stress] {precision} {n}x{dim}: OK "
+                f"[stress] {precision} {n}x{dim}"
+                f"{f' x{rep} replicas' if rep else ''}: OK "
                 f"({len(COMBOS) * (DRAWS + REPEATS)} batches)",
                 flush=True,
             )
