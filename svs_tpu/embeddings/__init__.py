@@ -40,12 +40,18 @@ def make_embeddings_func(
     passed through as keyword arguments.
 
     ``trusted=False`` marks params that came from an untrusted source —
-    a downloaded/shared database file.  In that mode a ``local``
-    provider whose ``model`` is not an existing local directory is
-    refused (it would otherwise trigger an arbitrary Hugging Face hub
-    download + model instantiation on first retrieve) unless the
-    operator opts in with ``SVS_TPU_ALLOW_HUB_MODELS=1``.
+    a downloaded/shared database file.  In that mode:
+
+    - a ``local`` provider whose ``model`` is not an existing local
+      directory is refused (it would otherwise trigger an arbitrary
+      Hugging Face hub download + model instantiation on first retrieve)
+      unless the operator opts in with ``SVS_TPU_ALLOW_HUB_MODELS=1``;
+    - a stored ``ollama`` ``base_url`` is DROPPED (the endpoint resolves
+      from the operator's own ``OLLAMA_BASE_URL``/default instead): a
+      malicious database storing an attacker URL would otherwise receive
+      every query and document text the moment the KB is used.
     """
+    import logging
     import os
 
     params = dict(embedding_func_params)
@@ -54,6 +60,15 @@ def make_embeddings_func(
         factory = _PROVIDERS[provider]
     except KeyError:
         raise ValueError(f"unknown embedding provider name: {provider}")
+    if provider == "ollama" and not trusted and params.get("base_url"):
+        logging.getLogger(__name__).warning(
+            "ignoring the ollama base_url stored in this database (%r): "
+            "endpoints from untrusted database files are not honored — "
+            "set OLLAMA_BASE_URL or pass make_ollama_embeddings_func("
+            "base_url=...) explicitly to use a non-default server",
+            params["base_url"],
+        )
+        params["base_url"] = None
     if (
         provider == "local"
         and not trusted

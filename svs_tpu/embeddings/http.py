@@ -59,18 +59,25 @@ async def post_json(
 
     last_detail = "no attempts made"
     timeout = aiohttp.ClientTimeout(total=timeout_s)
-    for attempt in range(retries + 1):
-        if attempt:
-            delay = min(30.0, 0.5 * 2 ** (attempt - 1)) * (1 + random.random())
-            log.warning(
-                "%s request retry %d/%d in %.1fs (%s)",
-                provider, attempt, retries, delay, last_detail,
-            )
-            await asyncio.sleep(delay)
-        try:
-            async with aiohttp.ClientSession(
-                timeout=timeout, raise_for_status=False
-            ) as session:
+    # ONE session (connection pool) for the whole call, retries included —
+    # a session per attempt paid a fresh TCP+TLS handshake on every
+    # embedding request.  Sessions are loop-bound, so it lives inside
+    # this coroutine rather than at module scope (the package runs
+    # several event loops at once).
+    async with aiohttp.ClientSession(
+        timeout=timeout, raise_for_status=False
+    ) as session:
+        for attempt in range(retries + 1):
+            if attempt:
+                delay = min(30.0, 0.5 * 2 ** (attempt - 1)) * (
+                    1 + random.random()
+                )
+                log.warning(
+                    "%s request retry %d/%d in %.1fs (%s)",
+                    provider, attempt, retries, delay, last_detail,
+                )
+                await asyncio.sleep(delay)
+            try:
                 async with session.post(
                     url, headers=headers, json=payload
                 ) as response:
@@ -80,15 +87,22 @@ async def post_json(
                     except Exception:
                         data = None
                     if status == 200:
+                        if data is None:
+                            # 200 with an unparseable/empty body (proxy
+                            # splash page, truncated response): retryable
+                            # malformed response, never a None return that
+                            # crashes the provider with a bare TypeError
+                            last_detail = "HTTP 200 with non-JSON body"
+                            continue
                         return data
                     detail = _error_detail(data)
                     if status not in _RETRYABLE_STATUSES:
                         raise ProviderHTTPError(provider, status, detail)
                     last_detail = f"HTTP {status}: {detail}"
-        except ProviderHTTPError:
-            raise
-        except (aiohttp.ClientError, asyncio.TimeoutError, OSError) as exc:
-            last_detail = f"{type(exc).__name__}: {exc}"
+            except ProviderHTTPError:
+                raise
+            except (aiohttp.ClientError, asyncio.TimeoutError, OSError) as exc:
+                last_detail = f"{type(exc).__name__}: {exc}"
     raise ProviderHTTPError(provider, None, f"retries exhausted; last: {last_detail}")
 
 

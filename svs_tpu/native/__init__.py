@@ -62,7 +62,17 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 lib = None
         if lib is None:
             lib = _build()
-        if lib is None or lib.fastpack_abi_version() != _ABI:
+
+        def abi_of(candidate: "ctypes.CDLL") -> int:
+            # a cached .so predating the ABI symbol raises AttributeError
+            # — exactly the stale-artifact case the check exists for;
+            # treat it as version 0 so the rebuild path runs
+            try:
+                return int(candidate.fastpack_abi_version())
+            except AttributeError:
+                return 0
+
+        if lib is None or abi_of(lib) != _ABI:
             if lib is not None:
                 log.warning("fastpack ABI mismatch; rebuilding")
                 try:

@@ -39,7 +39,6 @@ inline uint16_t f32_to_bf16_rne(float value) {
     return static_cast<uint16_t>((bits + rounding_bias) >> 16);
 }
 
-void parallel_for(size_t total, int n_threads, void (*)(void) = nullptr);
 
 template <typename Fn>
 void run_parallel(size_t n_items, int n_threads, Fn&& fn) {
@@ -111,7 +110,9 @@ void fastpack_normalize_rows(float* data, size_t rows, size_t cols,
 }
 
 // Exact top-k: writes k (value, index) pairs sorted by value descending,
-// ties broken by larger index first (matching the Python oracle).
+// ties broken by larger index first EVERYWHERE, including the k-th
+// boundary (stricter than the Python oracle, whose boundary-tie set is
+// argpartition-arbitrary like the reference's; score multisets agree).
 void fastpack_topk_f32(const float* scores, size_t n, int k, float* out_vals,
                        int32_t* out_idx) {
     const int kk = static_cast<int>(std::min<size_t>(k, n));

@@ -169,7 +169,15 @@ class MicroBatcher:
             self._timer = loop.call_later(
                 self._window_s, lambda: asyncio.ensure_future(self._flush())
             )
-        return list(await asyncio.gather(*futs))
+        # return_exceptions so a failed batch's sibling futures are all
+        # retrieved here (a bare gather left "exception was never
+        # retrieved" warnings for every query after the first); re-raise
+        # the first failure for the route's error handling
+        results = await asyncio.gather(*futs, return_exceptions=True)
+        for r in results:
+            if isinstance(r, BaseException):
+                raise r
+        return list(results)  # type: ignore[arg-type]
 
     def _on_done(self, fut: "asyncio.Future[List[Retrieval]]") -> None:
         self._pending -= 1

@@ -206,10 +206,21 @@ class Transaction:
     ) -> None:
         db = self._db
         assert db.conn is not None and db._in_tx
-        db._in_tx = False
-        if exc_type is not None:
-            db.conn.rollback()
-            log.warning("transaction rolled back: %s", exc_val)
-            return None  # propagate the exception
-        db.conn.commit()
-        return None
+        try:
+            if exc_type is not None:
+                db.conn.rollback()
+                log.warning("transaction rolled back: %s", exc_val)
+                return None  # propagate the exception
+            try:
+                db.conn.commit()
+            except sqlite3.OperationalError:
+                # COMMIT can fail (e.g. SQLITE_BUSY from a competing
+                # lock).  Roll back so the connection leaves the open
+                # transaction — otherwise every later BEGIN fails with
+                # "cannot start a transaction within a transaction" and
+                # the Database is wedged until process restart.
+                db.conn.rollback()
+                raise
+            return None
+        finally:
+            db._in_tx = False

@@ -26,19 +26,58 @@ log = logging.getLogger(__name__)
 T = TypeVar("T")
 
 
-def locked(
-    lock: Optional[asyncio.Lock] = None,
-) -> Callable[[Callable[..., Awaitable[T]]], Callable[..., Awaitable[T]]]:
-    """Decorator: force calls to an async function to run serially."""
+class CrossLoopLock:
+    """An async lock that is safe across MULTIPLE event loops.
+
+    ``asyncio.Lock`` wakes waiters with plain ``call_soon`` — correct only
+    within one loop.  This package routinely runs several loops at once
+    (every sync ``KB`` owns an :class:`EventLoopThread`), and module-level
+    ``@locked``/``@cached`` state is shared by all of them, so waiters on
+    loop B must be woken from loop A's thread via
+    ``call_soon_threadsafe``.  FIFO hand-off: releasing transfers
+    ownership directly to the oldest waiter (no thundering herd, no
+    executor threads consumed while waiting).
+    """
+
+    def __init__(self) -> None:
+        self._mu = threading.Lock()
+        self._held = False
+        self._waiters: "OrderedDict[int, Tuple[asyncio.AbstractEventLoop, asyncio.Event]]" = OrderedDict()
+        self._next = 0
+
+    async def __aenter__(self) -> "CrossLoopLock":
+        loop = asyncio.get_running_loop()
+        with self._mu:
+            if not self._held:
+                self._held = True
+                return self
+            event = asyncio.Event()
+            ticket = self._next
+            self._next += 1
+            self._waiters[ticket] = (loop, event)
+        await event.wait()  # woken OWNING the lock (hand-off in __aexit__)
+        return self
+
+    async def __aexit__(self, *exc: Any) -> None:
+        with self._mu:
+            if self._waiters:
+                _, (lp, ev) = self._waiters.popitem(last=False)
+                lp.call_soon_threadsafe(ev.set)  # ownership transfers
+            else:
+                self._held = False
+
+
+def locked() -> Callable[
+    [Callable[..., Awaitable[T]]], Callable[..., Awaitable[T]]
+]:
+    """Decorator: force calls to an async function to run serially —
+    across every event loop in the process (see :class:`CrossLoopLock`)."""
 
     def decorator(fn: Callable[..., Awaitable[T]]) -> Callable[..., Awaitable[T]]:
+        lock = CrossLoopLock()
+
         @functools.wraps(fn)
         async def wrapper(*args: Any, **kwargs: Any) -> T:
-            nonlocal lock
-            if lock is None:
-                # Created lazily so the decorator can be applied at import
-                # time, before any event loop exists.
-                lock = asyncio.Lock()
             async with lock:
                 return await fn(*args, **kwargs)
 
@@ -52,37 +91,52 @@ def cached(
 ) -> Callable[[Callable[..., Awaitable[T]]], Callable[..., Awaitable[T]]]:
     """Async LRU cache decorator with single-flight semantics.
 
-    Concurrent calls with the same arguments share one in-flight computation
-    (the losers wait on an :class:`asyncio.Event`).  A failed computation is
-    not cached; one waiter retries.  ``maxsize=None`` means unbounded.
+    Concurrent calls with the same arguments share one in-flight
+    computation; the losers wait on loop-local events that the computing
+    call sets via ``call_soon_threadsafe``, so deduplication works across
+    event loops (several sync ``KB`` instances share one provider cache).
+    A failed computation is not cached; one waiter retries.
+    ``maxsize=None`` means unbounded.
     """
 
     def decorator(fn: Callable[..., Awaitable[T]]) -> Callable[..., Awaitable[T]]:
         cache: "OrderedDict[Tuple[Any, ...], T]" = OrderedDict()
-        inflight: Dict[Tuple[Any, ...], asyncio.Event] = {}
+        inflight: Dict[
+            Tuple[Any, ...],
+            "list[Tuple[asyncio.AbstractEventLoop, asyncio.Event]]",
+        ] = {}
+        mu = threading.Lock()
 
         @functools.wraps(fn)
         async def wrapper(*args: Any, **kwargs: Any) -> T:
             key = (args, tuple(sorted(kwargs.items())))
             while True:
-                if key in cache:
-                    cache.move_to_end(key)
-                    return cache[key]
-                event = inflight.get(key)
+                with mu:
+                    if key in cache:
+                        cache.move_to_end(key)
+                        return cache[key]
+                    waiters = inflight.get(key)
+                    if waiters is not None:
+                        event = asyncio.Event()
+                        waiters.append((asyncio.get_running_loop(), event))
+                    else:
+                        inflight[key] = []  # we compute
+                        event = None
                 if event is not None:
                     await event.wait()
                     continue  # either cached now, or the computing call failed
-                event = asyncio.Event()
-                inflight[key] = event
                 try:
                     result = await fn(*args, **kwargs)
-                    cache[key] = result
-                    if maxsize is not None and len(cache) > maxsize:
-                        cache.popitem(last=False)
+                    with mu:
+                        cache[key] = result
+                        if maxsize is not None and len(cache) > maxsize:
+                            cache.popitem(last=False)
                     return result
                 finally:
-                    event.set()
-                    del inflight[key]
+                    with mu:
+                        woken = inflight.pop(key)
+                    for lp, ev in woken:
+                        lp.call_soon_threadsafe(ev.set)
 
         return wrapper
 

@@ -21,6 +21,7 @@ import hashlib
 import logging
 import os
 import shutil
+import threading
 from pathlib import Path
 from typing import Tuple, Union
 
@@ -113,16 +114,30 @@ async def resolve_to_local_uncompressed_file(path_or_url: Union[str, Path]) -> P
         return local_path
 
     target = Path(stem)
-    tmp = target.with_suffix(target.suffix + ".tmp")
+    # UNIQUE tmp per extraction: concurrent opens of the same .gz (other
+    # tasks, other loop threads, other PROCESSES) each write their own
+    # tmp and atomically replace — last one wins with a complete file,
+    # never an interleaved one.  A shared tmp path measured corruption
+    # under exactly that race.
+    tmp = target.with_suffix(
+        target.suffix + f".{os.getpid()}.{threading.get_ident()}.tmp"
+    )
 
     def gunzip() -> None:
         if target.exists() and os.path.getmtime(target) >= os.path.getmtime(local_path):
             log.info("resolve(%r): extracted file is fresh", str(path_or_url))
             return
         log.info("resolve(%r): gunzipping", str(path_or_url))
-        with gzip.open(local_path, "rb") as src, open(tmp, "wb") as dst:
-            shutil.copyfileobj(src, dst)
-        os.replace(tmp, target)
+        try:
+            with gzip.open(local_path, "rb") as src, open(tmp, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+            os.replace(tmp, target)
+        finally:
+            if tmp.exists():  # failed mid-write: leave no orphan
+                try:
+                    tmp.unlink()
+                except OSError:
+                    pass
 
     await loop.run_in_executor(None, gunzip)
     return target

@@ -2,9 +2,18 @@
 
 These functions define the *reference semantics* that every accelerated
 path (XLA ``lax.top_k``, the Pallas streaming kernel, the sharded merge)
-must reproduce: results sorted by score descending, with ties broken by
-larger index first — matching the reference's ``sorted(..., reverse=True)``
-over ``(score, index)`` tuples (``svs/util.py:190-233``).
+must reproduce — the reference's exact algorithm
+(``svs/util.py:190-233``): ``np.argpartition`` selects the top-``k``
+set, then ``sorted(..., reverse=True)`` over ``(score, index)`` tuples
+orders it, so ties WITHIN the returned set break to the larger index.
+
+Tie caveat (true of the reference too, by construction): when scores TIE
+exactly at the k-th boundary, which of the tied entries make the cut is
+whatever ``argpartition`` picked — deterministic for a given array, but
+not the larger-index rule.  The score multiset is unaffected (the tied
+entries are equal).  Retrieval results don't inherit this ambiguity:
+the engine's rescore stage re-selects with the deterministic rule
+(equal scores -> larger emb id) over an over-provisioned candidate set.
 """
 
 from __future__ import annotations

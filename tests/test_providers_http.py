@@ -44,6 +44,8 @@ class PostServer:
                 self.responses.pop(0) if len(self.responses) > 1
                 else self.responses[0]
             )
+            if isinstance(payload, dict) and "__raw__" in payload:
+                return web.Response(text=payload["__raw__"], status=status)
             return web.json_response(payload, status=status)
 
         async def main():
@@ -162,3 +164,53 @@ def test_timeout_then_failure():
                 "test", "http://127.0.0.1:9/none", {}, timeout_s=0.5, retries=0
             )
         )
+
+
+def test_200_with_non_json_body_is_retried_then_raises():
+    """A proxy's 200 with an HTML/garbage body must surface as a
+    ProviderHTTPError (after retries), never a None return that crashes
+    the provider with a bare TypeError."""
+    server = PostServer()
+    server.responses = [(200, {"__raw__": "<html>splash</html>"})]
+    with pytest.raises(ProviderHTTPError, match="non-JSON"):
+        asyncio.run(
+            post_json("test", server.url + "/x", {}, retries=1, timeout_s=5)
+        )
+
+
+def test_200_non_json_then_good_json_succeeds():
+    server = PostServer()
+    server.responses = [
+        (200, {"__raw__": "garbage"}),
+        (200, {"ok": 1}),
+    ]
+    out = asyncio.run(
+        post_json("test", server.url + "/x", {}, retries=2, timeout_s=5)
+    )
+    assert out == {"ok": 1}
+
+
+def test_untrusted_params_drop_ollama_base_url(caplog):
+    """A downloaded database storing an attacker base_url must NOT have
+    its endpoint honored — queries and texts would be exfiltrated."""
+    import logging
+
+    from svs_tpu.embeddings import make_embeddings_func
+
+    params = {
+        "provider": "ollama",
+        "model": "m",
+        "truncate": True,
+        "keep_alive": "5m",
+        "base_url": "https://attacker.example",
+    }
+    with caplog.at_level(logging.WARNING):
+        fn = make_embeddings_func(params, trusted=False)
+    assert any("attacker.example" in r.message for r in caplog.records)
+    # the rebuilt function's own persisted params no longer carry it
+    assert fn.__embedding_func_params__["base_url"] is None
+    # trusted path (explicit constructor / same-process params) keeps it
+    fn2 = make_embeddings_func(params, trusted=True)
+    assert fn2.__embedding_func_params__["base_url"] == (
+        "https://attacker.example"
+    )

@@ -226,3 +226,66 @@ def test_load_env(tmp_path, monkeypatch):
     assert os.environ["FOO_B"] == "quoted value"
     assert os.environ["FOO_EXISTING"] == "keep"  # never overrides
     assert load_env(tmp_path / "missing.env") is False
+
+
+def test_locked_and_cached_across_event_loops():
+    """locked()/cached() state is module-level and this package runs
+    several event loops at once (each sync KB owns one) — waiters on one
+    loop must be woken from another loop's thread (the asyncio-primitive
+    version deadlocked here)."""
+    import threading
+    import time
+
+    from svs_tpu.utils.aio import EventLoopThread, cached, locked
+
+    order = []
+
+    @locked()
+    async def critical(tag):
+        order.append(tag)
+        await asyncio.sleep(0.02)
+        order.append(-tag - 1)  # pairs must nest: serialized
+        return tag
+
+    runs = [0]
+
+    @cached()
+    async def expensive(x):
+        runs[0] += 1
+        await asyncio.sleep(0.05)
+        return x * 2
+
+    loops = [EventLoopThread(f"xl{i}") for i in range(3)]
+    try:
+        results = [None] * 6
+
+        def drive(i):
+            results[i] = loops[i % 3].run(critical(i))
+
+        ts = [threading.Thread(target=drive, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert all(not t.is_alive() for t in ts), "locked() deadlocked"
+        assert sorted(results) == list(range(6))
+        # serialization proof: enter/exit markers strictly alternate
+        for a, b in zip(order[::2], order[1::2]):
+            assert b == -a - 1, order
+
+        res = [None] * 6
+
+        def drive2(i):
+            res[i] = loops[i % 3].run(expensive(7))
+
+        ts = [threading.Thread(target=drive2, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert all(not t.is_alive() for t in ts), "cached() deadlocked"
+        assert res == [14] * 6
+        assert runs[0] <= 3  # cross-loop single-flight dedupe worked
+    finally:
+        for lt in loops:
+            lt.stop()
