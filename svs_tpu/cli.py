@@ -27,20 +27,30 @@ def _open_kb(args: argparse.Namespace, **kw: Any) -> "Any":
 
 
 def cmd_info(args: argparse.Namespace) -> int:
-    from .store.db import Database, SCHEMA_VERSION
+    from .store.db import Database
     import asyncio
 
     from .utils import resolve_to_local_uncompressed_file
 
     path = asyncio.run(resolve_to_local_uncompressed_file(args.db))
+    # describe must stay read-only: Database() would CREATE a missing
+    # file, leaving a stray empty .sqlite and printing fabricated stats
+    # for a typo'd path
+    from pathlib import Path as _P
+
+    if not _P(path).exists():
+        print(f"error: no such database: {args.db}", file=sys.stderr)
+        return 1
     db = Database(path)
     try:
         with db.transaction() as tx:
+            try:
+                schema_version = int(tx.get_key("schema_version"))
+            except KeyError:
+                schema_version = None
             info = {
                 "path": str(path),
-                "schema_version": tx._debug_keyval().get(
-                    "schema_version", SCHEMA_VERSION
-                ),
+                "schema_version": schema_version,
                 "docs": tx.count_docs(),
                 "embeddings": tx.count_embeddings(),
                 "embedding_dim": tx.embedding_dim(),
@@ -114,8 +124,13 @@ def cmd_reembed(args: argparse.Namespace) -> int:
 
 def cmd_gzip(args: argparse.Namespace) -> int:
     kb = _open_kb(args)
+    # the artifact lands next to the RESOLVED local file (a .gz or URL
+    # input resolves to the extracted/downloaded .sqlite), not at
+    # f"{args.db}.gz" — print the real path so scripts can use it
+    assert kb.db is not None
+    out = f"{kb.db.path}.gz"
     kb.close(vacuum=True, also_gzip=True)
-    print(f"wrote {args.db}.gz")
+    print(f"wrote {out}")
     return 0
 
 
@@ -142,6 +157,17 @@ def cmd_bench(argv: List[str]) -> int:
     from pathlib import Path
 
     bench = Path(__file__).parent.parent / "bench.py"
+    if not bench.exists():
+        # bench.py lives at the repository root and is not shipped in
+        # the wheel (it measures THIS machine against BASELINE.md and
+        # drags benchmark-only knobs the library doesn't need)
+        print(
+            "error: `svs-tpu bench` needs the benchmark harness from a "
+            "source checkout (bench.py at the repo root):\n"
+            "  git clone <repo> && cd <repo> && python bench.py --help",
+            file=sys.stderr,
+        )
+        return 1
     sys.argv = [str(bench)] + argv
     runpy.run_path(str(bench), run_name="__main__")
     return 0

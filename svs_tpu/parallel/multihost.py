@@ -36,6 +36,15 @@ def initialize(
 ) -> jax.sharding.Mesh:
     """Initialize ``jax.distributed`` (no-op when single-process) and return
     a 1-D mesh over every device of every host."""
+    if coordinator is None and (
+        num_processes is not None or process_id is not None
+    ):
+        raise ValueError(
+            "num_processes/process_id were given without a coordinator "
+            "address — jax.distributed would never initialize and this "
+            "process would silently build a LOCAL-only mesh (wrong "
+            "topology, discovered only via wrong results or OOM)"
+        )
     if coordinator is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator,

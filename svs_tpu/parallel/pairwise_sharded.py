@@ -66,7 +66,11 @@ def sharded_pairwise_topk(
     return vals, rows, cols  # last stage exact by construction
 
 
-@functools.lru_cache(maxsize=None)
+# Bounded: k varies with the caller's n and the x4 widen ladder, and each
+# entry pins a jitted executable (plus the Mesh) — unbounded growth in a
+# long-lived server.  32 covers every ladder width of several active n's;
+# eviction only costs a recompile on the next use.
+@functools.lru_cache(maxsize=32)
 def _build(
     mesh: jax.sharding.Mesh,
     data_axis: str,

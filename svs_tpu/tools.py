@@ -45,9 +45,10 @@ def reembed(
         # Documents: DFS preserves parent-before-child ordering.
         with src.bulk_query_docs() as query:
             docs = list(query.dfs_traversal())
+        from .utils.chunks import chunkify
+
         count = 0
-        for start in range(0, len(docs), batch_docs):
-            chunk = docs[start : start + batch_docs]
+        for chunk in chunkify(docs, batch_docs):
             with dest.bulk_add_docs() as add:
                 for doc in chunk:
                     parent = (

@@ -33,7 +33,17 @@ def load_env(path: Union[str, Path] = ".env") -> bool:
         key = key.strip()
         if key.startswith("export "):
             key = key[len("export "):].strip()
-        val = val.strip().strip("'\"")
+        val = val.strip()
+        # match python-dotenv: a quoted value ends at its closing quote;
+        # an unquoted value ends at an inline ``#`` comment — keeping the
+        # comment in the value made the same .env behave differently
+        # depending on whether python-dotenv was installed
+        if val[:1] in ("'", '"') and len(val) >= 2:
+            quote = val[0]
+            end = val.find(quote, 1)
+            val = val[1:end] if end > 0 else val[1:]
+        elif "#" in val:
+            val = val.split("#", 1)[0].rstrip()
         if key and key not in os.environ:
             os.environ[key] = val
     return True
@@ -50,10 +60,15 @@ def env_int(name: str, default: int) -> int:
     try:
         return int(raw)
     except ValueError:
-        import logging
+        if name not in _warned_malformed:  # once per key, not per call
+            _warned_malformed.add(name)
+            import logging
 
-        logging.getLogger(__name__).warning(
-            "ignoring malformed %s=%r (want an integer); using %d",
-            name, raw, default,
-        )
+            logging.getLogger(__name__).warning(
+                "ignoring malformed %s=%r (want an integer); using %d",
+                name, raw, default,
+            )
         return default
+
+
+_warned_malformed: "set[str]" = set()

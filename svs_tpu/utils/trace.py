@@ -26,7 +26,7 @@ from typing import Dict, Iterator, List, Optional
 
 log = logging.getLogger("svs_tpu.trace")
 
-_PROFILE_DIR = os.environ.get("SVS_TPU_PROFILE_DIR")
+
 
 
 class QueryStats:
@@ -88,12 +88,15 @@ def phase(
 @typeguard_exempt
 @contextlib.contextmanager
 def profiler_trace(label: str) -> Iterator[None]:
-    """Wrap a block in a ``jax.profiler`` trace when SVS_TPU_PROFILE_DIR is
-    set (no-op otherwise)."""
-    if not _PROFILE_DIR:
+    """Wrap a block in a ``jax.profiler`` trace when ``SVS_TPU_PROFILE_DIR``
+    is set (no-op otherwise).  The env var is read at CALL time, so
+    setting it after import (notebooks) works as the module docstring
+    promises."""
+    profile_dir = os.environ.get("SVS_TPU_PROFILE_DIR")
+    if not profile_dir:
         yield
         return
     import jax
 
-    with jax.profiler.trace(os.path.join(_PROFILE_DIR, label)):
+    with jax.profiler.trace(os.path.join(profile_dir, label)):
         yield
