@@ -55,6 +55,11 @@ try:  # aiohttp is the 'http' extra (same dependency as the providers)
 except ImportError:  # pragma: no cover - exercised by import guard test
     web = None  # type: ignore[assignment]
 
+#: Typed application keys (set on first make_app; None until then so the
+#: module imports without aiohttp).  Embedders: ``app[serve.KB_KEY]``.
+KB_KEY: "Optional[Any]" = None
+BATCHER_KEY: "Optional[Any]" = None
+
 #: Default micro-batch window: long enough to coalesce a burst arriving
 #: within one event-loop tick + scheduling jitter, short next to the
 #: ~4 ms device step it feeds.
@@ -271,8 +276,14 @@ def make_app(
         kb, max_batch=max_batch, window_ms=window_ms, max_queue=max_queue
     )
     app = web.Application()
-    app["kb"] = kb
-    app["batcher"] = batcher
+    # typed AppKeys (aiohttp 3.9+ deprecates bare string keys); exposed
+    # as module attributes so embedders can read app[serve.KB_KEY]
+    global KB_KEY, BATCHER_KEY
+    if KB_KEY is None:
+        KB_KEY = web.AppKey("kb", object)
+        BATCHER_KEY = web.AppKey("batcher", MicroBatcher)
+    app[KB_KEY] = kb
+    app[BATCHER_KEY] = batcher
     # (count, monotonic deadline); shared mutable cell for the health cache
     health_cache: List[Tuple[int, float]] = []
 
