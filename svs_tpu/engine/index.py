@@ -87,6 +87,15 @@ def _grow_rows(
     return _write_rows(old, new, jnp.int32(n0))
 
 
+@jax.jit
+def _move_rows(buf: jax.Array, src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Copy rows ``src`` over rows ``dst`` along the leading axis — the
+    swap-compaction step of the incremental-delete pack path.  Functional
+    (`.at[].set` allocates a fresh buffer), so in-flight searches holding
+    the previous corpus snapshot keep exactly the rows they started with."""
+    return buf.at[dst].set(buf[src], unique_indices=True)
+
+
 def _grow_rows_np(
     old: np.ndarray, new: np.ndarray, n0: int, row_multiple: int
 ) -> np.ndarray:
@@ -389,6 +398,8 @@ class RetrievalEngine:
             # Each pack path manages self._host_pack (bytes matching the
             # device copy, for sidecar writes) and self._sidecar_source.
             corpus = self._try_incremental_append(db, fingerprint)
+            if corpus is None:
+                corpus = self._try_incremental_delete(db, fingerprint)
             if corpus is None and sidecar_path is not None:
                 corpus = self._try_sidecar(sidecar_path, fingerprint)
                 if corpus is not None:
@@ -539,6 +550,118 @@ class RetrievalEngine:
             version=fingerprint[0],
             precision=old.precision,
             scale_max=scale_max,
+            host_cache=host_cache,
+        )
+
+    def _try_incremental_delete(
+        self, db: Database, fingerprint: Tuple[int, int, int, int]
+    ) -> Optional[PackedCorpus]:
+        """Delete-only fast path: when the only change since the last pack
+        is removed embedding rows (count down by ``d``, generation up by
+        exactly ``d`` — the same algebra that gates the append path — and
+        the surviving ids a subset of the packed ids), compact the device
+        matrix in place: live rows from the tail move into the deleted
+        slots and ``n_valid`` shrinks.  The kernels mask strictly by the
+        runtime ``n_valid`` scalar, so the stale rows left between the new
+        boundary and the buffer capacity are never scored.  Cost is an
+        id-only PK scan plus an O(deleted) on-device row move — vs the
+        full BLOB rescan a repack pays (~46 s at 1M docs).
+
+        The f32 rescore cache follows by re-pointing its row MAP (cache
+        rows never move — they may be a read-only sidecar mmap, and for
+        f32 packs they alias the pack bytes), so verified rescore stays
+        exact.  Device mirrors (``dev_rescore``/``dev_emb``) drop with the
+        fresh corpus object and are rebuilt by
+        :meth:`_maybe_build_device_rescore` on the next query — the same
+        policy appends use.  The host pack is dropped too (publish after a
+        delete re-packs host-side rather than risk aliasing the cache).
+
+        Skipped under a mesh (compaction of a sharded array would reshard
+        anyway), when everything was deleted (empty packs re-establish
+        dim via a full pack), or when at least half the pack died (a
+        repack then reclaims the buffer).
+        """
+        old = self._corpus
+        if old is None or self._fingerprint is None or self.mesh is not None:
+            return None
+        if old.n_valid == 0:
+            return None
+        _, old_count, old_max, old_gen = self._fingerprint
+        _, new_count, new_max, new_gen = fingerprint
+        removed = old_count - new_count
+        if removed <= 0 or new_count <= 0 or old.n_valid != old_count:
+            return None
+        # Generation counts every embeddings-table write: pure deletes move
+        # it by exactly `removed`.  Any insert/update mix moves it further
+        # (deletes - inserts == removed and deletes + inserts + updates ==
+        # removed has only the inserts == updates == 0 solution).
+        if new_gen - old_gen != removed or new_max > old_max:
+            return None
+        if removed * 2 >= old_count:
+            return None  # bulk wipe: repack to reclaim the buffer
+        with db.transaction() as tx:
+            cur_ids = tx.embedding_ids()
+        if cur_ids.shape[0] != new_count:
+            return None  # raced a foreign writer; fingerprint is stale
+        keep = np.isin(old.emb_ids, cur_ids, assume_unique=True)
+        if int(keep.sum()) != new_count:
+            return None  # survivors not a subset of the pack (foreign churn)
+        old_n, new_n = old.n_valid, new_count
+        dead = np.flatnonzero(~keep)
+        dead_below = dead[dead < new_n]
+        live_tail = new_n + np.flatnonzero(keep[new_n:])
+        log.info(
+            "incremental delete: -%d docs (no full repack; %d rows moved)",
+            removed,
+            int(dead_below.size),
+        )
+
+        emb_ids = old.emb_ids.copy()
+        emb_ids[dead_below] = emb_ids[live_tail]
+        emb_ids = emb_ids[:new_n]
+
+        if dead_below.size:
+            src = jnp.asarray(live_tail, dtype=jnp.int32)
+            dst = jnp.asarray(dead_below, dtype=jnp.int32)
+            data_new = _move_rows(old.data, src, dst)
+            scales_new = (
+                _move_rows(old.row_scales, src, dst)
+                if old.row_scales is not None
+                else None
+            )
+        else:
+            # pure tail deletion: nothing moves, only the mask boundary
+            data_new, scales_new = old.data, old.row_scales
+
+        host_cache = None
+        old_cache = old.host_cache  # one read: (f32, row_map) or None
+        if old_cache is not None:
+            cache_f32, old_map = old_cache
+            # Re-point the map instead of moving cache rows.  Always make
+            # the map explicit afterwards: a later incremental append
+            # concatenates new cache rows at the END of the f32 array and
+            # relies on map-is-None meaning "cache row i == pack row i",
+            # which compaction breaks for i past the first moved slot.
+            base = (
+                old_map
+                if old_map is not None
+                else np.arange(old_n, dtype=np.int64)
+            )
+            new_map = base[:old_n].copy()
+            new_map[dead_below] = base[live_tail]
+            host_cache = (cache_f32, new_map[:new_n])
+
+        self._host_pack = None
+        self._sidecar_source = None
+        return PackedCorpus(
+            data=data_new,
+            row_scales=scales_new,
+            emb_ids=emb_ids,
+            n_valid=new_n,
+            dim=old.dim,
+            version=fingerprint[0],
+            precision=old.precision,
+            scale_max=old.scale_max,  # still an upper bound for survivors
             host_cache=host_cache,
         )
 

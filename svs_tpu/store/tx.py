@@ -416,6 +416,22 @@ class Tx:
         ).fetchone()
         return int(count), int(max_id), self.embeddings_generation()
 
+    def embedding_ids(self) -> np.ndarray:
+        """All embedding ids as int64 in id order — the incremental-delete
+        packing path's survivor check (id-only PK scan, no BLOB decode:
+        ~100x cheaper than a full matrix rescan at 1M rows)."""
+        n = self.count_embeddings()
+        return np.fromiter(
+            (
+                r[0]
+                for r in self._conn.execute(
+                    "SELECT id FROM embeddings ORDER BY id;"
+                )
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+
     def embeddings_generation(self) -> int:
         """O(1) trigger-maintained write counter of the embeddings table."""
         row = self._conn.execute(
