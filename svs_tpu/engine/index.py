@@ -308,6 +308,14 @@ class RetrievalEngine:
         #: Fingerprint at the last rebuild attempt — one attempt per store
         #: state, so a failing rebuild can't respawn a scan per query.
         self._cache_rebuild_fp: Optional[Tuple[int, int, int, int]] = None
+        #: How each :meth:`ensure_fresh` call was satisfied (``reuse`` =
+        #: token/fingerprint hit, ``append``/``delete`` = incremental,
+        #: ``sidecar`` = mmap load, ``scan`` = full BLOB rescan) — surfaced
+        #: through ``kb.stats()['pack_events']`` so operators can see
+        #: whether writes are riding the fast paths.
+        self.pack_events: Dict[str, int] = {
+            "reuse": 0, "append": 0, "delete": 0, "sidecar": 0, "scan": 0,
+        }
         self._lock = threading.Lock()
 
     def shutdown(self) -> None:
@@ -381,6 +389,7 @@ class RetrievalEngine:
             quick = (tx.matrix_version(), tx.data_version())
         with self._lock:
             if self._corpus is not None and self._quick_token == quick:
+                self.pack_events["reuse"] += 1
                 self._maybe_respawn_cache_rebuild(db)
                 # mirror may be missing if the host cache attached late
                 # (background rebuild) — cheap no-op check otherwise
@@ -392,21 +401,28 @@ class RetrievalEngine:
                 # A foreign write happened, but not to the embeddings
                 # (e.g. doc meta or KV) — keep the pack, refresh the token.
                 self._quick_token = quick
+                self.pack_events["reuse"] += 1
                 self._maybe_respawn_cache_rebuild(db)
                 return self._corpus
 
             # Each pack path manages self._host_pack (bytes matching the
             # device copy, for sidecar writes) and self._sidecar_source.
             corpus = self._try_incremental_append(db, fingerprint)
+            if corpus is not None:
+                self.pack_events["append"] += 1
             if corpus is None:
                 corpus = self._try_incremental_delete(db, fingerprint)
+                if corpus is not None:
+                    self.pack_events["delete"] += 1
             if corpus is None and sidecar_path is not None:
                 corpus = self._try_sidecar(sidecar_path, fingerprint)
                 if corpus is not None:
+                    self.pack_events["sidecar"] += 1
                     self._spawn_rescore_cache_rebuild(
                         db.path, corpus, fingerprint
                     )
             if corpus is None:
+                self.pack_events["scan"] += 1
                 log.info("packing corpus from store (fingerprint %s)", fingerprint)
                 self._sidecar_source = None
                 with db.transaction() as tx:

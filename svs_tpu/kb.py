@@ -675,8 +675,13 @@ class AsyncKB:
         self._doc_cache = DocRowCache()
 
     def stats(self) -> Dict[str, Dict[str, float]]:
-        """Rolling per-phase timing stats (pack/embed/search/finalize)."""
-        return self._stats.snapshot()
+        """Rolling per-phase timing stats (pack/embed/search/finalize) plus
+        ``pack_events`` — how each freshness check was satisfied (reuse /
+        append / delete / sidecar / scan), for confirming writes ride the
+        incremental pack paths."""
+        out = self._stats.snapshot()
+        out["pack_events"] = {k: float(v) for k, v in self.engine.pack_events.items()}
+        return out
 
     # -- plumbing -----------------------------------------------------------
 
@@ -1320,8 +1325,13 @@ class KB:
             raise
 
     def stats(self) -> Dict[str, Dict[str, float]]:
-        """Rolling per-phase timing stats (pack/embed/search/finalize)."""
-        return self._stats.snapshot()
+        """Rolling per-phase timing stats (pack/embed/search/finalize) plus
+        ``pack_events`` — how each freshness check was satisfied (reuse /
+        append / delete / sidecar / scan), for confirming writes ride the
+        incremental pack paths."""
+        out = self._stats.snapshot()
+        out["pack_events"] = {k: float(v) for k, v in self.engine.pack_events.items()}
+        return out
 
     # -- plumbing ------------------------------------------------------------
 

@@ -330,6 +330,43 @@ def test_sidecar_loaded_pack_compacts_incrementally(
     db.close()
 
 
+def test_pack_event_counters(db_path, unit_rows):
+    """``pack_events`` records how each freshness check was satisfied."""
+    m = unit_rows(30, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="f32")
+    c1 = eng.ensure_fresh(db)
+    eng.ensure_fresh(db)  # token hit
+    assert eng.pack_events["scan"] == 1 and eng.pack_events["reuse"] == 1
+
+    with db.transaction() as tx:
+        tx.add_doc("x", None, None, embedding_to_bytes([1.0] + [0.0] * 7))
+        tx.bump_matrix_version()
+    eng.ensure_fresh(db)
+    _delete_emb_rows(db, c1, [3])
+    eng.ensure_fresh(db)
+    assert eng.pack_events["append"] == 1
+    assert eng.pack_events["delete"] == 1
+    assert eng.pack_events["scan"] == 1  # never rescanned
+    db.close()
+
+
+def test_kb_stats_expose_pack_events(db_path):
+    from kb_helpers import make_onehot_embedder
+
+    from svs_tpu import KB
+
+    kb = KB(str(db_path), make_onehot_embedder())
+    with kb.bulk_add_docs() as add_doc:
+        for i in range(8):
+            add_doc(f"vec:{i}")
+    kb.retrieve("vec:1", 2)
+    kb.retrieve("vec:2", 2)
+    ev = kb.stats()["pack_events"]
+    assert ev["scan"] == 1.0 and ev["reuse"] >= 1.0
+    kb.close()
+
+
 def test_kb_delete_uses_fast_path(db_path, caplog):
     """Facade-level: bulk_del_docs rides the compaction path and retrieval
     excludes the deleted doc."""
