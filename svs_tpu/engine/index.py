@@ -156,11 +156,15 @@ def _rescore_from_packed(
         tail = packed[:, k - 1 : k]
     gr = rows if dev_map is None else dev_map[rows]
     cand = dev_f32[gr]  # [B, C, d] gather in HBM
+    # HIGHEST: this IS the exact-f32 rescore the margin proof stands on;
+    # the MXU's default reduced-precision passes err ~2.6e-4 (see
+    # ops.topk.f32_dot_precision) — far beyond the proof's cushion.
     exact = jax.lax.dot_general(
         cand,
         queries,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if wide:
         return jnp.concatenate(
@@ -206,11 +210,13 @@ def _final_from_packed(
     rows, tail_bits = unpack_rows_tail(packed, packed.shape[1] // 2, wide)
     gr = rows if dev_map is None else dev_map[rows]
     cand = dev_f32[gr]  # [B, C, d] gather in HBM
+    # HIGHEST: exact-f32 rescore (see _rescore_from_packed).
     exact = jax.lax.dot_general(
         cand,
         queries,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     emb_of = dev_emb[rows]  # [B, C] int32
     return final_select_wire(exact, emb_of, tail_bits, k)
@@ -1383,7 +1389,11 @@ class RetrievalEngine:
           probability < 1e-9 per query at 1M docs, and a failure is not an
           error: it only means the margin check passes when it shouldn't
           have, with the miss still bounded by the deterministic bound.
-        - ``f32``: accumulation-order differences only.
+        - ``f32``: accumulation-order differences only — REQUIRES every
+          f32 scoring/rescore dot to run at ``Precision.HIGHEST`` (the
+          MXU's default reduced-precision passes err ~2.6e-4 on silicon,
+          which would swamp this bound; see ``ops.topk.f32_dot_precision``
+          and the probe record in BENCHMARKS.md).
         """
         from ..ops.pallas_extract import GUARD_KEY_EPS, KEY_EPS
 
@@ -1421,19 +1431,51 @@ class RetrievalEngine:
             return eps
         return np.full((b,), 1e-4 + key_eps, dtype=np.float64)
 
+    def _keyed_pairwise_possible(self, corpus: PackedCorpus) -> bool:
+        """Dispatch condition for the keyed pairwise candidate pass
+        (``ops.pairwise.pairwise_candidates_keyed``) — quantized
+        prescores, only sound under the KB's pairwise rescore margin.
+        ``pairwise_eps`` consults this for the KEY_EPS term so bound and
+        dispatch can't drift.  Deliberately c-independent: the candidate
+        count only gates the route further (``keyed_pairwise_route``),
+        and widening moves monotonically TOWARD the exact path, whose
+        error the inflated bound still covers."""
+        from ..ops.pairwise import keyed_pairwise_route
+        from ..ops.pallas_extract import pair_keys_supported
+
+        if not self.rescore or self.mesh is not None:
+            return False
+        if corpus.precision == "int8":
+            if self.kernel != "auto":
+                return False
+        elif self.kernel not in ("auto", "pallas"):
+            return False
+        block_rows = min(256, corpus.n_padded)
+        return pair_keys_supported(
+            corpus.n_padded, block_rows
+        ) and keyed_pairwise_route(corpus.n_padded, block_rows, 1)
+
     def pairwise_eps(self, corpus: PackedCorpus) -> float:
         """Bound on ``|device pairwise prescore - exact f32 score|`` (both
         sides of each dot are stored vectors; int8 pairs run dequantized to
         bf16, so the error stacks the quantization residual of both rows on
-        top of the bf16 term — same derivation as :meth:`prescore_eps`)."""
+        top of the bf16 term — same derivation as :meth:`prescore_eps`).
+        When the keyed pairwise candidate pass can dispatch, prescores are
+        additionally quantized onto the packed-key grid: one KEY_EPS term,
+        shared-predicate with the dispatch (``_keyed_pairwise_possible``)."""
+        from ..ops.pallas_extract import KEY_EPS
+
+        key_eps = (
+            KEY_EPS if self._keyed_pairwise_possible(corpus) else 0.0
+        )
         bf16_term = 2.0**-8 * (1.0 + 2.0**-9) + 3e-5
         if corpus.precision == "f32":
-            return 1e-4
+            return 1e-4 + key_eps
         if corpus.precision == "bf16":
-            return bf16_term
+            return bf16_term + key_eps
         s = corpus.scale_max
         t = float(np.sqrt(2.0 * np.log(2.0 / 1e-15)))
-        return bf16_term + t * s * 1.001 + 0.25 * corpus.dim * s * s
+        return bf16_term + t * s * 1.001 + 0.25 * corpus.dim * s * s + key_eps
 
     def topk(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
@@ -1645,18 +1687,42 @@ class RetrievalEngine:
                 data_axis=self.data_axis,
             )
         else:
-            from ..ops.pairwise import pairwise_topk_blocked
+            from ..ops.pairwise import (
+                keyed_pairwise_route,
+                pairwise_candidates_keyed,
+                pairwise_topk_blocked,
+            )
 
             block_rows = min(256, corpus.n_padded)
-            # int8 corpora run int8 x int8 blocks with on-the-fly rescale —
-            # no O(N*d) dequantized copy (see pairwise_topk_blocked).
-            vals, rows, cols = pairwise_topk_blocked(
-                corpus.data,
-                jnp.int32(n),
-                k_eff,
-                block_rows=block_rows,
-                row_scales=corpus.row_scales,
-            )
+            vals = rows = cols = None
+            # Keyed candidate pass first (quantized prescores + bound in
+            # the last slot; the KB's rescore margin owns exactness —
+            # measured 85% of the exact pass was its per-row selection,
+            # BENCHMARKS.md 2026-08-18).  `ok` False = pool starved of
+            # live pairs (tiny/mostly-padded corpora): exact path below.
+            if self._keyed_pairwise_possible(
+                corpus
+            ) and keyed_pairwise_route(corpus.n_padded, block_rows, k_eff):
+                kvals, krows, kcols, ok = pairwise_candidates_keyed(
+                    corpus.data,
+                    corpus.n_valid_device(),
+                    k_eff,
+                    block_rows=block_rows,
+                    row_scales=corpus.row_scales,
+                )
+                if ok:
+                    vals, rows, cols = kvals, krows, kcols
+            if vals is None:
+                # int8 corpora run int8 x int8 blocks with on-the-fly
+                # rescale — no O(N*d) dequantized copy (see
+                # pairwise_topk_blocked).
+                vals, rows, cols = pairwise_topk_blocked(
+                    corpus.data,
+                    jnp.int32(n),
+                    k_eff,
+                    block_rows=block_rows,
+                    row_scales=corpus.row_scales,
+                )
         return (
             np.asarray(vals, dtype=np.float32),
             np.asarray(rows, dtype=np.int64),

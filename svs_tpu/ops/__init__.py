@@ -17,7 +17,7 @@ from .topk import (
     scores_matmul,
     verified_topk,
 )
-from .pairwise import pairwise_topk_blocked
+from .pairwise import pairwise_candidates_keyed, pairwise_topk_blocked
 from .quant import (
     quantize_rows_int8,
     score_topk_int8,
@@ -64,6 +64,7 @@ __all__ = [
     "score_topk_packed",
     "scores_matmul",
     "verified_topk",
+    "pairwise_candidates_keyed",
     "pairwise_topk_blocked",
     "quantize_rows_int8",
     "score_topk_int8",

@@ -54,7 +54,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .topk import NEG_INF, mask_cols, pack_vals_idx, score_topk, scores_matmul
+from .topk import (
+    NEG_INF,
+    f32_dot_precision,
+    mask_cols,
+    pack_vals_idx,
+    score_topk,
+    scores_matmul,
+)
 
 #: Pallas memory-ref handle type inside kernel bodies.  Pallas exposes no
 #: public Ref class to annotate with, so kernels annotate refs as ``Any``
@@ -237,6 +244,9 @@ def _fused_kernel(nv_ref: Ref, q_ref: Ref, docs_ref: Ref, out_vals_ref: Ref, out
         docs_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32 corpora need HIGHEST for the claimed error bound; bf16
+        # operands are exact at DEFAULT (ops.topk.f32_dot_precision).
+        precision=f32_dot_precision(docs_ref.dtype),
     )
 
     @pl.when(c == nc - 1)
@@ -567,6 +577,9 @@ def _fused2_kernel(nv_ref: Ref, q_ref: Ref, docs_ref: Ref, out_ref: Ref, acc_ref
         docs_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32 corpora need HIGHEST for the claimed error bound; bf16
+        # operands are exact at DEFAULT (ops.topk.f32_dot_precision).
+        precision=f32_dot_precision(docs_ref.dtype),
     )
 
     @pl.when(c == nc - 1)
@@ -1066,6 +1079,9 @@ def _fused3_kernel(
         docs_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32 corpora need HIGHEST for the claimed error bound; bf16
+        # operands are exact at DEFAULT (ops.topk.f32_dot_precision).
+        precision=f32_dot_precision(docs_ref.dtype),
     )
 
     @pl.when(c == nc - 1)
@@ -1413,3 +1429,94 @@ def score_topk_extract_packed(
         scores = scores.astype(jnp.bfloat16)
     vals, idx = extract_topk(scores, k, interpret=interpret)
     return pack_vals_idx(vals.astype(jnp.float32), idx, wide=wide)
+
+
+# --- keyed extraction over precomputed scores (the pairwise path) ----------
+#
+# The blocked pairwise scan (ops.pairwise) materializes one [R, N] f32
+# score block per R-row step and needs each row's top-m.  The v1 two-pass
+# extraction (grid over 8-row groups, f32 max / index-recover / clear)
+# measured 3.7 ms per [256, 100k] block on v5e — 85% of the whole
+# pairwise pass (BENCHMARKS.md 2026-08-18 profile).  This kernel applies
+# the v2 packed-key emit to a score INPUT instead of a fused accumulator,
+# with the whole R-row batch resident: one max-reduce + one clear per
+# winner on [R, 512] operands.  Quantization (KEY_EPS) is covered by the
+# KB's pairwise rescore margin exactly like retrieval's keyed paths —
+# see ``engine.RetrievalEngine.pairwise_eps``.
+
+#: Score columns per grid step: [PAIR_MAX_ROWS, PAIR_BLOCK_N] f32 input
+#: blocks are 4 MB — half the VMEM budget of the fused kernels' 8192
+#: accumulator, leaving room for Mosaic's input double-buffering.
+PAIR_BLOCK_N = 4096
+PAIR_NSUB = PAIR_BLOCK_N // FUSED_SUBTILE  # 8 subtiles per block
+#: Live key lanes per block (the rest of the 128-lane out tile is DEAD).
+PAIR_KEYS = PAIR_NSUB * EXTRACT_H  # 64
+_PAIR_OUT_LANES = 128
+#: Row-batch ceiling (VMEM: rows x PAIR_BLOCK_N f32 must double-buffer).
+PAIR_MAX_ROWS = 256
+#: Mask value for dead score entries (diagonal/lower-triangle/padding)
+#: fed to this kernel: finite (an f32 -inf would destroy the key's lane
+#: bits), strictly below every real cosine score, and decoding to exactly
+#: -2.0 — callers drop candidates below PAIR_LIVE_MIN.
+PAIR_MASKED = -2.0
+#: Decoded-value threshold separating real (unit-norm-domain) candidates
+#: from PAIR_MASKED sentinels and KEY_DEAD padding.
+PAIR_LIVE_MIN = -1.5
+
+
+def _pair_keys_kernel(scores_ref: Ref, out_ref: Ref) -> None:
+    r = scores_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (r, FUSED_SUBTILE), 1
+    ).astype(jnp.float32)
+    live = jnp.float32(FUSED_SUBTILE)  # masking happened in the scores
+    for s in range(PAIR_NSUB):
+        _emit_keys(
+            scores_ref[:, s * FUSED_SUBTILE : (s + 1) * FUSED_SUBTILE],
+            lane,
+            live,
+            out_ref,
+            s * EXTRACT_H,
+        )
+    out_ref[:, PAIR_KEYS:] = jnp.full(
+        (r, _PAIR_OUT_LANES - PAIR_KEYS), KEY_DEAD, jnp.float32
+    )
+
+
+def pair_keys_supported(n_cols: int, rows: int) -> bool:
+    """Shapes :func:`pairwise_keys_extract` handles: 4096-aligned score
+    columns (the engine pads large packs to 16384-row multiples, so every
+    corpus past ``packing.LARGE_ROW_MULTIPLE`` qualifies) and a resident
+    row batch within the VMEM budget."""
+    return (
+        n_cols % PAIR_BLOCK_N == 0
+        and n_cols >= PAIR_BLOCK_N
+        and rows % 8 == 0
+        and 0 < rows <= PAIR_MAX_ROWS
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pairwise_keys_extract(
+    scores: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Per-512-subtile top-``EXTRACT_H`` packed keys of an ``[R, N]`` f32
+    score matrix.  Returns ``[R, (N/PAIR_BLOCK_N) * 128]`` raw key tiles:
+    per block, lanes ``[0, PAIR_KEYS)`` hold the 8 subtiles' descending
+    top-8 keys and the rest are ``KEY_DEAD``.  Scores must be finite and
+    within the key horizon (unit-norm cosine domain; mask dead entries
+    with :data:`PAIR_MASKED`, never ``-inf``).  Decode keys with
+    ``_key_vals``; column reconstruction is
+    ``block*PAIR_BLOCK_N + subtile*512 + (key mod 512)``.
+    Requires :func:`pair_keys_supported`."""
+    r, n = scores.shape
+    assert pair_keys_supported(n, r), (n, r)
+    nbc = n // PAIR_BLOCK_N
+    return pl.pallas_call(
+        _pair_keys_kernel,
+        grid=(nbc,),
+        in_specs=[pl.BlockSpec((r, PAIR_BLOCK_N), lambda j: (0, j))],
+        out_specs=pl.BlockSpec((r, _PAIR_OUT_LANES), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((r, nbc * _PAIR_OUT_LANES), jnp.float32),
+        interpret=interpret,
+    )(scores)

@@ -234,11 +234,15 @@ def _build_sharded_rescore_final(
         lr = rows - offset
         valid = (lr >= 0) & (lr < n_local)
         cand = mirror[jnp.clip(lr, 0, n_local - 1)]  # [B, C, d] local HBM
+        # HIGHEST: exact-f32 rescore partials (the margin proof's ground
+        # truth) — default MXU passes err ~2.6e-4 on f32 operands (see
+        # ops.topk.f32_dot_precision).
         partial = jax.lax.dot_general(
             cand,
             q,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         partial = jnp.where(valid, partial, 0.0)
         return jax.lax.psum(partial, data_axis)

@@ -1031,3 +1031,59 @@ def test_oversized_gather_falls_back_to_host(db_path, unit_rows, monkeypatch):
         want = {i for _, i in top_k_numpy((m @ q[b]).astype(np.float32), 40)}
         assert set(rows[b].tolist()) == want
     db.close()
+
+
+def test_keyed_pairwise_dispatch_eps_and_verified_result(monkeypatch, unit_rows):
+    """Keyed pairwise: the dispatch predicate and ``pairwise_eps`` share
+    one condition (KEY_EPS appears exactly when the keyed pass can run),
+    the engine routes through ``pairwise_candidates_keyed``, and the
+    candidates + boundary bound satisfy the margin contract that makes
+    the KB's rescore provably exact."""
+    from svs_tpu.ops import pairwise as pw
+    from svs_tpu.ops.pallas_extract import KEY_EPS
+
+    n_pad, n_valid, d = 4096, 600, 32
+    m = unit_rows(n_valid, d)
+    ids = np.arange(1, n_valid + 1, dtype=np.int64)
+    corpus = pack_corpus(
+        m, ids, version=1, precision="bf16",
+        row_multiple=n_pad, dim_multiple=d,
+    )
+    eng = RetrievalEngine(precision="bf16")
+    assert eng._keyed_pairwise_possible(corpus)
+    # a 256-multiple pack is not 4096-aligned: keyed off, eps drops KEY_EPS
+    small = pack_corpus(m, ids, version=1, precision="bf16")
+    assert not eng._keyed_pairwise_possible(small)
+    assert np.isclose(
+        eng.pairwise_eps(corpus) - eng.pairwise_eps(small), KEY_EPS
+    )
+    # rescore-off engines never take the quantized path
+    eng_raw = RetrievalEngine(precision="bf16", rescore=False)
+    assert not eng_raw._keyed_pairwise_possible(corpus)
+
+    calls = []
+    real = pw.pairwise_candidates_keyed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pw, "pairwise_candidates_keyed", spy)
+    k, c = 20, 84  # the KB's first-attempt widening for n=20
+    vals, rows, cols = eng.pairwise_topk(corpus, c)
+    assert calls, "keyed pairwise pass was not dispatched"
+    # the margin contract, exactly as _finalize_pairwise runs it:
+    # rescore candidates in f32, take top-k, k-th must clear the
+    # boundary + eps; then the result IS the exhaustive oracle's top-k.
+    exact = np.einsum("ij,ij->i", m[rows], m[cols])
+    order = top_k_numpy(exact, k)
+    v_k = order[-1][0]
+    assert v_k >= float(vals[-1]) + eng.pairwise_eps(corpus), (
+        "margin must clear on a well-separated random corpus"
+    )
+    got = [(int(rows[i]), int(cols[i])) for _, i in order]
+    iu = np.triu_indices(n_valid, 1)
+    flat = (m @ m.T)[iu]
+    oracle = top_k_numpy(flat, k)
+    want = [(int(iu[0][i]), int(iu[1][i])) for _, i in oracle]
+    assert got == want

@@ -533,3 +533,127 @@ def test_stress_oracle_smoke(monkeypatch, tmp_path):
     importlib.reload(stress)  # re-read the SMOKE env gate
     monkeypatch.setattr(stress, "WORK", tmp_path)
     stress.main(seed=1)
+
+
+# --- keyed pairwise candidate pass ------------------------------------------
+
+
+def test_pairwise_keys_extract_matches_key_oracle():
+    """The raw kernel: per-512-subtile top-8 PACKED keys of a score
+    matrix must equal the NumPy key oracle bit-for-bit (same f32 quantize
+    formula), dead out-lanes must be KEY_DEAD, and PAIR_MASKED sentinels
+    must decode to exactly -2.0."""
+    from svs_tpu.ops import pallas_extract as pe
+
+    rng = np.random.default_rng(3)
+    r, n = 8, 2 * pe.PAIR_BLOCK_N
+    scores = (rng.random((r, n)) * 2.0 - 1.0).astype(np.float32)
+    scores[:, 512:1024] = pe.PAIR_MASKED  # subtile 1 fully masked
+    out = np.asarray(
+        pe.pairwise_keys_extract(jnp.asarray(scores), interpret=True)
+    )
+    lane = np.arange(pe.FUSED_SUBTILE, dtype=np.float32)
+    for blk in range(n // pe.PAIR_BLOCK_N):
+        tile = out[:, blk * 128 : (blk + 1) * 128]
+        assert (tile[:, pe.PAIR_KEYS :] == pe.KEY_DEAD).all()
+        for s in range(pe.PAIR_NSUB):
+            c0 = blk * pe.PAIR_BLOCK_N + s * pe.FUSED_SUBTILE
+            sub = scores[:, c0 : c0 + pe.FUSED_SUBTILE]
+            keys = (
+                np.floor(
+                    (sub + np.float32(pe.KEY_BIAS))
+                    * np.float32(pe.KEY_QSCALE)
+                )
+                * np.float32(pe.FUSED_SUBTILE)
+                + lane
+            ).astype(np.float32)
+            want = -np.sort(-keys, axis=1)[:, : pe.EXTRACT_H]
+            got = tile[:, s * pe.EXTRACT_H : (s + 1) * pe.EXTRACT_H]
+            np.testing.assert_array_equal(got, want, err_msg=f"b{blk} s{s}")
+    # sentinel decode: a masked subtile's keys decode to exactly -2.0
+    dec = np.asarray(pe._key_vals(jnp.asarray(out[:, 8:16])))  # cols 512..1023
+    assert (dec == pe.PAIR_MASKED).all()
+
+
+@pytest.mark.parametrize("precision", ["f32", "int8"])
+def test_pairwise_candidates_keyed_soundness(unit_rows, precision):
+    """THE keyed-pairwise contract _finalize_pairwise stands on: every
+    pair NOT among the returned candidates scores (in the prescore
+    domain) at most ``vals[-1] + KEY_EPS``, candidate (row, col) tuples
+    are valid/unique upper-triangle, and each candidate's decoded value
+    sits within KEY_EPS of its exact prescore."""
+    from svs_tpu.ops.pairwise import keyed_pairwise_route, pairwise_candidates_keyed
+    from svs_tpu.ops.pallas_extract import KEY_EPS
+    from svs_tpu.ops.quant import quantize_rows_int8
+
+    n_pad, n_valid, d, c = 4096, 500, 32, 50
+    m = unit_rows(n_valid, d)
+    docs = np.zeros((n_pad, d), np.float32)
+    docs[:n_valid] = m
+    assert keyed_pairwise_route(n_pad, 256, c)
+    if precision == "int8":
+        data, scales = quantize_rows_int8(jnp.asarray(docs))
+        dq = np.asarray(data, np.float32) * np.asarray(scales)[:, None]
+        S = dq[:n_valid] @ dq[:n_valid].T  # the prescore domain
+    else:
+        data, scales = jnp.asarray(docs), None
+        S = m @ m.T
+    vals, rows, cols, ok = pairwise_candidates_keyed(
+        data, jnp.int32(n_valid), c, block_rows=256, row_scales=scales
+    )
+    assert ok
+    vals, rows, cols = map(np.asarray, (vals, rows, cols))
+    assert (cols > rows).all() and (cols < n_valid).all() and (rows >= 0).all()
+    pairs = set(zip(rows.tolist(), cols.tolist()))
+    assert len(pairs) == c  # no duplicates
+    iu = np.triu_indices(n_valid, 1)
+    hidden = np.ones(len(iu[0]), bool)
+    pair_pos = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(*iu))}
+    for p in pairs:
+        hidden[pair_pos[p]] = False
+    # soundness bound (1e-5 covers the f32 matmul associativity slack)
+    assert S[iu][hidden].max() <= vals[-1] + KEY_EPS + 1e-5
+    # decode accuracy (all but the boundary slot, which may be inflated
+    # to the hidden-pair bound by design)
+    exact_cand = S[rows[: c - 1], cols[: c - 1]]
+    np.testing.assert_array_less(exact_cand - vals[: c - 1], KEY_EPS + 1e-5)
+    np.testing.assert_array_less(vals[: c - 1] - exact_cand, KEY_EPS + 1e-5)
+
+
+def test_pairwise_candidates_keyed_ok_false_when_pool_starved(unit_rows):
+    """Fewer live pairs than requested candidates: ok must come back
+    False (the engine then uses the exact blocked path)."""
+    from svs_tpu.ops.pairwise import pairwise_candidates_keyed
+
+    n_pad, d = 4096, 16
+    m = unit_rows(3, d)  # 3 docs -> 3 pairs
+    docs = np.zeros((n_pad, d), np.float32)
+    docs[:3] = m
+    vals, rows, cols, ok = pairwise_candidates_keyed(
+        jnp.asarray(docs), jnp.int32(3), 10, block_rows=256
+    )
+    assert not ok
+
+
+def test_keyed_pairwise_route_pins_headline_shapes():
+    """Dispatch predicate pinned at the shapes that matter: the 100k-doc
+    headline (padded to 16384-multiples) and the 1M ceiling route keyed;
+    256-multiple small packs and >1M-row pools do not."""
+    from svs_tpu.engine.packing import LARGE_ROW_MULTIPLE
+    from svs_tpu.ops.pairwise import keyed_pairwise_route, keyed_row_width
+
+    n_100k = ((100_000 + LARGE_ROW_MULTIPLE - 1) // LARGE_ROW_MULTIPLE) * LARGE_ROW_MULTIPLE
+    assert n_100k == 114_688
+    assert keyed_pairwise_route(n_100k, 256, 12_500)
+    assert keyed_row_width(12_500, n_100k) == 64
+    # widened retries move to the wider per-row width, still routed
+    assert keyed_pairwise_route(n_100k, 256, 50_000)
+    assert keyed_row_width(50_000, n_100k) == 512
+    # ...and past the c ceiling the exact path takes over (the hidden
+    # tail bound is c-independent: more widening could never converge)
+    assert not keyed_pairwise_route(n_100k, 256, 200_000)
+    # 1M padded rows: the last supported pool size
+    assert keyed_pairwise_route(1 << 20, 256, 12_500)
+    assert not keyed_pairwise_route((1 << 20) + LARGE_ROW_MULTIPLE, 256, 100)
+    # small packs pad to 256-multiples -> not 4096-aligned -> exact path
+    assert not keyed_pairwise_route(100_096, 256, 1000)
