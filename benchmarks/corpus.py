@@ -73,10 +73,21 @@ def query_embedder(dim: int, seed: int = 7) -> "Callable[[List[str]], Awaitable[
     return embed
 
 
-def ensure_bench_kb(n: int, dim: int, seed: int = 7) -> Path:
-    """Build (once) and return the path of the benchmark KB."""
+def ensure_bench_kb(
+    n: int, dim: int, seed: int = 7, dupe_frac: float = 0.0
+) -> Path:
+    """Build (once) and return the path of the benchmark KB.
+
+    ``dupe_frac`` > 0 plants that fraction of rows as near-duplicates of
+    other rows in the same insert chunk (perturbed copies, cosine ~0.94) —
+    the shape a real dedup corpus has, where the top pairs separate from
+    the random bulk (~0.16 max at 100k) by a wide margin.  The default
+    flat-random corpus is near-adversarial for the keyed pairwise margin
+    (every top pair sits in the bulk's extreme tail); both are benchmarked.
+    """
     CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    path = CACHE_DIR / f"kb_{n}_{dim}_{seed}.sqlite"
+    tag = f"_dup{int(dupe_frac * 100)}" if dupe_frac else ""
+    path = CACHE_DIR / f"kb_{n}_{dim}_{seed}{tag}.sqlite"
     marker = Path(f"{path}.done")
     if marker.exists():
         return path
@@ -104,6 +115,18 @@ def ensure_bench_kb(n: int, dim: int, seed: int = 7) -> Path:
             while done < n:
                 count = min(_CHUNK, n - done)
                 block = _rows(rng, count, dim)
+                n_dupes = int(count * dupe_frac)
+                if n_dupes:
+                    # Last n_dupes rows become perturbed copies of distinct
+                    # earlier rows in this chunk: cos ~ 1/sqrt(1+0.35^2).
+                    srcs = rng.permutation(count - n_dupes)[:n_dupes]
+                    noise = rng.standard_normal((n_dupes, dim)).astype(
+                        np.float32
+                    )
+                    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+                    dup = block[srcs] + 0.35 * noise
+                    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+                    block[count - n_dupes:] = dup
                 blobs = matrix_rows_to_blobs(block)
                 tx.add_docs_bulk(
                     [f"doc {done + i}" for i in range(count)], blobs
