@@ -57,7 +57,11 @@ def run_one(label: str, dupe_frac: float) -> None:
           f"({path})", flush=True)
 
     counter = _WidenCounter()
-    logging.getLogger("svs_tpu.kb").addHandler(counter)
+    kb_log = logging.getLogger("svs_tpu.kb")
+    kb_log.addHandler(counter)
+    # Handlers only see records that pass the LOGGER's level check; the
+    # widen message is INFO, so the default WARNING level would hide it.
+    kb_log.setLevel(logging.INFO)
     kb = KB(path, query_embedder(DIM))
     try:
         t0 = time.perf_counter()

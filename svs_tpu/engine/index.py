@@ -222,6 +222,38 @@ def _final_from_packed(
     return final_select_wire(exact, emb_of, tail_bits, k)
 
 
+@jax.jit
+def _pairwise_rescore_from_rows(
+    dev_f32: jax.Array,
+    dev_map: Optional[jax.Array],
+    rows_a: jax.Array,
+    rows_b: jax.Array,
+) -> jax.Array:
+    """Exact f32 scores for candidate PAIRS from the HBM rescore mirror:
+    gather both rows of each pair on-device and dot them — one batched
+    vector-vector ``dot_general`` — so the host fetches C floats instead
+    of gathering 2·C·d candidate bytes itself (measured: the 614 MB host
+    gather at C=50k intermittently costs seconds of kernel time on small
+    VMs; the device fetch is ~200 KB).  ``dev_map is None`` vs not are
+    separate traces (static pytree structure).
+
+    For f32 corpora ``dev_f32`` is the padded pack itself — zero padding
+    columns contribute nothing to a row·row dot, so no width slicing is
+    needed.  HIGHEST: this result is treated as the exact-f32 rescore the
+    pairwise margin proof stands on (see ``_rescore_from_packed``)."""
+    ga = rows_a if dev_map is None else dev_map[rows_a]
+    gb = rows_b if dev_map is None else dev_map[rows_b]
+    va = dev_f32[ga]  # [C, d] gather in HBM
+    vb = dev_f32[gb]
+    return jax.lax.dot_general(
+        va,
+        vb,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("wide",))
 def _pack_results(vals: jax.Array, idx: jax.Array, wide: bool = False) -> jax.Array:
     """One-dispatch packing for paths that return (vals, idx) pairs; see
@@ -1728,3 +1760,36 @@ class RetrievalEngine:
             np.asarray(rows, dtype=np.int64),
             np.asarray(cols, dtype=np.int64),
         )
+
+    def pairwise_rescore(
+        self, corpus: PackedCorpus, rows_a: np.ndarray, rows_b: np.ndarray
+    ) -> Optional[np.ndarray]:
+        """Exact f32 scores for the candidate pairs ``(rows_a[i],
+        rows_b[i])`` (pack-row indices), gathered and dotted on-device
+        from the HBM rescore mirror when one is available — ``None``
+        means no mirror (mesh shards, policy ``device_rescore='host'``,
+        budget exceeded, no f32 cache yet): callers fall back to the
+        host gather in ``kb._finalize_pairwise``.  Pads the pair count
+        to an 8192 bucket so the widen ladder reuses compiled traces."""
+        if self.mesh is not None or corpus.n_padded >= 2**31:
+            return None
+        self._maybe_build_device_rescore(corpus)
+        if corpus.dev_rescore is None:
+            return None
+        dev_f32, dev_map = corpus.dev_rescore
+        c = int(len(rows_a))
+        if c == 0:
+            return np.zeros((0,), dtype=np.float32)
+        ra = np.asarray(rows_a, dtype=np.int32)
+        rb = np.asarray(rows_b, dtype=np.int32)
+        pad = (-c) % 8192
+        if pad:
+            ra = np.concatenate([ra, np.zeros((pad,), dtype=np.int32)])
+            rb = np.concatenate([rb, np.zeros((pad,), dtype=np.int32)])
+        out = _pairwise_rescore_from_rows(
+            dev_f32,
+            dev_map,
+            jax.device_put(ra, self.device),
+            jax.device_put(rb, self.device),
+        )
+        return np.asarray(out, dtype=np.float32)[:c]

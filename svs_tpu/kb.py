@@ -40,6 +40,7 @@ from pathlib import Path
 from typing import (
     Any,
     AsyncIterator,
+    Callable,
     Dict,
     Iterator,
     List,
@@ -526,10 +527,21 @@ def _finalize_pairwise(
     k: int,
     rescore: bool,
     pre_eps: Optional[float] = None,
+    device_rescorer: Optional[
+        Callable[[np.ndarray, np.ndarray], Optional[np.ndarray]]
+    ] = None,
 ) -> Optional[List[Tuple[float, DocumentRecord, DocumentRecord]]]:
     """Hydrate top pairs; optionally f32-rescore the candidate pairs.
     Returns ``None`` when the verified-exactness margin check fails (same
-    contract as :func:`_finalize_batch`)."""
+    contract as :func:`_finalize_batch`).
+
+    ``device_rescorer`` (``RetrievalEngine.pairwise_rescore`` bound to
+    this corpus) computes the exact pair scores on-device from the HBM
+    f32 mirror; when it declines (``None``) the host gathers — in
+    fixed-size blocks, because one flat gather materializes 2·C·d f32
+    bytes (614 MB at C=50k, d=1536) and the mmap/munmap churn of
+    transients that size measured seconds of kernel time per call on
+    small VMs."""
     emb_a = corpus.emb_ids[rows_a]
     emb_b = corpus.emb_ids[rows_b]
     n_pairs = len(emb_a)
@@ -537,21 +549,33 @@ def _finalize_pairwise(
         return []
     total_pairs = corpus.n_valid * (corpus.n_valid - 1) // 2
     if rescore:
-        if corpus.host_f32 is not None:
+        exact: Optional[np.ndarray] = None
+        if device_rescorer is not None:
+            exact = device_rescorer(
+                np.asarray(rows_a), np.asarray(rows_b)
+            )
+        if exact is None and corpus.host_f32 is not None:
             ra = np.asarray(rows_a, dtype=np.int64)
             rb = np.asarray(rows_b, dtype=np.int64)
             if corpus.host_row_map is not None:
                 ra = corpus.host_row_map[ra]
                 rb = corpus.host_row_map[rb]
-            va = corpus.host_f32[ra]
-            vb = corpus.host_f32[rb]
-        else:
+            host = corpus.host_f32
+            exact = np.empty((n_pairs,), dtype=np.float32)
+            blk = 4096  # caps gathered transients at ~2*blk*d*4 bytes
+            for i in range(0, n_pairs, blk):
+                exact[i : i + blk] = np.einsum(
+                    "ij,ij->i",
+                    host[ra[i : i + blk]],
+                    host[rb[i : i + blk]],
+                )
+        elif exact is None:
             unique = sorted(set(map(int, emb_a)) | set(map(int, emb_b)))
             vectors = tx.fetch_embedding_rows(unique)
             pos = {e: i for i, e in enumerate(unique)}
             va = vectors[[pos[int(e)] for e in emb_a]]
             vb = vectors[[pos[int(e)] for e in emb_b]]
-        exact = np.einsum("ij,ij->i", va, vb)
+            exact = np.einsum("ij,ij->i", va, vb)
         order = top_k_numpy(exact, k)
         triples = [
             (score, int(emb_a[i]), int(emb_b[i])) for score, i in order
@@ -1257,6 +1281,8 @@ class AsyncKB:
                         return _finalize_pairwise(
                             tx, corpus, vals, rows_a, rows_b, n,
                             self.engine.rescore, pre_eps,
+                            device_rescorer=lambda ra, rb:
+                                self.engine.pairwise_rescore(corpus, ra, rb),
                         )
 
                 results = await loop.run_in_executor(None, heavy)
@@ -1697,6 +1723,8 @@ class KB:
                     results = _finalize_pairwise(
                         tx, corpus, vals, rows_a, rows_b, n,
                         self.engine.rescore, pre_eps,
+                        device_rescorer=lambda ra, rb:
+                            self.engine.pairwise_rescore(corpus, ra, rb),
                     )
             if results is not None:
                 return results

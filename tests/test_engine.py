@@ -1087,3 +1087,52 @@ def test_keyed_pairwise_dispatch_eps_and_verified_result(monkeypatch, unit_rows)
     oracle = top_k_numpy(flat, k)
     want = [(int(iu[0][i]), int(iu[1][i])) for _, i in oracle]
     assert got == want
+
+
+def test_pairwise_rescore_device_matches_numpy(db_path, unit_rows):
+    """``pairwise_rescore`` gathers both rows of each pair from the HBM
+    mirror and dots them on-device; values must match the host f32 dot to
+    accumulation tolerance, for bf16 (mirror) and f32 (pack-as-mirror)
+    corpora, including the 8192-bucket padding path."""
+    for precision in ("bf16", "f32"):
+        m = unit_rows(150, 16)
+        db = _fill(db_path, m)
+        eng = RetrievalEngine(precision=precision)
+        corpus = eng.ensure_fresh(db)
+        rng = np.random.default_rng(3)
+        ra = rng.integers(0, 150, size=777).astype(np.int64)
+        rb = rng.integers(0, 150, size=777).astype(np.int64)
+        exact = eng.pairwise_rescore(corpus, ra, rb)
+        assert exact is not None and exact.shape == (777,)
+        assert exact.dtype == np.float32
+        # pack rows -> original rows via emb ids (emb id = row + 1 here)
+        oa = np.asarray(corpus.emb_ids)[ra] - 1
+        ob = np.asarray(corpus.emb_ids)[rb] - 1
+        want = np.einsum("ij,ij->i", m[oa], m[ob])
+        np.testing.assert_allclose(exact, want, atol=3e-5)
+        db.close()
+        db_path.unlink()
+
+    # empty pair list short-circuits without a device call
+    db = _fill(db_path, unit_rows(8, 8))
+    eng = RetrievalEngine(precision="bf16")
+    corpus = eng.ensure_fresh(db)
+    out = eng.pairwise_rescore(
+        corpus, np.zeros((0,), np.int64), np.zeros((0,), np.int64)
+    )
+    assert out is not None and out.shape == (0,)
+    db.close()
+
+
+def test_pairwise_rescore_declines_without_mirror(db_path, unit_rows):
+    """Policy 'host' (and any other no-mirror state) returns None so the
+    KB's finalize falls back to the host gather."""
+    m = unit_rows(60, 8)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16", device_rescore="host")
+    corpus = eng.ensure_fresh(db)
+    assert corpus.dev_rescore is None
+    assert eng.pairwise_rescore(
+        corpus, np.arange(4, dtype=np.int64), np.arange(4, dtype=np.int64)
+    ) is None
+    db.close()

@@ -332,3 +332,30 @@ def test_device_rescore_results_match_host_rescore(db_path):
         assert [x["doc"]["id"] for x in dh] == [x["doc"]["id"] for x in hh]
         for a, b in zip(dh, hh):
             assert abs(a["score"] - b["score"]) <= 3e-5
+
+
+def test_device_pairwise_rescore_matches_host_rescore(db_path):
+    """document_top_pairwise_scores under the on-device pair rescore
+    returns the same pairs and ordering as device_rescore='host' (the
+    blocked host-gather path); scores agree to f32 accumulation
+    tolerance and 'host' mode stays bit-identical to the reference
+    math."""
+    from kb_helpers import make_onehot_embedder
+
+    kb = KB(db_path, make_onehot_embedder(), force_fresh_db=True)
+    with kb.bulk_add_docs() as add:
+        for i in range(14):
+            add(f"vec:{i % 7}")  # planted duplicates -> strong top pairs
+    corpus = kb._ensure_engine_fresh()
+    assert corpus.dev_rescore is not None  # mirror built on CPU backend
+    dev_pairs = kb.document_top_pairwise_scores(6)
+    kb.close()
+
+    kb2 = KB(db_path, make_onehot_embedder(), device_rescore="host")
+    host_pairs = kb2.document_top_pairwise_scores(6)
+    kb2.close()
+
+    assert len(dev_pairs) == len(host_pairs) == 6
+    for (sa, da1, da2), (sb, db1, db2) in zip(dev_pairs, host_pairs):
+        assert (da1["id"], da2["id"]) == (db1["id"], db2["id"])
+        assert abs(sa - sb) <= 3e-5
