@@ -311,6 +311,7 @@ class RetrievalEngine:
         #: Learned candidate-width hints per final-k, as (width, streak)
         #: — see :meth:`initial_candidates`.
         self._cand_hint: Dict[int, Tuple[int, int]] = {}
+        self._pair_hint: Dict[int, Tuple[int, int]] = {}
         self.precision = precision
         #: Exact f32 re-ranking of the device candidate set.  Defaults on
         #: for EVERY precision: beyond undoing storage quantization, the
@@ -1306,30 +1307,77 @@ class RetrievalEngine:
         static shapes, so XLA's compile cache always hits (a
         continuously-decaying width recompiled the whole search pipeline
         EVERY batch — measured 32 s/batch on v5e)."""
-        c = self.candidate_count(k)
-        hint = self._cand_hint.get(k)
-        if hint is not None:
-            c = max(c, hint[0])
+        c = self._hinted_width(self._cand_hint, self.candidate_count(k), k)
         return min(c, n_valid) if n_valid > 0 else c
 
     def record_candidates(self, k: int, c_final: int, widened: bool) -> None:
         """Feed the widen loop's outcome back into the width hint."""
-        base = self.candidate_count(k)
+        self._record_width(
+            self._cand_hint, self.candidate_count(k), k, c_final, widened
+        )
+
+    @staticmethod
+    def pairwise_candidate_base(k: int) -> int:
+        """The KB's first-attempt pairwise over-provisioning (mirror of
+        :meth:`candidate_count` for the pair ladder)."""
+        return max(k + 64, k * 5 // 4)
+
+    def initial_pairwise_candidates(self, k: int, n_valid: int) -> int:
+        """First-attempt pairwise candidate width with the learned
+        per-``k`` hint applied — same design and rationale as
+        :meth:`initial_candidates` (hints live on the ×4 widen ladder so
+        every width is a recurring static shape; see that docstring).
+        Flat score distributions fail the pairwise margin at the base
+        width on EVERY call, each failure costing a full candidate pass
+        + rescore — the hint makes steady state one pass."""
+        c = self._hinted_width(
+            self._pair_hint, self.pairwise_candidate_base(k), k
+        )
+        total = n_valid * (n_valid - 1) // 2
+        return min(c, total) if total > 0 else c
+
+    def record_pairwise_candidates(
+        self, k: int, c_final: int, widened: bool
+    ) -> None:
+        """Feed the pairwise widen loop's outcome back into its hint."""
+        self._record_width(
+            self._pair_hint,
+            self.pairwise_candidate_base(k),
+            k,
+            c_final,
+            widened,
+        )
+
+    @staticmethod
+    def _hinted_width(
+        hints: Dict[int, Tuple[int, int]], base: int, k: int
+    ) -> int:
+        hint = hints.get(k)
+        return base if hint is None else max(base, hint[0])
+
+    def _record_width(
+        self,
+        hints: Dict[int, Tuple[int, int]],
+        base: int,
+        k: int,
+        c_final: int,
+        widened: bool,
+    ) -> None:
         if widened:
-            self._cand_hint[k] = (c_final, 0)
+            hints[k] = (c_final, 0)
             return
-        hint = self._cand_hint.get(k)
+        hint = hints.get(k)
         if hint is None:
             return
         c_hint, streak = hint
         if streak + 1 >= self.HINT_PROBE_STREAK:
             narrower = max(base, c_hint // 4)
             if narrower <= base:
-                self._cand_hint.pop(k, None)
+                hints.pop(k, None)
             else:
-                self._cand_hint[k] = (narrower, 0)
+                hints[k] = (narrower, 0)
         else:
-            self._cand_hint[k] = (c_hint, streak + 1)
+            hints[k] = (c_hint, streak + 1)
 
     def _keyed_selection_possible(
         self, corpus: PackedCorpus, b: int, k: int

@@ -1262,9 +1262,12 @@ class AsyncKB:
         if corpus.n_valid < 2 or n <= 0:
             return []
         c = n
+        c0 = None
         pre_eps = None
         if self.engine.rescore:
-            c = max(n + 64, int(n * 5 // 4))
+            c0 = c = self.engine.initial_pairwise_candidates(
+                n, corpus.n_valid
+            )
             pre_eps = self.engine.pairwise_eps(corpus)
         total_pairs = corpus.n_valid * (corpus.n_valid - 1) // 2
         while True:
@@ -1287,6 +1290,10 @@ class AsyncKB:
 
                 results = await loop.run_in_executor(None, heavy)
             if results is not None:
+                if c0 is not None:
+                    self.engine.record_pairwise_candidates(
+                        n, c, widened=(c != c0)
+                    )
                 return results
             c = min(total_pairs, c * 4)
             log.info("pairwise rescore margin insufficient; widening to %d", c)
@@ -1710,9 +1717,12 @@ class KB:
         if corpus.n_valid < 2 or n <= 0:
             return []
         c = n
+        c0 = None
         pre_eps = None
         if self.engine.rescore:
-            c = max(n + 64, int(n * 5 // 4))
+            c0 = c = self.engine.initial_pairwise_candidates(
+                n, corpus.n_valid
+            )
             pre_eps = self.engine.pairwise_eps(corpus)
         total_pairs = corpus.n_valid * (corpus.n_valid - 1) // 2
         while True:
@@ -1727,6 +1737,10 @@ class KB:
                             self.engine.pairwise_rescore(corpus, ra, rb),
                     )
             if results is not None:
+                if c0 is not None:
+                    self.engine.record_pairwise_candidates(
+                        n, c, widened=(c != c0)
+                    )
                 return results
             c = min(total_pairs, c * 4)
             log.info("pairwise rescore margin insufficient; widening to %d", c)

@@ -1136,3 +1136,27 @@ def test_pairwise_rescore_declines_without_mirror(db_path, unit_rows):
         corpus, np.arange(4, dtype=np.int64), np.arange(4, dtype=np.int64)
     ) is None
     db.close()
+
+
+def test_pairwise_width_hint_learns_and_decays():
+    """initial_pairwise_candidates mirrors the retrieve-side hint: starts
+    at the learned width after a widen, steps back down the x4 ladder
+    after a streak of first-try successes, and every width emitted is a
+    recurring static shape (the ladder values)."""
+    eng = RetrievalEngine(precision="bf16")
+    base = eng.pairwise_candidate_base(10_000)
+    assert base == 12_500
+    assert eng.initial_pairwise_candidates(10_000, 10**6) == base
+    eng.record_pairwise_candidates(10_000, 50_000, widened=True)
+    assert eng.initial_pairwise_candidates(10_000, 10**6) == 50_000
+    # clamped by the pair count
+    assert eng.initial_pairwise_candidates(10_000, 300) == 300 * 299 // 2
+    seen = set()
+    for _ in range(2 * eng.HINT_PROBE_STREAK + 2):
+        c = eng.initial_pairwise_candidates(10_000, 10**6)
+        seen.add(c)
+        eng.record_pairwise_candidates(10_000, c, widened=False)
+    assert eng.initial_pairwise_candidates(10_000, 10**6) == base
+    assert seen <= {base, 50_000}
+    # pair and retrieve hints are independent tables
+    assert eng.initial_candidates(10_000, 10**6) == eng.candidate_count(10_000)

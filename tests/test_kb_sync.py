@@ -359,3 +359,32 @@ def test_device_pairwise_rescore_matches_host_rescore(db_path):
     for (sa, da1, da2), (sb, db1, db2) in zip(dev_pairs, host_pairs):
         assert (da1["id"], da2["id"]) == (db1["id"], db2["id"])
         assert abs(sa - sb) <= 3e-5
+
+
+def test_pairwise_widen_teaches_width_hint(db_path, monkeypatch):
+    """A pairwise call that had to widen teaches the engine's hint, so
+    the NEXT call starts at the working width (one candidate pass)."""
+    from kb_helpers import make_onehot_embedder
+
+    kb = KB(db_path, make_onehot_embedder(), force_fresh_db=True)
+    with kb.bulk_add_docs() as add:
+        for i in range(30):
+            add(f"vec:{i % 15}")
+
+    widths = []
+    real = kb.engine.pairwise_topk
+
+    def spy(corpus, c):
+        widths.append(c)
+        return real(corpus, c)
+
+    monkeypatch.setattr(kb.engine, "pairwise_topk", spy)
+    first = kb.document_top_pairwise_scores(5)
+    n_first = len(widths)
+    second = kb.document_top_pairwise_scores(5)
+    assert first == second
+    if n_first > 1:  # the first call widened: the hint must stick
+        assert widths[n_first:] == [widths[n_first - 1]]
+    else:  # no widen needed: the second call repeats the base width
+        assert widths == [widths[0]] * 2
+    kb.close()
