@@ -1,0 +1,118 @@
+"""HTTP serving load benchmark: measured QPS through the full facade.
+
+Drives ``svs_tpu.serve`` over loopback HTTP against the cached benchmark
+corpus — request parsing, micro-batch coalescing (power-of-two ``n``
+buckets), the device pipeline, and JSON hydration all included — with C
+concurrent closed-loop clients.  This is the serving-throughput analog
+of ``bench.py``'s full-stack phase (reference has no serving facade at
+all; its single-process sync ``retrieve`` measures 240 ms/query at 1M:
+``/root/reference/README.md:129``).
+
+Run on the TPU box:  python benchmarks/tpu_serve_load.py [n_docs] [clients] [seconds]
+"""
+
+from __future__ import annotations
+
+import asyncio
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from corpus import ensure_bench_kb, query_embedder  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+CLIENTS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+SECONDS = float(sys.argv[3]) if len(sys.argv) > 3 else 30.0
+DIM = 1536
+TOP_N = 10
+PORT = 8765
+
+
+async def run() -> None:
+    import aiohttp
+    from aiohttp import web
+
+    from svs_tpu import AsyncKB
+    from svs_tpu.serve import make_app
+
+    path = ensure_bench_kb(N, DIM)
+    kb = AsyncKB(path, query_embedder(DIM))
+    t0 = time.perf_counter()
+    await kb.load()
+    print(f"load {time.perf_counter() - t0:.1f}s", flush=True)
+
+    app = make_app(kb)
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, "127.0.0.1", PORT)
+    await site.start()
+
+    url = f"http://127.0.0.1:{PORT}/retrieve"
+    lat: list = []
+    errors = [0]
+    stop = time.perf_counter() + SECONDS
+
+    async def client(cid: int, session: "aiohttp.ClientSession") -> None:
+        i = 0
+        while time.perf_counter() < stop:
+            q = f"query {cid}-{i}"
+            i += 1
+            t = time.perf_counter()
+            async with session.post(
+                url, json={"query": q, "n": TOP_N}
+            ) as resp:
+                body = await resp.json()
+                if resp.status != 200 or len(body["results"]) != TOP_N:
+                    errors[0] += 1
+                    continue
+            lat.append(time.perf_counter() - t)
+
+    async with aiohttp.ClientSession() as session:
+        # warm the device pipeline (compile) before the timed window
+        async with session.post(
+            url, json={"query": "warmup", "n": TOP_N}
+        ) as resp:
+            await resp.json()
+            assert resp.status == 200
+        t0 = time.perf_counter()
+        await asyncio.gather(*(client(c, session) for c in range(CLIENTS)))
+        wall = time.perf_counter() - t0
+
+        async with session.get(
+            f"http://127.0.0.1:{PORT}/stats"
+        ) as resp:
+            stats = await resp.json()
+
+    await runner.cleanup()
+    await kb.close()
+
+    lat.sort()
+    n_ok = len(lat)
+    srv = stats["server"]
+    print(
+        f"docs={N} clients={CLIENTS} window={wall:.1f}s  "
+        f"ok={n_ok} errors={errors[0]}",
+        flush=True,
+    )
+    if n_ok:
+        print(
+            f"QPS {n_ok / wall:,.0f}  "
+            f"latency p50 {lat[n_ok // 2] * 1e3:.1f} ms  "
+            f"p99 {lat[int(n_ok * 0.99)] * 1e3:.1f} ms  "
+            f"avg_batch {srv['avg_batch']:.1f}  shed {srv['shed']}",
+            flush=True,
+        )
+
+
+def main() -> None:
+    import jax
+
+    print("device:", jax.devices()[0], flush=True)
+    asyncio.run(run())
+
+
+if __name__ == "__main__":
+    main()
