@@ -53,7 +53,9 @@ async def run() -> None:
     url = f"http://127.0.0.1:{PORT}/retrieve"
     lat: list = []
     errors = [0]
-    stop = time.perf_counter() + SECONDS
+    # set AFTER warmup (the first request pays compile + first device step —
+    # minutes on a tunneled TPU — which must not eat the timed window)
+    stop = 0.0
 
     async def client(cid: int, session: "aiohttp.ClientSession") -> None:
         i = 0
@@ -70,13 +72,18 @@ async def run() -> None:
                     continue
             lat.append(time.perf_counter() - t)
 
-    async with aiohttp.ClientSession() as session:
+    # no client timeout: the warmup request pays compile + first device
+    # step, which exceeds aiohttp's 5-minute default on a tunneled TPU
+    async with aiohttp.ClientSession(
+        timeout=aiohttp.ClientTimeout(total=None)
+    ) as session:
         # warm the device pipeline (compile) before the timed window
         async with session.post(
             url, json={"query": "warmup", "n": TOP_N}
         ) as resp:
             await resp.json()
             assert resp.status == 200
+        stop = time.perf_counter() + SECONDS
         t0 = time.perf_counter()
         await asyncio.gather(*(client(c, session) for c in range(CLIENTS)))
         wall = time.perf_counter() - t0

@@ -76,6 +76,7 @@ from .types import (
     DocumentQuerier,
     DocumentRecord,
     EdgeId,
+    EdgeRecord,
     EmbeddingFunc,
     GraphInterface,
     KeyValueInterface,
@@ -233,6 +234,20 @@ def _prebuilt_record(
         },
         meta_str,
     )
+
+
+def _edge_record(
+    row: "Tuple[EdgeId, DocumentId, DocumentId, DocumentId, Optional[float], bool]",
+) -> EdgeRecord:
+    edge_id, a, b, r, w, d = row
+    return {
+        "id": edge_id,
+        "a": a,
+        "b": b,
+        "relationship": r,
+        "weight": w,
+        "directed": d,
+    }
 
 
 class DocRowCache:
@@ -1059,6 +1074,16 @@ class AsyncKB:
                         async with call_lock:
                             await loop.run_in_executor(None, tx.del_edge, edge_id)
 
+                    async def edges(
+                        self, limit: Optional[int] = None, offset: int = 0
+                    ) -> List[EdgeRecord]:
+                        assert in_context, _OUT_OF_CONTEXT
+                        async with call_lock:
+                            rows = await loop.run_in_executor(
+                                None, tx.list_edges, limit, offset
+                            )
+                        return [_edge_record(row) for row in rows]
+
                     async def build_networkx_graph(
                         self, multigraph: bool = True
                     ) -> NetworkXGraphTypes:
@@ -1581,6 +1606,15 @@ class KB:
                     def del_edge(self, edge_id: EdgeId) -> None:
                         assert in_context, _OUT_OF_CONTEXT
                         tx.del_edge(edge_id)
+
+                    def edges(
+                        self, limit: Optional[int] = None, offset: int = 0
+                    ) -> List[EdgeRecord]:
+                        assert in_context, _OUT_OF_CONTEXT
+                        return [
+                            _edge_record(row)
+                            for row in tx.list_edges(limit, offset)
+                        ]
 
                     def build_networkx_graph(
                         self, multigraph: bool = True

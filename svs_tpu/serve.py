@@ -31,6 +31,18 @@ Routes (JSON in/out):
   ``writable=True``; at most ``MAX_ADD_TEXTS`` per request) -> ``{"ids":
   [int]}``
 - ``POST /delete``    -> ``{"ids": [int]}`` (writable only)
+- ``GET  /doc/{id}``  -> ``{"doc": DocumentRecord}``; 404 unknown id
+- ``GET  /doc/{id}/children`` -> ``{"docs": [DocumentRecord]}``
+- ``GET  /level/{level}``     -> ``{"docs": [...], "truncated": bool}``
+  (at most ``MAX_LEVEL_DOCS`` records per response)
+- ``PUT  /doc/{id}/meta``     -> JSON body = the new meta object or
+  ``null`` (writable only)
+- ``GET  /graph/edges``       -> ``{"edges": [EdgeRecord], "total": N}``
+  (``?limit=`` up to ``MAX_EDGE_LIST``, ``?offset=`` for paging)
+- ``POST /graph/edge``        -> ``{"a": id, "b": id, "relationship": id,
+  "weight"?: float, "directed"?: bool}`` (writable only) ->
+  ``{"edge_id": int}``; 409 on a duplicate ``(a, b, r)`` triplet
+- ``DELETE /graph/edge/{id}`` (writable only); 404 unknown edge
 - ``GET  /kv/{key}``, ``PUT /kv/{key}`` (JSON body = value, writable
   only), ``DELETE /kv/{key}`` (writable only) — the user key/value store
 
@@ -80,6 +92,12 @@ MAX_RETRIEVE_N = 1000
 MAX_ADD_TEXTS = 1000
 #: Upper bound on /pairwise n (pair hydration is 2 docs per pair).
 MAX_PAIRWISE_N = 10_000
+#: Upper bound on documents per /level/{level} response (a level can hold
+#: the whole corpus; the route reports ``truncated`` when it clips).
+MAX_LEVEL_DOCS = 1000
+#: Upper bound on edges per /graph/edges page (and its default page size).
+MAX_EDGE_LIST = 10_000
+DEFAULT_EDGE_LIST = 1000
 #: /healthz doc-count cache lifetime.
 HEALTH_CACHE_S = 1.0
 
@@ -259,6 +277,22 @@ async def _json_body(request: "web.Request") -> Dict[str, Any]:
     return body
 
 
+def _int_match(request: "web.Request", name: str) -> int:
+    """Parse an integer path segment (400 on garbage)."""
+    raw = request.match_info[name]
+    try:
+        return int(raw)
+    except ValueError:
+        raise web.HTTPBadRequest(text=f"'{name}' must be an integer, got {raw!r}")
+
+
+def _int_field(body: Dict[str, Any], name: str) -> int:
+    val = body.get(name)
+    if isinstance(val, bool) or not isinstance(val, int):
+        raise web.HTTPBadRequest(text=f"'{name}' must be an integer")
+    return val
+
+
 def make_app(
     kb: AsyncKB,
     *,
@@ -419,6 +453,104 @@ def make_app(
             raise web.HTTPNotFound(text=f"no such document: {exc}")
         return web.json_response({"deleted": len(ids)})
 
+    async def doc_get(request: "web.Request") -> "web.Response":
+        doc_id = _int_match(request, "id")
+        async with kb.bulk_query_docs() as q:
+            try:
+                doc = await q.query_doc(doc_id)
+            except KeyError:
+                raise web.HTTPNotFound(text=f"no such document: {doc_id}")
+        return web.json_response({"doc": _doc_json(dict(doc))})
+
+    async def doc_children(request: "web.Request") -> "web.Response":
+        doc_id = _int_match(request, "id")
+        async with kb.bulk_query_docs() as q:
+            try:
+                await q.query_doc(doc_id)  # 404 on unknown parent
+            except KeyError:
+                raise web.HTTPNotFound(text=f"no such document: {doc_id}")
+            docs = await q.query_children(doc_id)
+        return web.json_response(
+            {"docs": [_doc_json(dict(d)) for d in docs]}
+        )
+
+    async def doc_level(request: "web.Request") -> "web.Response":
+        level = _int_match(request, "level")
+        async with kb.bulk_query_docs() as q:
+            docs = await q.query_level(level)
+        truncated = len(docs) > MAX_LEVEL_DOCS
+        return web.json_response(
+            {
+                "docs": [_doc_json(dict(d)) for d in docs[:MAX_LEVEL_DOCS]],
+                "truncated": truncated,
+            }
+        )
+
+    async def doc_meta_put(request: "web.Request") -> "web.Response":
+        _require_writable()
+        doc_id = _int_match(request, "id")
+        try:
+            meta = await request.json()
+        except ValueError:
+            raise web.HTTPBadRequest(text="body must be JSON (the new meta)")
+        if meta is not None and not isinstance(meta, dict):
+            raise web.HTTPBadRequest(text="meta must be a JSON object or null")
+        async with kb.bulk_query_docs() as q:
+            try:
+                await q.update_doc_meta(doc_id, meta)
+            except KeyError:
+                raise web.HTTPNotFound(text=f"no such document: {doc_id}")
+        return web.json_response({"id": doc_id, "ok": True})
+
+    async def graph_edges(request: "web.Request") -> "web.Response":
+        try:
+            limit = int(request.query.get("limit", DEFAULT_EDGE_LIST))
+            offset = int(request.query.get("offset", 0))
+        except ValueError:
+            raise web.HTTPBadRequest(text="limit/offset must be integers")
+        if not (0 < limit <= MAX_EDGE_LIST) or offset < 0:
+            raise web.HTTPBadRequest(
+                text=f"limit must be in [1, {MAX_EDGE_LIST}], offset >= 0"
+            )
+        async with kb.bulk_graph_update() as g:
+            total = await g.count_edges()
+            edges = await g.edges(limit, offset)
+        return web.json_response({"edges": edges, "total": total})
+
+    async def graph_edge_add(request: "web.Request") -> "web.Response":
+        _require_writable()
+        body = await _json_body(request)
+        a = _int_field(body, "a")
+        b = _int_field(body, "b")
+        rel = _int_field(body, "relationship")
+        weight = body.get("weight")
+        if weight is not None and not isinstance(weight, (int, float)):
+            raise web.HTTPBadRequest(text="'weight' must be a number")
+        directed = body.get("directed", False)
+        if not isinstance(directed, bool):
+            raise web.HTTPBadRequest(text="'directed' must be a boolean")
+        try:
+            async with kb.bulk_graph_update() as g:
+                if directed:
+                    edge_id = await g.add_directed_edge(a, b, rel, weight)
+                else:
+                    edge_id = await g.add_edge(a, b, rel, weight)
+        except RuntimeError as exc:  # duplicate (a, b, r) triplet
+            # (endpoints are NOT validated: SQLite FK enforcement is off
+            # by default and the reference leaves it off — parity)
+            raise web.HTTPConflict(text=str(exc))
+        return web.json_response({"edge_id": edge_id})
+
+    async def graph_edge_delete(request: "web.Request") -> "web.Response":
+        _require_writable()
+        edge_id = _int_match(request, "id")
+        try:
+            async with kb.bulk_graph_update() as g:
+                await g.del_edge(edge_id)
+        except KeyError:
+            raise web.HTTPNotFound(text=f"no such edge: {edge_id}")
+        return web.json_response({"edge_id": edge_id, "ok": True})
+
     async def kv_get(request: "web.Request") -> "web.Response":
         key = request.match_info["key"]
         async with kb.bulk_keyval_update() as kv:
@@ -461,6 +593,13 @@ def make_app(
     app.router.add_post("/pairwise", pairwise)
     app.router.add_post("/add", add)
     app.router.add_post("/delete", delete)
+    app.router.add_get("/doc/{id}", doc_get)
+    app.router.add_get("/doc/{id}/children", doc_children)
+    app.router.add_get("/level/{level}", doc_level)
+    app.router.add_put("/doc/{id}/meta", doc_meta_put)
+    app.router.add_get("/graph/edges", graph_edges)
+    app.router.add_post("/graph/edge", graph_edge_add)
+    app.router.add_delete("/graph/edge/{id}", graph_edge_delete)
     app.router.add_get("/kv/{key}", kv_get)
     app.router.add_put("/kv/{key}", kv_put)
     app.router.add_delete("/kv/{key}", kv_delete)

@@ -712,6 +712,26 @@ class Tx:
         ):
             yield a, b, r, w, bool(d)
 
+    def list_edges(
+        self, limit: Optional[int] = None, offset: int = 0
+    ) -> List[Tuple[EdgeId, DocumentId, DocumentId, DocumentId, Optional[float], bool]]:
+        """Edge rows as ``(edge_id, a, b, r, w, directed)`` in insertion
+        order, optionally paged — the id-bearing variant of
+        :meth:`iter_edges` (ids are what :meth:`del_edge` consumes, so any
+        caller that wants to enumerate-then-delete needs them)."""
+        sql = "SELECT id, a, b, r, w, d FROM edges ORDER BY id"
+        params: Tuple[int, ...] = ()
+        if limit is not None:
+            sql += " LIMIT ? OFFSET ?"
+            params = (limit, offset)
+        elif offset:
+            sql += " LIMIT -1 OFFSET ?"
+            params = (offset,)
+        return [
+            (i, a, b, r, w, bool(d))
+            for i, a, b, r, w, d in self._conn.execute(sql + ";", params)
+        ]
+
     def build_networkx_graph(self, multigraph: bool = True) -> NetworkXGraphTypes:
         """Materialize the edge table as a NetworkX graph.
 

@@ -63,6 +63,21 @@ class Retrieval(TypedDict):
     doc: DocumentRecord
 
 
+class EdgeRecord(TypedDict):
+    """A single graph edge row, as returned by the graph interfaces'
+    ``edges()`` enumeration (an svs_tpu extension: the reference's graph
+    surface, ``types.py:90-119``, can only export edges through a networkx
+    view, which loses the row id :meth:`del_edge` consumes and the
+    undirected flag whenever any directed edge exists)."""
+
+    id: EdgeId
+    a: DocumentId
+    b: DocumentId
+    relationship: DocumentId
+    weight: Optional[float]
+    directed: bool
+
+
 # --------------------------------------------------------------------------
 # Async interfaces (used by AsyncKB's bulk context managers)
 # --------------------------------------------------------------------------
@@ -140,6 +155,11 @@ class AsyncGraphInterface(abc.ABC):
 
     @abc.abstractmethod
     async def del_edge(self, edge_id: EdgeId) -> None: ...
+
+    @abc.abstractmethod
+    async def edges(
+        self, limit: Optional[int] = None, offset: int = 0
+    ) -> List[EdgeRecord]: ...
 
     @abc.abstractmethod
     async def build_networkx_graph(
@@ -244,6 +264,11 @@ class GraphInterface(abc.ABC):
     def del_edge(self, edge_id: EdgeId) -> None: ...
 
     @abc.abstractmethod
+    def edges(
+        self, limit: Optional[int] = None, offset: int = 0
+    ) -> List[EdgeRecord]: ...
+
+    @abc.abstractmethod
     def build_networkx_graph(self, multigraph: bool = True) -> NetworkXGraphTypes: ...
 
 
@@ -296,6 +321,7 @@ __all__ = [
     "NetworkXGraphTypes",
     "DocumentRecord",
     "Retrieval",
+    "EdgeRecord",
     "AsyncDocumentAdder",
     "AsyncDocumentDeleter",
     "AsyncDocumentQuerier",

@@ -189,6 +189,26 @@ async def test_graph_interface(db_path):
     await kb.close()
 
 
+async def test_graph_edges_enumeration(db_path):
+    """Async mirror of the sync edges() enumeration contract."""
+    kb = AsyncKB(db_path, make_mock_embeddings_func())
+    async with kb.bulk_add_docs() as add:
+        a, b, r = await add("a"), await add("b"), await add("r")
+    async with kb.bulk_graph_update() as g:
+        e1 = await g.add_edge(a, b, r, weight=0.5)
+        e2 = await g.add_directed_edge(b, a, r)
+        rows = await g.edges()
+        assert rows == [
+            {"id": e1, "a": a, "b": b, "relationship": r, "weight": 0.5,
+             "directed": False},
+            {"id": e2, "a": b, "b": a, "relationship": r, "weight": None,
+             "directed": True},
+        ]
+        assert await g.edges(limit=1) == rows[:1]
+        assert await g.edges(limit=5, offset=1) == rows[1:]
+    await kb.close()
+
+
 async def test_pairwise_scores(db_path):
     kb = AsyncKB(db_path, make_angle_embedder())
     async with kb.bulk_add_docs() as add:

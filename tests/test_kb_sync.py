@@ -220,6 +220,32 @@ def test_graph_update_and_networkx(db_path):
     kb.close()
 
 
+def test_graph_edges_enumeration(db_path):
+    """edges() lists id-bearing rows with the undirected flag intact —
+    the enumeration a networkx export loses (svs_tpu extension)."""
+    kb = KB(db_path, make_mock_embeddings_func())
+    with kb.bulk_add_docs() as add:
+        a, b, r = add("a"), add("b"), add("rel")
+    with kb.bulk_graph_update() as g:
+        e1 = g.add_edge(a, b, r, weight=0.5)
+        e2 = g.add_directed_edge(b, a, r)
+        rows = g.edges()
+        assert rows == [
+            {"id": e1, "a": a, "b": b, "relationship": r, "weight": 0.5,
+             "directed": False},
+            {"id": e2, "a": b, "b": a, "relationship": r, "weight": None,
+             "directed": True},
+        ]
+        # paging
+        assert g.edges(limit=1) == rows[:1]
+        assert g.edges(limit=5, offset=1) == rows[1:]
+        assert g.edges(offset=1) == rows[1:]
+        # enumerate-then-delete is the use case ids exist for
+        g.del_edge(rows[0]["id"])
+        assert [e["id"] for e in g.edges()] == [e2]
+    kb.close()
+
+
 def test_pairwise_scores(db_path):
     kb = KB(db_path, make_angle_embedder())
     with kb.bulk_add_docs() as add:

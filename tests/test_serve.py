@@ -417,3 +417,136 @@ async def test_serve_with_replica_engine(db_path):
     finally:
         await client.close()
         await kb.close()
+
+
+async def test_doc_routes(db_path):
+    kb = AsyncKB(db_path, make_onehot_embedder(), force_fresh_db=True)
+    async with kb.bulk_add_docs() as add:
+        root = await add("vec:0", meta={"kind": "root"})
+        kid_a = await add("vec:1", parent_id=root)
+        kid_b = await add("vec:2", parent_id=root)
+    client = await _client(kb, writable=True)
+    try:
+        r = await client.get(f"/doc/{root}")
+        assert r.status == 200
+        doc = (await r.json())["doc"]
+        assert doc["text"] == "vec:0" and doc["meta"] == {"kind": "root"}
+        assert doc["level"] == 0 and doc["embedding"] is True
+
+        assert (await client.get("/doc/999999")).status == 404
+        assert (await client.get("/doc/xyz")).status == 400
+
+        r = await client.get(f"/doc/{root}/children")
+        kids = (await r.json())["docs"]
+        assert {d["id"] for d in kids} == {kid_a, kid_b}
+        assert all(d["level"] == 1 for d in kids)
+        assert (await client.get("/doc/999999/children")).status == 404
+
+        r = await client.get("/level/1")
+        body = await r.json()
+        assert {d["id"] for d in body["docs"]} == {kid_a, kid_b}
+        assert body["truncated"] is False
+        assert (await client.get("/level/7")).status == 200
+
+        r = await client.put(f"/doc/{kid_a}/meta", json={"tag": "x"})
+        assert r.status == 200
+        r = await client.get(f"/doc/{kid_a}")
+        assert (await r.json())["doc"]["meta"] == {"tag": "x"}
+        # json=None means "no body" to the client; send a literal null
+        r = await client.put(
+            f"/doc/{kid_a}/meta", data=b"null",
+            headers={"Content-Type": "application/json"},
+        )
+        assert r.status == 200
+        r = await client.get(f"/doc/{kid_a}")
+        assert (await r.json())["doc"]["meta"] is None
+        assert (
+            await client.put(f"/doc/{kid_a}/meta", json=["not", "a", "dict"])
+        ).status == 400
+        assert (await client.put("/doc/999999/meta", json={})).status == 404
+    finally:
+        await client.close()
+
+    # read-only client over the SAME open KB (closing a force_fresh_db KB
+    # wipes it on reopen — reference parity): queries ok, meta write gated
+    client = await _client(kb)
+    try:
+        assert (await client.get(f"/doc/{root}")).status == 200
+        assert (await client.put(f"/doc/{root}/meta", json={})).status == 403
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_graph_routes(db_path):
+    kb = await _make_kb(db_path, n_docs=4)
+    client = await _client(kb, writable=True)
+    try:
+        r = await client.post(
+            "/graph/edge",
+            json={"a": 1, "b": 2, "relationship": 3, "weight": 0.5},
+        )
+        assert r.status == 200
+        e1 = (await r.json())["edge_id"]
+        r = await client.post(
+            "/graph/edge",
+            json={"a": 2, "b": 3, "relationship": 4, "directed": True},
+        )
+        e2 = (await r.json())["edge_id"]
+
+        # duplicate triplet -> 409 (reference RuntimeError semantics)
+        r = await client.post(
+            "/graph/edge", json={"a": 1, "b": 2, "relationship": 3}
+        )
+        assert r.status == 409
+
+        r = await client.get("/graph/edges")
+        body = await r.json()
+        assert body["total"] == 2
+        assert body["edges"] == [
+            {"id": e1, "a": 1, "b": 2, "relationship": 3, "weight": 0.5,
+             "directed": False},
+            {"id": e2, "a": 2, "b": 3, "relationship": 4, "weight": None,
+             "directed": True},
+        ]
+
+        # paging
+        r = await client.get("/graph/edges?limit=1&offset=1")
+        body = await r.json()
+        assert [e["id"] for e in body["edges"]] == [e2]
+        assert body["total"] == 2
+        assert (await client.get("/graph/edges?limit=0")).status == 400
+        assert (await client.get("/graph/edges?limit=zzz")).status == 400
+
+        # bad bodies
+        assert (
+            await client.post("/graph/edge", json={"a": 1, "b": 2})
+        ).status == 400
+        assert (
+            await client.post(
+                "/graph/edge",
+                json={"a": 1, "b": 2, "relationship": 3, "directed": "yes"},
+            )
+        ).status == 400
+
+        r = await client.delete(f"/graph/edge/{e1}")
+        assert r.status == 200
+        assert (await client.delete(f"/graph/edge/{e1}")).status == 404
+        r = await client.get("/graph/edges")
+        assert (await r.json())["total"] == 1
+    finally:
+        await client.close()
+        await kb.close()
+
+    client = await _client(kb)  # read-only: listing ok, mutation gated
+    try:
+        assert (await client.get("/graph/edges")).status == 200
+        assert (
+            await client.post(
+                "/graph/edge", json={"a": 1, "b": 2, "relationship": 3}
+            )
+        ).status == 403
+        assert (await client.delete("/graph/edge/1")).status == 403
+    finally:
+        await client.close()
+        await kb.close()
