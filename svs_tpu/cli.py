@@ -187,7 +187,7 @@ def main(argv: Optional[list] = None) -> int:
 
     p = sub.add_parser("pack", help="pre-pack the corpus + write sidecar")
     p.add_argument("db")
-    p.add_argument("--precision", choices=["f32", "bf16", "int8"],
+    p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
                    default="bf16")
     p.set_defaults(fn=cmd_pack)
 
@@ -195,7 +195,7 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("db")
     p.add_argument("text")
     p.add_argument("-n", type=int, default=10)
-    p.add_argument("--precision", choices=["f32", "bf16", "int8"],
+    p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
                    default="bf16")
     p.set_defaults(fn=cmd_query)
 
@@ -236,7 +236,7 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--max-queue", type=int, default=None,
                    help="pending-request bound before 429 shedding "
                    "(default: 16 x max-batch)")
-    p.add_argument("--precision", choices=["f32", "bf16", "int8"],
+    p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
                    default="bf16")
     p.add_argument("--replicas", type=int, default=None,
                    help="replicate the corpus to the first N devices and "

@@ -277,7 +277,7 @@ class RetrievalEngine:
         kernel: str = "auto",
         device_rescore: str = "auto",
     ) -> None:
-        if precision not in ("f32", "bf16", "int8"):
+        if precision not in ("auto", "f32", "bf16", "int8"):
             raise ValueError(f"unknown precision: {precision!r}")
         if device_rescore not in ("auto", "host"):
             raise ValueError(
@@ -312,6 +312,8 @@ class RetrievalEngine:
         #: — see :meth:`initial_candidates`.
         self._cand_hint: Dict[int, Tuple[int, int]] = {}
         self._pair_hint: Dict[int, Tuple[int, int]] = {}
+        #: Precision as requested; ``self.precision`` is always concrete.
+        self.requested_precision = precision
         self.precision = precision
         #: Exact f32 re-ranking of the device candidate set.  Defaults on
         #: for EVERY precision: beyond undoing storage quantization, the
@@ -333,6 +335,30 @@ class RetrievalEngine:
                 model_axis = "model"
         self.data_axis = data_axis
         self.model_axis = model_axis
+        if self.precision == "auto":
+            # 'auto' = the fastest storage whose RESULTS are still exact.
+            # With the verified rescore on, returned scores are exact f32
+            # dots of the original vectors for every storage precision
+            # (the prescore only proposes candidates; the margin proof +
+            # widen-retry guarantees coverage) — so pick int8: its HBM
+            # read is half of bf16's and the measured device step is
+            # ~1.4-2x faster at equal exactness (BENCHMARKS.md).  Fall
+            # back to bf16 where the int8 path doesn't apply: rescore
+            # disabled (raw prescore order would be quantized), 'host'
+            # device_rescore (candidate widths amplify the host gather),
+            # kernel='pallas' (float-only kernels), and dim-sharded 2-D
+            # meshes (per-row int8 scales can't shard over the model
+            # axis).
+            self.precision = (
+                "int8"
+                if (
+                    self.rescore
+                    and device_rescore == "auto"
+                    and kernel != "pallas"
+                    and self.model_axis is None
+                )
+                else "bf16"
+            )
         self.device = device
         self._corpus: Optional[PackedCorpus] = None
         self._fingerprint: Optional[Tuple[int, int, int, int]] = None

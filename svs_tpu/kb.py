@@ -673,7 +673,9 @@ class AsyncKB:
     use, or eagerly via :meth:`load` (which also warms the device corpus).
 
     Engine knobs (all optional): ``precision`` ('bf16' default, 'f32',
-    'int8'), ``rescore`` (verified-exact f32 re-ranking with the
+    'int8', or 'auto' — the fastest storage whose results stay exact:
+    int8 prescore under the verified f32 rescore, bf16 where the int8
+    path doesn't apply), ``rescore`` (verified-exact f32 re-ranking with the
     reference tie rule; default on for every precision — ``False`` is a
     raw-prescore opt-out whose ordering among exactly tied scores is
     the device's), ``mesh`` (a ``jax.sharding.Mesh`` to shard the corpus

@@ -1160,3 +1160,70 @@ def test_pairwise_width_hint_learns_and_decays():
     assert seen <= {base, 50_000}
     # pair and retrieve hints are independent tables
     assert eng.initial_candidates(10_000, 10**6) == eng.candidate_count(10_000)
+
+
+def test_auto_precision_resolution():
+    """'auto' = fastest storage whose RESULTS stay exact: int8 under the
+    verified device rescore, bf16 wherever the int8 path doesn't apply
+    (rescore off, host rescore, pallas-forced kernel, dim-sharded mesh).
+    The requested value is preserved for introspection."""
+    eng = RetrievalEngine(precision="auto")
+    assert eng.precision == "int8"
+    assert eng.requested_precision == "auto"
+    assert RetrievalEngine(precision="auto", rescore=False).precision == "bf16"
+    assert (
+        RetrievalEngine(precision="auto", device_rescore="host").precision
+        == "bf16"
+    )
+    assert RetrievalEngine(precision="auto", kernel="pallas").precision == "bf16"
+    # explicit precisions resolve to themselves
+    for p in ("f32", "bf16", "int8"):
+        eng = RetrievalEngine(precision=p)
+        assert eng.precision == p and eng.requested_precision == p
+    with pytest.raises(ValueError, match="unknown precision"):
+        RetrievalEngine(precision="fast")
+
+
+def test_auto_precision_mesh_resolution():
+    """1-D data meshes keep int8 (row scales shard with the rows); a
+    dim-sharded 2-D mesh falls back to bf16."""
+    import jax
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multiple devices")
+    mesh1d = jax.sharding.Mesh(np.array(devs), ("data",))
+    assert RetrievalEngine(precision="auto", mesh=mesh1d).precision == "int8"
+    if len(devs) >= 4:
+        mesh2d = jax.sharding.Mesh(
+            np.array(devs[:4]).reshape(2, 2), ("data", "model")
+        )
+        eng = RetrievalEngine(precision="auto", mesh=mesh2d)
+        assert eng.precision == "bf16"
+
+
+def test_auto_precision_end_to_end(db_path, unit_rows):
+    """A KB opened with precision='auto' retrieves exactly (vs the numpy
+    oracle) through the int8 prescore + verified f32 rescore pipeline."""
+    from svs_tpu import KB
+    from tests.kb_helpers import make_angle_embedder
+
+    kb = KB(db_path, make_angle_embedder(), force_fresh_db=True,
+            precision="auto", sidecar=False)
+    try:
+        with kb.bulk_add_docs() as add:
+            for i in range(120):
+                add(f"angle:{i * 0.5}")
+        assert kb.engine.precision == "int8"
+        hits = kb.retrieve("angle:30.0", 5)
+        assert hits[0]["doc"]["text"] == "angle:30.0"
+        assert hits[0]["score"] == pytest.approx(1.0, abs=1e-6)
+        # int8 storage, exact f32 results: nearest neighbours by angular
+        # distance, scores strictly sorted
+        assert {h["doc"]["text"] for h in hits[1:3]} == {
+            "angle:29.5", "angle:30.5"
+        }
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True)
+    finally:
+        kb.close()
