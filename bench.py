@@ -73,8 +73,11 @@ def _percentile(values, q):
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--preset", choices=PRESETS, default="headline")
-    parser.add_argument("--precision", choices=["f32", "bf16", "int8"],
-                        default="bf16")
+    parser.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
+                        default="bf16",
+                        help="'auto' = the engine's default dispatch: int8 "
+                        "prescore kernels (device phases) + the verified "
+                        "exact f32 rescore (full-stack phase)")
     parser.add_argument("--batch", type=int, default=1,
                         help="queries per retrieval step")
     parser.add_argument(
@@ -138,6 +141,14 @@ def main() -> None:
     k = args.k or k_default
     dev = jax.devices()[0]
     on_cpu = jax.default_backend() == "cpu"
+
+    # 'auto' is the engine's default dispatch: int8 prescore storage under
+    # the verified exact f32 rescore (see RetrievalEngine).  Device phases
+    # here measure the int8 prescore kernels; the full-stack phase passes
+    # 'auto' through to the real KB, which includes the rescore chain.
+    precision_label = args.precision
+    if args.precision == "auto":
+        args.precision = "int8"
 
     # Padding mirrors the engine: block-aligned when the extraction kernel
     # is in play, 256 otherwise.
@@ -396,7 +407,11 @@ def main() -> None:
             t0 = time.perf_counter()
             kb = AsyncKB(
                 path, query_embedder(dim),
-                precision=args.precision if args.precision != "f32" else "bf16",
+                precision=(
+                    "auto" if precision_label == "auto"
+                    else args.precision if args.precision != "f32"
+                    else "bf16"
+                ),
                 sidecar=True,
             )
             await kb.load()
@@ -500,7 +515,8 @@ def main() -> None:
     result = {
         "metric": (
             f"p50 exact cosine top-{k} over {n}x{dim} "
-            f"({args.precision}, batch={args.batch}, end-to-end incl. "
+            f"({'auto=int8+f32-rescore' if precision_label == 'auto' else args.precision}, "
+            f"batch={args.batch}, end-to-end incl. "
             f"host round-trip)"
         ),
         "value": primary["p50_ms"],
