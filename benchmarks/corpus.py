@@ -115,7 +115,9 @@ def ensure_bench_kb(
             while done < n:
                 count = min(_CHUNK, n - done)
                 block = _rows(rng, count, dim)
-                n_dupes = int(count * dupe_frac)
+                # Each dupe needs a distinct non-dupe source row in the
+                # chunk, so at most half the chunk can be dupes.
+                n_dupes = min(int(count * dupe_frac), count // 2)
                 if n_dupes:
                     # Last n_dupes rows become perturbed copies of distinct
                     # earlier rows in this chunk: cos ~ 1/sqrt(1+0.35^2).

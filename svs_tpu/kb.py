@@ -974,12 +974,19 @@ class AsyncKB:
                             )
 
                     async def query_level(
-                        self, level: int, include_embedding: bool = False
+                        self,
+                        level: int,
+                        include_embedding: bool = False,
+                        limit: Optional[int] = None,
                     ) -> List[DocumentRecord]:
                         assert in_context, _OUT_OF_CONTEXT
                         async with call_lock:
                             return await loop.run_in_executor(
-                                None, tx.fetch_docs_at_level, level, include_embedding
+                                None,
+                                tx.fetch_docs_at_level,
+                                level,
+                                include_embedding,
+                                limit,
                             )
 
                     async def dfs_traversal(
@@ -1539,10 +1546,15 @@ class KB:
                         return tx.fetch_doc_children(doc_id, include_embedding)
 
                     def query_level(
-                        self, level: int, include_embedding: bool = False
+                        self,
+                        level: int,
+                        include_embedding: bool = False,
+                        limit: Optional[int] = None,
                     ) -> List[DocumentRecord]:
                         assert in_context, _OUT_OF_CONTEXT
-                        return tx.fetch_docs_at_level(level, include_embedding)
+                        return tx.fetch_docs_at_level(
+                            level, include_embedding, limit
+                        )
 
                     def dfs_traversal(
                         self, include_embedding: bool = False

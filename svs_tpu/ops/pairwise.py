@@ -316,6 +316,8 @@ def _pairwise_keyed_jit(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     from .pallas_extract import (
         EXTRACT_H,
+        KEY_DEAD,
+        KEY_HORIZON,
         PAIR_BLOCK_N,
         PAIR_KEYS,
         PAIR_LIVE_MIN,
@@ -331,9 +333,11 @@ def _pairwise_keyed_jit(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_rows, n_padded), 1)
 
     def step(
-        carry: jax.Array, block_idx: jax.Array
-    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
-        bound_max = carry
+        carry: Tuple[jax.Array, jax.Array], block_idx: jax.Array
+    ) -> Tuple[
+        Tuple[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]
+    ]:
+        bound_max, in_range = carry
         row0 = block_idx * block_rows
         block = jax.lax.dynamic_slice(docs, (row0, 0), (block_rows, d))
         if row_scales is not None:
@@ -364,6 +368,20 @@ def _pairwise_keyed_jit(
         tiles = pairwise_keys_extract(scores, interpret=interp)
         t3 = tiles.reshape(block_rows, nbc, -1)
         keys = t3[:, :, :PAIR_KEYS].reshape(block_rows, nbc * PAIR_KEYS)
+        # Domain guard (mirrors the retrieval keyed kernels': keys are
+        # exact f32 integers only while |key| < 2^24).  Non-unit-norm
+        # embedders can push pair dots past the horizon, silently
+        # corrupting lane bits AND the hidden-pair bound — a live key at
+        # the horizon flips `ok` so the caller takes the exact path.
+        # KEY_DEAD tail-padding markers are expected and pass.
+        live_keys = jnp.where(keys == KEY_DEAD, 0.0, keys)
+        in_range = jnp.logical_and(
+            in_range,
+            jnp.logical_and(
+                jnp.max(keys) < KEY_HORIZON,
+                jnp.min(live_keys) > -KEY_HORIZON,
+            ),
+        )
         sel, pos = jax.lax.top_k(keys, per_row_m)
         vals_q = _key_vals(sel)
         ki = sel.astype(jnp.int32)
@@ -392,11 +410,14 @@ def _pairwise_keyed_jit(
         bound_max = jnp.maximum(bound_max, jnp.max(row_bound))
         vals_q = jnp.where(valid, vals_q, NEG_INF)
         col = jnp.where(valid, col, 0)
-        return bound_max, (vals_q.reshape(-1), col.reshape(-1))
+        return (bound_max, in_range), (
+            vals_q.reshape(-1),
+            col.reshape(-1),
+        )
 
-    bound, (v_all, c_all) = jax.lax.scan(
+    (bound, keys_in_range), (v_all, c_all) = jax.lax.scan(
         step,
-        jnp.float32(PAIR_MASKED),
+        (jnp.float32(PAIR_MASKED), jnp.bool_(True)),
         jnp.arange(n_blocks, dtype=jnp.int32),
     )
     v_flat = v_all.reshape(-1)
@@ -405,7 +426,9 @@ def _pairwise_keyed_jit(
     # flat index = (blk * block_rows + r) * m + slot -> global row
     rows_out = (pos // per_row_m).astype(jnp.int32)
     cols_out = jnp.take(c_flat, pos).astype(jnp.int32)
-    ok = top_v[c - 1] > jnp.float32(PAIR_LIVE_MIN)
+    ok = jnp.logical_and(
+        top_v[c - 1] > jnp.float32(PAIR_LIVE_MIN), keys_in_range
+    )
     # The wire's boundary slot carries the sound upper bound on every
     # pair NOT among the candidates (within KEY_EPS + the precision term;
     # see RetrievalEngine.pairwise_eps) — exactly what the KB margin
@@ -432,8 +455,11 @@ def pairwise_candidates_keyed(
     ``max(weakest candidate, hidden-pair bound)`` — the value a verified
     rescore margin must clear (``kb._finalize_pairwise``).  ``ok`` False
     means the extracted pool ran short of ``c`` live pairs (tiny or
-    mostly-padded corpora): the caller must use the exact path instead —
-    the other outputs contain absent-slot placeholders.  Only sound under
+    mostly-padded corpora) OR a live packed key reached the f32 rounding
+    horizon (non-unit-norm inputs pushing scores past ~2.9: lane bits
+    would be corrupt and the hidden-pair bound unsound): the caller must
+    use the exact path instead — the other outputs contain absent-slot
+    placeholders.  Only sound under
     a rescore+margin caller; requires :func:`keyed_pairwise_route`.
 
     Unlike :func:`pairwise_topk_blocked` there is no in-function

@@ -535,6 +535,11 @@ _KEY_LANES = float(FUSED_SUBTILE)  # lane-field width in pass-1 keys
 #: subtiles legitimately emit markers) and only live keys beyond the
 #: horizon trip the exact fallback.
 KEY_DEAD = -float(1 << 24)
+#: Rounding horizon for the range guards: keys are exact f32 integers
+#: only while |key| < 2^24; a LIVE key at or past this value has lost
+#: lane bits and must route to the exact fallback (KEY_DEAD markers are
+#: expected and pass).
+KEY_HORIZON = float((1 << 24) - 512)
 
 #: Pass-2 reduction: lanes per input group (one group = the H winners of
 #: EXTRACT_H=8 level-1 subtiles) and lanes per grid step.
@@ -847,10 +852,9 @@ def _fused2_finish(
     # the rounding horizon routes to the exact fallback instead.  KEY_DEAD
     # markers (exactly -2^24, from tail-padding subtiles) are expected and
     # pass; only a LIVE key past the horizon trips.
-    horizon = float((1 << 24) - 512)
     live_min = jnp.min(jnp.where(keys1 == KEY_DEAD, 0.0, keys1))
     in_range = jnp.logical_and(
-        jnp.max(keys1) < horizon, live_min > -horizon
+        jnp.max(keys1) < KEY_HORIZON, live_min > -KEY_HORIZON
     )
     return vals, idx, jnp.logical_and(covered, in_range)
 

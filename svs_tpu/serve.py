@@ -67,10 +67,17 @@ try:  # aiohttp is the 'http' extra (same dependency as the providers)
 except ImportError:  # pragma: no cover - exercised by import guard test
     web = None  # type: ignore[assignment]
 
-#: Typed application keys (set on first make_app; None until then so the
-#: module imports without aiohttp).  Embedders: ``app[serve.KB_KEY]``.
-KB_KEY: "Optional[Any]" = None
-BATCHER_KEY: "Optional[Any]" = None
+#: Typed application keys (created at import time — lazy creation in
+#: make_app raced: two first-callers could mint distinct AppKey objects,
+#: leaving the module attribute mismatched with the key an app was
+#: stored under).  None only when aiohttp is absent, so the module still
+#: imports.  Embedders: ``app[serve.KB_KEY]``.
+KB_KEY: "Optional[Any]" = (
+    web.AppKey("kb", object) if web is not None else None
+)
+BATCHER_KEY: "Optional[Any]" = (
+    web.AppKey("batcher", object) if web is not None else None
+)
 
 #: Default micro-batch window: long enough to coalesce a burst arriving
 #: within one event-loop tick + scheduling jitter, short next to the
@@ -95,7 +102,8 @@ MAX_PAIRWISE_N = 10_000
 #: Upper bound on documents per /level/{level} response (a level can hold
 #: the whole corpus; the route reports ``truncated`` when it clips).
 MAX_LEVEL_DOCS = 1000
-#: Upper bound on edges per /graph/edges page (and its default page size).
+#: Upper bound on edges per /graph/edges page (?limit= is clamped here);
+#: unpaginated requests get DEFAULT_EDGE_LIST edges.
 MAX_EDGE_LIST = 10_000
 DEFAULT_EDGE_LIST = 1000
 #: /healthz doc-count cache lifetime.
@@ -312,10 +320,6 @@ def make_app(
     app = web.Application()
     # typed AppKeys (aiohttp 3.9+ deprecates bare string keys); exposed
     # as module attributes so embedders can read app[serve.KB_KEY]
-    global KB_KEY, BATCHER_KEY
-    if KB_KEY is None:
-        KB_KEY = web.AppKey("kb", object)
-        BATCHER_KEY = web.AppKey("batcher", MicroBatcher)
     app[KB_KEY] = kb
     app[BATCHER_KEY] = batcher
     # (count, monotonic deadline); shared mutable cell for the health cache
@@ -476,8 +480,10 @@ def make_app(
 
     async def doc_level(request: "web.Request") -> "web.Response":
         level = _int_match(request, "level")
+        # limit pushed into SQL: a level can hold the whole corpus, and a
+        # bounded response must not hydrate O(corpus) docs to produce it.
         async with kb.bulk_query_docs() as q:
-            docs = await q.query_level(level)
+            docs = await q.query_level(level, limit=MAX_LEVEL_DOCS + 1)
         truncated = len(docs) > MAX_LEVEL_DOCS
         return web.json_response(
             {

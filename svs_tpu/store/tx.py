@@ -249,14 +249,23 @@ class Tx:
         return [self.fetch_doc(i, include_embedding) for i in ids]
 
     def fetch_docs_at_level(
-        self, level: int, include_embedding: bool
+        self, level: int, include_embedding: bool, limit: Optional[int] = None
     ) -> List[DocumentRecord]:
-        ids = [
-            row[0]
-            for row in self._conn.execute(
-                "SELECT id FROM docs WHERE level = ?;", (level,)
+        """Docs at ``level``; ``limit`` caps the fetch in SQL (a level can
+        hold the whole corpus — bounded consumers like the HTTP
+        ``/level/{level}`` route must not hydrate O(corpus) to serve a
+        fixed-size page)."""
+        if limit is None:
+            sql, params = (
+                "SELECT id FROM docs WHERE level = ?;",
+                (level,),
             )
-        ]
+        else:
+            sql, params = (
+                "SELECT id FROM docs WHERE level = ? LIMIT ?;",
+                (level, limit),
+            )
+        ids = [row[0] for row in self._conn.execute(sql, params)]
         return [self.fetch_doc(i, include_embedding) for i in ids]
 
     def doc_id_for_emb_id(self, emb_id: int) -> DocumentId:

@@ -635,6 +635,35 @@ def test_pairwise_candidates_keyed_ok_false_when_pool_starved(unit_rows):
     assert not ok
 
 
+def test_pairwise_candidates_keyed_ok_false_past_key_horizon(unit_rows):
+    """Non-unit-norm embedders can push pair dots past the packed-key
+    f32 rounding horizon (|score| ~2.9), corrupting lane bits AND the
+    hidden-pair bound.  The runtime range guard (mirroring the retrieval
+    keyed kernels') must flip ok so the engine takes the exact path —
+    the margin proof would otherwise certify wrong pairs as exact."""
+    from svs_tpu.ops.pairwise import pairwise_candidates_keyed
+
+    n_pad, n_valid, d, c = 4096, 64, 16, 10
+    m = unit_rows(n_valid, d) * 2.0  # norms ~2
+    m[0] = 0.0
+    m[1] = 0.0
+    m[0, 0] = 2.0
+    m[1, 0] = 2.0  # pair (0,1) dots at exactly 4.0 — past the horizon
+    docs = np.zeros((n_pad, d), np.float32)
+    docs[:n_valid] = m
+    vals, rows, cols, ok = pairwise_candidates_keyed(
+        jnp.asarray(docs), jnp.int32(n_valid), c, block_rows=256
+    )
+    assert not ok
+    # the same shape at unit norm routes fine (the guard is not a
+    # blanket refusal)
+    docs[:n_valid] = m / 2.0
+    _, _, _, ok2 = pairwise_candidates_keyed(
+        jnp.asarray(docs), jnp.int32(n_valid), c, block_rows=256
+    )
+    assert ok2
+
+
 def test_keyed_pairwise_route_pins_headline_shapes():
     """Dispatch predicate pinned at the shapes that matter: the 100k-doc
     headline (padded to 16384-multiples) and the 1M ceiling route keyed;
