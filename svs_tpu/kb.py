@@ -73,6 +73,7 @@ from .types import (
     DocumentAdder,
     DocumentDeleter,
     DocumentId,
+    DocumentPredicate,
     DocumentQuerier,
     DocumentRecord,
     EdgeId,
@@ -360,6 +361,49 @@ class DocRowCache:
                 return out
             rows.update(fetched)
         return rows
+
+
+#: Initial candidate over-fetch for filtered retrieval: each widen round
+#: searches min(n * 4^round, corpus) — geometric like the rescore ladder,
+#: so a selectivity-s filter converges in O(log_4(1/s)) device steps.
+_FILTER_OVERFETCH = 4
+
+
+def _filter_round(
+    results: List[List[Retrieval]],
+    pending: List[int],
+    out: List[Optional[List[Retrieval]]],
+    where: DocumentPredicate,
+    n: int,
+    n_valid: int,
+    m: int,
+) -> List[int]:
+    """One round of the filtered-retrieval widen ladder (shared by the
+    sync and async facades).
+
+    ``results`` are the exact (verified) top-``m`` lists for the queries
+    at positions ``pending``.  Each query keeps its first ``n``
+    predicate-passing hits; because candidates arrive in exact global
+    score order, ``n`` survivors inside an exact top-``m`` prefix ARE the
+    exact filtered top-``n`` (every doc outside the prefix scores <= the
+    m-th, which scores <= the n-th survivor under the tie rule).  A query
+    with fewer survivors is done only when the prefix already covers the
+    whole corpus (``m >= n_valid``); otherwise it stays pending for the
+    next, 4x-wider round.  Returns the still-pending positions.
+    """
+    still: List[int] = []
+    for qi, rlist in zip(pending, results):
+        survivors: List[Retrieval] = []
+        for r in rlist:
+            if where(r["doc"]):
+                survivors.append(r)
+                if len(survivors) == n:
+                    break
+        if len(survivors) >= n or m >= n_valid:
+            out[qi] = survivors
+        else:
+            still.append(qi)
+    return still
 
 
 def _finalize_batch(
@@ -1201,21 +1245,48 @@ class AsyncKB:
 
     # -- retrieval ---------------------------------------------------------------
 
-    async def retrieve(self, query: str, n: int) -> List[Retrieval]:
-        """Exact cosine top-``n`` for one query string."""
-        results = await self.retrieve_batch([query], n)
+    async def retrieve(
+        self,
+        query: str,
+        n: int,
+        where: Optional[DocumentPredicate] = None,
+    ) -> List[Retrieval]:
+        """Exact cosine top-``n`` for one query string.
+
+        ``where`` (svs_tpu extension; the reference has no filtering)
+        restricts results to documents the predicate accepts — see
+        :meth:`retrieve_batch`.
+        """
+        results = await self.retrieve_batch([query], n, where=where)
         return results[0]
 
     async def retrieve_batch(
-        self, queries: List[str], n: int
+        self,
+        queries: List[str],
+        n: int,
+        where: Optional[DocumentPredicate] = None,
     ) -> List[List[Retrieval]]:
         """Exact cosine top-``n`` for a batch of queries: one provider call
         for the embeddings and one fused device matmul+top-k for the whole
-        batch (new capability; the reference is one-query-at-a-time)."""
+        batch (new capability; the reference is one-query-at-a-time).
+
+        ``where`` filters results to predicate-passing documents while
+        keeping exactness: the device over-fetches an exact top-``m``
+        prefix (``m = 4n`` initially), the predicate runs host-side on the
+        hydrated hits in score order, and queries with fewer than ``n``
+        survivors retry with ``m *= 4`` (sub-batched: satisfied queries
+        don't re-run) until satisfied or the prefix covers the corpus —
+        the TPU-shaped design, since exhaustive scoring is the cheap part
+        and per-document host branching must never enter the device loop.
+        The predicate sees hydrated records (embedding as a presence
+        boolean) and may be evaluated on a document more than once across
+        rounds; a returned list shorter than ``n`` means the whole corpus
+        holds fewer than ``n`` matching documents.  Predicate exceptions
+        propagate to the caller.
+        """
         if not queries:
             return []
         log.info("retrieving top %d for %d queries", n, len(queries))
-        loop = asyncio.get_running_loop()
         with phase("pack", self._stats):
             async with self._get_lock():
                 corpus = await self._ensure_engine_fresh()
@@ -1223,6 +1294,32 @@ class AsyncKB:
             return [[] for _ in queries]
         with phase("embed", self._stats):
             vectors = np.asarray(await self._embed(queries), dtype=np.float32)
+        if where is None:
+            return await self._search_hydrated(corpus, vectors, n)
+        m = min(corpus.n_valid, max(n * _FILTER_OVERFETCH, n))
+        out: List[Optional[List[Retrieval]]] = [None] * len(queries)
+        pending = list(range(len(queries)))
+        while True:
+            results = await self._search_hydrated(
+                corpus, vectors[pending], m
+            )
+            pending = _filter_round(
+                results, pending, out, where, n, corpus.n_valid, m
+            )
+            if not pending:
+                return [r if r is not None else [] for r in out]
+            m = min(corpus.n_valid, m * 4)
+            log.info(
+                "filter left %d queries under-filled; widening the exact "
+                "prefix to %d and retrying", len(pending), m,
+            )
+
+    async def _search_hydrated(
+        self, corpus: "PackedCorpus", vectors: np.ndarray, n: int
+    ) -> List[List[Retrieval]]:
+        """Verified-exact top-``n`` device search + hydration for embedded
+        query ``vectors`` (the widen-on-insufficient-margin loop)."""
+        loop = asyncio.get_running_loop()
         c = c0 = self.engine.initial_candidates(n, corpus.n_valid)
         pre_eps = (
             self.engine.prescore_eps(corpus, vectors, c)
@@ -1705,10 +1802,22 @@ class KB:
 
     # -- retrieval ------------------------------------------------------------------
 
-    def retrieve(self, query: str, n: int) -> List[Retrieval]:
-        return self.retrieve_batch([query], n)[0]
+    def retrieve(
+        self,
+        query: str,
+        n: int,
+        where: Optional[DocumentPredicate] = None,
+    ) -> List[Retrieval]:
+        return self.retrieve_batch([query], n, where=where)[0]
 
-    def retrieve_batch(self, queries: List[str], n: int) -> List[List[Retrieval]]:
+    def retrieve_batch(
+        self,
+        queries: List[str],
+        n: int,
+        where: Optional[DocumentPredicate] = None,
+    ) -> List[List[Retrieval]]:
+        """Sync mirror of :meth:`AsyncKB.retrieve_batch` (incl. the
+        ``where`` filtered-retrieval extension)."""
         if not queries:
             return []
         log.info("retrieving top %d for %d queries", n, len(queries))
@@ -1718,6 +1827,27 @@ class KB:
             return [[] for _ in queries]
         with phase("embed", self._stats):
             vectors = np.asarray(self._embed(queries), dtype=np.float32)
+        if where is None:
+            return self._search_hydrated(corpus, vectors, n)
+        m = min(corpus.n_valid, max(n * _FILTER_OVERFETCH, n))
+        out: List[Optional[List[Retrieval]]] = [None] * len(queries)
+        pending = list(range(len(queries)))
+        while True:
+            results = self._search_hydrated(corpus, vectors[pending], m)
+            pending = _filter_round(
+                results, pending, out, where, n, corpus.n_valid, m
+            )
+            if not pending:
+                return [r if r is not None else [] for r in out]
+            m = min(corpus.n_valid, m * 4)
+            log.info(
+                "filter left %d queries under-filled; widening the exact "
+                "prefix to %d and retrying", len(pending), m,
+            )
+
+    def _search_hydrated(
+        self, corpus: PackedCorpus, vectors: np.ndarray, n: int
+    ) -> List[List[Retrieval]]:
         c = c0 = self.engine.initial_candidates(n, corpus.n_valid)
         pre_eps = (
             self.engine.prescore_eps(corpus, vectors, c)

@@ -22,9 +22,13 @@ Routes (JSON in/out):
 - ``GET  /healthz``   -> ``{"ok": true, "docs": N}`` (doc count cached
   ~1 s so health probes never add store queries under load)
 - ``GET  /stats``     -> KB phase timings + server batching counters
-- ``POST /retrieve``  -> ``{"query": str | "queries": [str], "n": int}``
-  -> one result list per query; each hit is ``{"score": float, "doc":
-  DocumentRecord}`` (embeddings reported as presence booleans)
+- ``POST /retrieve``  -> ``{"query": str | "queries": [str], "n": int,
+  "meta_filter"?: {key: value}}`` -> one result list per query; each hit
+  is ``{"score": float, "doc": DocumentRecord}`` (embeddings reported as
+  presence booleans).  ``meta_filter`` restricts hits to documents whose
+  meta carries every given key at exactly the given value (exact
+  filtered retrieval via the KB's ``where=`` widen ladder; filtered
+  requests skip co-batching but share the admission bound)
 - ``POST /pairwise``  -> ``{"n": int}`` -> top-n most-similar document
   pairs (the reference's ``document_top_pairwise_scores``)
 - ``POST /add``       -> ``{"texts": [str], "metas": [obj]?}`` (only with
@@ -169,6 +173,28 @@ class MicroBatcher:
     async def retrieve(self, query: str, n: int) -> List[Retrieval]:
         return (await self.retrieve_many([query], n))[0]
 
+    async def run_unbatched(
+        self,
+        queries: List[str],
+        n: int,
+        where: "Any",
+    ) -> List[List[Retrieval]]:
+        """Run a filtered request directly on the KB (per-request
+        predicates can't co-batch), still charged against the same
+        admission bound as batched queries so the overload contract
+        (bounded outstanding device work, 429 past it) holds."""
+        if self._pending + len(queries) > self._max_queue:
+            self.shed += len(queries)
+            raise Overloaded(
+                f"retrieve queue full ({self._max_queue} outstanding)"
+            )
+        self._pending += len(queries)
+        self.requests += len(queries)
+        try:
+            return await self._kb.retrieve_batch(queries, n, where=where)
+        finally:
+            self._pending -= len(queries)
+
     async def retrieve_many(
         self, queries: List[str], n: int
     ) -> List[List[Retrieval]]:
@@ -264,6 +290,16 @@ class MicroBatcher:
         for (_, n, fut), res in zip(items, results):
             if not fut.done():
                 fut.set_result(res[:n])
+
+
+def _meta_matches(doc: Dict[str, Any], flt: Dict[str, Any]) -> bool:
+    """Equality filter over top-level meta keys (the HTTP-expressible
+    subset of :data:`svs_tpu.types.DocumentPredicate`): every
+    ``meta_filter`` key must be present in the document's meta with
+    exactly the given JSON value.  Docs with no meta match only the
+    empty filter."""
+    meta = doc.get("meta") or {}
+    return all(k in meta and meta[k] == v for k, v in flt.items())
 
 
 def _doc_json(doc: Dict[str, Any]) -> Dict[str, Any]:
@@ -374,8 +410,25 @@ def make_app(
             isinstance(q, str) for q in queries
         ):
             raise web.HTTPBadRequest(text="'queries' must be a list of strings")
+        meta_filter = body.get("meta_filter")
+        if meta_filter is not None and not isinstance(meta_filter, dict):
+            raise web.HTTPBadRequest(
+                text="'meta_filter' must be a JSON object of "
+                "meta-key -> required-value equalities"
+            )
         try:
-            results = await batcher.retrieve_many(queries, n)
+            if meta_filter:
+                # Filtered requests can't co-batch (each carries its own
+                # predicate + widen ladder): run them directly on the KB,
+                # but count them against the same admission bound so the
+                # overload contract holds for every route.
+                results = await batcher.run_unbatched(
+                    queries,
+                    n,
+                    where=lambda doc: _meta_matches(doc, meta_filter),
+                )
+            else:
+                results = await batcher.retrieve_many(queries, n)
         except Overloaded as exc:
             raise web.HTTPTooManyRequests(text=str(exc))
         payload = [

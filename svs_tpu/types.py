@@ -63,6 +63,15 @@ class Retrieval(TypedDict):
     doc: DocumentRecord
 
 
+#: Host-side document filter for filtered retrieval (an svs_tpu
+#: extension; the reference has no filtering).  Receives the hydrated
+#: record (embedding reported as a presence boolean, not the vector) and
+#: returns whether the document is eligible.  Must be pure/deterministic
+#: for the duration of one call: the widen ladder may evaluate it on the
+#: same document more than once.
+DocumentPredicate = Callable[["DocumentRecord"], bool]
+
+
 class EdgeRecord(TypedDict):
     """A single graph edge row, as returned by the graph interfaces'
     ``edges()`` enumeration (an svs_tpu extension: the reference's graph
@@ -320,6 +329,7 @@ __all__ = [
     "EdgeId",
     "NetworkXGraphTypes",
     "DocumentRecord",
+    "DocumentPredicate",
     "Retrieval",
     "EdgeRecord",
     "AsyncDocumentAdder",

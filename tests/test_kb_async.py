@@ -287,3 +287,29 @@ async def test_concurrent_retrieves(db_path):
     results = await asyncio.gather(*(kb.retrieve(f"vec:{i}", 1) for i in range(5)))
     assert [r[0]["doc"]["text"] for r in results] == [f"vec:{i}" for i in range(5)]
     await kb.close()
+
+
+async def test_retrieve_filtered_async_parity(db_path):
+    """AsyncKB's where= path mirrors the sync facade: oracle-exact
+    filtered top-n, including a forced widen past the first prefix."""
+    from kb_helpers import make_angle_embedder
+
+    kb = AsyncKB(db_path, make_angle_embedder(), rescore=True)
+    async with kb.bulk_add_docs() as add:
+        for deg in range(0, 180, 5):
+            await add(f"angle:{deg}", meta={"bucket": deg % 3})
+    where = lambda d: (d["meta"] or {}).get("bucket") == 0  # noqa: E731
+    hits = await kb.retrieve("angle:47", 4, where=where)
+    full = await kb.retrieve("angle:47", 36)
+    oracle = [h for h in full if where(h["doc"])][:4]
+    assert [(h["doc"]["id"], h["score"]) for h in hits] == [
+        (h["doc"]["id"], h["score"]) for h in oracle
+    ]
+    # rare matches at the bottom of the ranking: must widen and stay exact
+    far = await kb.retrieve(
+        "angle:0", 3, where=lambda d: int(d["text"].split(":")[1]) >= 165
+    )
+    assert [h["doc"]["text"] for h in far] == [
+        "angle:165", "angle:170", "angle:175"
+    ]
+    await kb.close()

@@ -414,3 +414,120 @@ def test_pairwise_widen_teaches_width_hint(db_path, monkeypatch):
     else:  # no widen needed: the second call repeats the base width
         assert widths == [widths[0]] * 2
     kb.close()
+
+
+# -- filtered retrieval (where=; svs_tpu extension) ---------------------------
+
+
+def _bucket_where(want):
+    return lambda d: (d["meta"] or {}).get("bucket") == want
+
+
+def test_retrieve_filtered_matches_oracle(db_path):
+    """Filtered top-n == filter applied to the full exact ranking: the
+    predicate runs host-side over an exact prefix, so survivors are the
+    exact filtered top-n (see kb._filter_round)."""
+    from kb_helpers import make_angle_embedder
+
+    kb = KB(db_path, make_angle_embedder(), rescore=True)
+    with kb.bulk_add_docs() as add:
+        for deg in range(0, 180, 5):
+            add(f"angle:{deg}", meta={"bucket": deg % 3})
+    where = _bucket_where(0)
+    hits = kb.retrieve("angle:47", 4, where=where)
+    assert len(hits) == 4 and all(where(h["doc"]) for h in hits)
+    full = kb.retrieve("angle:47", len(kb))
+    oracle = [h for h in full if where(h["doc"])][:4]
+    assert [(h["doc"]["id"], h["score"]) for h in hits] == [
+        (h["doc"]["id"], h["score"]) for h in oracle
+    ]
+    kb.close()
+
+
+def test_retrieve_filtered_widens_to_reach_rare_matches(db_path):
+    """Matches ranked below the initial 4n over-fetch prefix force the
+    ladder to widen (spied) and still come back exact."""
+    from kb_helpers import make_angle_embedder
+
+    kb = KB(db_path, make_angle_embedder(), rescore=True)
+    with kb.bulk_add_docs() as add:
+        for deg in range(0, 180, 5):  # 36 docs; query angle 0
+            add(f"angle:{deg}", meta={"far": deg >= 165})
+    searches = []
+    real = kb._search_hydrated
+
+    def spy(corpus, vectors, n):
+        searches.append(n)
+        return real(corpus, vectors, n)
+
+    kb._search_hydrated = spy
+    # the 3 matching docs (165/170/175 degrees) are the WORST-ranked for
+    # an angle-0 query: the first prefix (m = 4*3 = 12) cannot hold them
+    hits = kb.retrieve("angle:0", 3, where=lambda d: (d["meta"] or {})["far"])
+    assert [h["doc"]["text"] for h in hits] == [
+        "angle:165", "angle:170", "angle:175"
+    ]
+    assert len(searches) >= 2 and searches[0] == 12
+    assert searches[-1] == 36  # terminal round covered the corpus
+    kb.close()
+
+
+def test_retrieve_filtered_fewer_matches_than_n(db_path):
+    """A corpus holding fewer matches than n returns just the matches
+    (after the ladder proves it covered the whole corpus)."""
+    from kb_helpers import make_angle_embedder
+
+    kb = KB(db_path, make_angle_embedder(), rescore=True)
+    with kb.bulk_add_docs() as add:
+        for deg in range(0, 90, 10):
+            add(f"angle:{deg}", meta={"bucket": 1 if deg == 40 else 2})
+    hits = kb.retrieve("angle:0", 5, where=_bucket_where(1))
+    assert [h["doc"]["text"] for h in hits] == ["angle:40"]
+    assert kb.retrieve("angle:0", 5, where=_bucket_where(99)) == []
+    kb.close()
+
+
+def test_retrieve_batch_filtered_mixed_satisfaction(db_path):
+    """Per-query convergence: an easy query (matches everywhere) and a
+    hard one (matches only at the bottom) in ONE batch both come back
+    exact; the easy one must not be re-searched in widen rounds."""
+    from kb_helpers import make_angle_embedder
+
+    kb = KB(db_path, make_angle_embedder(), rescore=True)
+    with kb.bulk_add_docs() as add:
+        for deg in range(0, 180, 5):
+            add(f"angle:{deg}", meta={"far": deg >= 165})
+    batch_sizes = []
+    real = kb._search_hydrated
+
+    def spy(corpus, vectors, n):
+        batch_sizes.append(vectors.shape[0])
+        return real(corpus, vectors, n)
+
+    kb._search_hydrated = spy
+    res = kb.retrieve_batch(["angle:0", "angle:0"], 2, where=lambda d: True)
+    assert all(len(r) == 2 for r in res)
+    first_rounds = len(batch_sizes)
+    batch_sizes.clear()
+    res2 = kb.retrieve_batch(["angle:0"] * 2, 2, where=lambda d: (d["meta"] or {})["far"])
+    assert all(
+        [h["doc"]["text"] for h in r] == ["angle:165", "angle:170"]
+        for r in res2
+    )
+    assert first_rounds == 1  # all-matching filter satisfied round one
+    kb.close()
+
+
+def test_retrieve_filtered_predicate_exception_propagates(db_path):
+    from kb_helpers import make_angle_embedder
+
+    kb = KB(db_path, make_angle_embedder())
+    with kb.bulk_add_docs() as add:
+        add("angle:0")
+
+    def boom(doc):
+        raise RuntimeError("predicate exploded")
+
+    with pytest.raises(RuntimeError, match="predicate exploded"):
+        kb.retrieve("angle:0", 1, where=boom)
+    kb.close()

@@ -550,3 +550,48 @@ async def test_graph_routes(db_path):
     finally:
         await client.close()
         await kb.close()
+
+
+async def test_retrieve_meta_filter(db_path):
+    """meta_filter: exact filtered retrieval over meta-key equalities;
+    non-object filters are rejected; filtered requests still count
+    against the admission bound (run_unbatched path)."""
+    kb = AsyncKB(db_path, make_onehot_embedder(), force_fresh_db=True)
+    async with kb.bulk_add_docs() as add:
+        for i in range(12):
+            await add(f"vec:{i}", meta={"lang": "en" if i % 2 == 0 else "de"})
+    client = await _client(kb)
+    try:
+        r = await client.post(
+            "/retrieve",
+            json={"query": "vec:3", "n": 3, "meta_filter": {"lang": "de"}},
+        )
+        assert r.status == 200
+        hits = (await r.json())["results"]
+        assert hits[0]["doc"]["text"] == "vec:3"
+        assert all(h["doc"]["meta"]["lang"] == "de" for h in hits)
+        assert len(hits) == 3
+
+        # filter matching nothing -> empty list, not an error
+        r = await client.post(
+            "/retrieve",
+            json={"query": "vec:3", "n": 3, "meta_filter": {"lang": "fr"}},
+        )
+        assert (await r.json())["results"] == []
+
+        # absent key never matches (docs without meta too)
+        r = await client.post(
+            "/retrieve",
+            json={"query": "vec:3", "n": 3, "meta_filter": {"nope": None}},
+        )
+        assert (await r.json())["results"] == []
+
+        # malformed filter -> 400
+        r = await client.post(
+            "/retrieve",
+            json={"query": "vec:3", "n": 3, "meta_filter": ["lang"]},
+        )
+        assert r.status == 400
+    finally:
+        await client.close()
+        await kb.close()
