@@ -13,7 +13,7 @@ provider factories) and the same on-disk SQLite format, so existing
 """
 
 from .types import *  # noqa: F401,F403  (re-export the public type surface)
-from .kb import KB, AsyncKB
+from .kb import KB, AsyncKB, meta_filter_predicate
 from .embeddings import (
     make_embeddings_func,
     make_local_embeddings_func,
@@ -26,6 +26,7 @@ from .version import __version__
 __all__ = [
     "KB",
     "AsyncKB",
+    "meta_filter_predicate",
     "make_embeddings_func",
     "make_local_embeddings_func",
     "make_mock_embeddings_func",

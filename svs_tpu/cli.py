@@ -87,9 +87,20 @@ def cmd_pack(args: argparse.Namespace) -> int:
 
 
 def cmd_query(args: argparse.Namespace) -> int:
+    where = None
+    if args.meta_filter:
+        import json as _json
+
+        flt = _json.loads(args.meta_filter)
+        if not isinstance(flt, dict):
+            print("--meta-filter must be a JSON object", file=sys.stderr)
+            return 2
+        from .kb import meta_filter_predicate
+
+        where = meta_filter_predicate(flt)
     kb = _open_kb(args)
     try:
-        hits = kb.retrieve(args.text, args.n)
+        hits = kb.retrieve(args.text, args.n, where=where)
         for hit in hits:
             doc = hit["doc"]
             print(f"{hit['score']:+.6f}  #{doc['id']}  {doc['text'][:120]}")
@@ -197,6 +208,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
                    default="bf16")
+    p.add_argument("--meta-filter", default=None, metavar="JSON",
+                   help="JSON object of meta-key -> required-value "
+                   "equalities (exact filtered retrieval)")
     p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("pairs", help="top pairwise-similar documents")

@@ -363,6 +363,22 @@ class DocRowCache:
         return rows
 
 
+def meta_filter_predicate(flt: Dict[str, Any]) -> DocumentPredicate:
+    """A :data:`~svs_tpu.types.DocumentPredicate` testing meta-key
+    equalities: every key in ``flt`` must be present in the document's
+    meta with exactly the given value (docs without meta match only the
+    empty filter).  This is the declaratively-expressible filter subset
+    used by the HTTP ``meta_filter`` field and the CLI ``--meta-filter``
+    flag; Python callers can pass any predicate to ``where=`` directly.
+    """
+
+    def predicate(doc: DocumentRecord) -> bool:
+        meta = doc.get("meta") or {}
+        return all(k in meta and meta[k] == v for k, v in flt.items())
+
+    return predicate
+
+
 #: Initial candidate over-fetch for filtered retrieval: each widen round
 #: searches min(n * 4^round, corpus) — geometric like the rescore ladder,
 #: so a selectivity-s filter converges in O(log_4(1/s)) device steps.

@@ -61,7 +61,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import logging
 
-from .kb import AsyncKB
+from .kb import AsyncKB, meta_filter_predicate
 from .types import Retrieval
 
 log = logging.getLogger(__name__)
@@ -292,16 +292,6 @@ class MicroBatcher:
                 fut.set_result(res[:n])
 
 
-def _meta_matches(doc: Dict[str, Any], flt: Dict[str, Any]) -> bool:
-    """Equality filter over top-level meta keys (the HTTP-expressible
-    subset of :data:`svs_tpu.types.DocumentPredicate`): every
-    ``meta_filter`` key must be present in the document's meta with
-    exactly the given JSON value.  Docs with no meta match only the
-    empty filter."""
-    meta = doc.get("meta") or {}
-    return all(k in meta and meta[k] == v for k, v in flt.items())
-
-
 def _doc_json(doc: Dict[str, Any]) -> Dict[str, Any]:
     out = dict(doc)
     # embeddings may be float lists when callers asked for them; the wire
@@ -423,9 +413,7 @@ def make_app(
                 # but count them against the same admission bound so the
                 # overload contract holds for every route.
                 results = await batcher.run_unbatched(
-                    queries,
-                    n,
-                    where=lambda doc: _meta_matches(doc, meta_filter),
+                    queries, n, where=meta_filter_predicate(meta_filter)
                 )
             else:
                 results = await batcher.retrieve_many(queries, n)

@@ -36,6 +36,24 @@ def test_query(populated_db, capsys):
     assert lines[0].startswith("+1.000000")
 
 
+def test_query_meta_filter(db_path, capsys):
+    kb = KB(db_path, make_mock_embeddings_func())
+    with kb.bulk_add_docs() as add:
+        for i in range(6):
+            add(f"doc {i}", meta={"lang": "de" if i % 2 else "en"})
+    kb.close()
+    assert main([
+        "query", str(db_path), "x", "-n", "6",
+        "--meta-filter", '{"lang": "de"}',
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3  # only the 3 de-tagged docs
+    # malformed filter: exit 2, no traceback
+    assert main([
+        "query", str(db_path), "x", "--meta-filter", '["lang"]',
+    ]) == 2
+
+
 def test_pack_writes_sidecar(populated_db, capsys):
     assert main(["pack", str(populated_db)]) == 0
     assert "sidecar written" in capsys.readouterr().out
