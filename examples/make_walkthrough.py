@@ -86,7 +86,10 @@ async def embed(batch):
 
 kb = KB("walkthrough.sqlite", embed, force_fresh_db=True)
 with kb.bulk_add_docs() as add_doc:
-    ids = [add_doc(t, meta={"line": i}) for i, t in enumerate(texts)]
+    ids = [
+        add_doc(t, meta={"line": i, "half": "a" if i < 50 else "b"})
+        for i, t in enumerate(texts)
+    ]
 print(f"KB holds {len(kb)} documents")
 """
     ),
@@ -109,6 +112,30 @@ for hit in kb.retrieve("fortune and bravery", n=3):
 batch = kb.retrieve_batch(["early riser", "too many chefs", "home sweet home"], n=1)
 for query, hits in zip(["early riser", "too many chefs", "home sweet home"], batch):
     print(f"{query!r:20} -> {hits[0]['doc']['text']}")
+"""
+    ),
+    md(
+        "## Filtered retrieval\n"
+        "`where=` restricts results to predicate-passing documents while "
+        "staying exact (an svs_tpu extension): the engine over-fetches an "
+        "exact prefix, the predicate runs host-side in score order, and "
+        "under-filled queries widen geometrically.  "
+        "`meta_filter_predicate` builds the meta-equality subset also "
+        "exposed over HTTP (`meta_filter`) and the CLI (`--meta-filter`):"
+    ),
+    code(
+        """
+from svs_tpu import meta_filter_predicate
+
+plain = kb.retrieve("fortune and bravery", n=2)
+only_b = kb.retrieve(
+    "fortune and bravery", n=2, where=meta_filter_predicate({"half": "b"})
+)
+for label, hits in [("all docs", plain), ("half == 'b'", only_b)]:
+    print(label)
+    for hit in hits:
+        print(f"  {hit['score']:+.3f}  [{hit['doc']['meta']['half']}]  "
+              f"{hit['doc']['text']}")
 """
     ),
     md(
@@ -219,8 +246,14 @@ for hit in remote.retrieve("knowledge is powerful", n=2):
     code(
         """
 # per-phase timings of everything this notebook just did
+# (pack_events is an event-counter entry, not a timed phase)
 for name, stats in sorted(remote.stats().items()):
-    print(f"{name:14} p50 {stats['p50_s'] * 1e3:7.2f} ms  (x{stats['count']})")
+    if "p50_s" in stats:
+        print(f"{name:14} p50 {stats['p50_s'] * 1e3:7.2f} ms  "
+              f"(x{stats['count']})")
+    else:
+        counts = {k: int(v) for k, v in stats.items() if v}
+        print(f"{name:14} {counts}")
 remote.close()
 """
     ),
