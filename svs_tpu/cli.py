@@ -91,7 +91,11 @@ def cmd_query(args: argparse.Namespace) -> int:
     if args.meta_filter:
         import json as _json
 
-        flt = _json.loads(args.meta_filter)
+        try:
+            flt = _json.loads(args.meta_filter)
+        except ValueError as exc:
+            print(f"--meta-filter is not valid JSON: {exc}", file=sys.stderr)
+            return 2
         if not isinstance(flt, dict):
             print("--meta-filter must be a JSON object", file=sys.stderr)
             return 2

@@ -52,6 +52,9 @@ def test_query_meta_filter(db_path, capsys):
     assert main([
         "query", str(db_path), "x", "--meta-filter", '["lang"]',
     ]) == 2
+    assert main([
+        "query", str(db_path), "x", "--meta-filter", '{"lang": de}',
+    ]) == 2  # invalid JSON, not just non-object JSON
 
 
 def test_pack_writes_sidecar(populated_db, capsys):
