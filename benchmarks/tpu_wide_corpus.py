@@ -1,0 +1,189 @@
+"""Keyed kernels past the 2^24-row line, on real TPU silicon.
+
+Round 2 lifted the *correctness* cliff at 2^24 rows (int32 wide wire
+format); round 3 lifted the *performance* cliff (``fused2_supported``
+dropped its ``n < 2^24`` clause — keys never carry a global row in f32,
+reconstruction is int32).  The interpret-mode proofs live in
+``tests/test_pallas_extract.py``; this script is the silicon proof: a
+16,793,600-row (> 2^24) corpus at d=256 bf16 (8.6 GB HBM-resident),
+synthesized on-device (nothing that size can ride the tunnel), driven
+through the PRODUCTION keyed packed path with the wide wire format.
+
+Checks first, clock second:
+  1. a planted unit row at index N-9 (past 2^24) is retrieved at rank 1
+     with an exactly-decoded wide index;
+  2. b=8 keyed results match an exact on-device oracle (every returned
+     value within KEY_EPS of the true bf16-domain score of the returned
+     row; every oracle row scoring above the returned k-th + eps is in
+     the returned set).
+
+Run on the TPU box: python benchmarks/tpu_wide_corpus.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svs_tpu.ops.pallas_extract import (
+    FUSED_BLOCK_N,
+    KEY_EPS,
+    fused2_supported,
+    score_topk_fused2_packed,
+)
+
+N = 2050 * FUSED_BLOCK_N  # 16,793,600 rows — 16,384 past 2^24
+D = 256
+K = 100
+NV = N - 37  # exercise the validity mask past 2^24 too
+PLANT = N - 9 - 37  # a valid row beyond 2^24 (< NV)
+BYTES = N * D * 2
+
+
+@jax.jit
+def synth(u):
+    """Pseudo-noise corpus, elementwise-fused straight to bf16 (no f32
+    intermediate ever materializes), with ``u`` planted at row PLANT.
+    Noise amplitude keeps every |score| < 1 so keys stay far inside the
+    exact-integer horizon."""
+    r = jax.lax.broadcasted_iota(jnp.float32, (N, D), 0)
+    c = jax.lax.broadcasted_iota(jnp.float32, (N, D), 1)
+    x = jnp.sin(r * 12.9898 + c * 78.233) * 43758.5453
+    x = (x - jnp.floor(x) - 0.5) * (0.5 / np.sqrt(D / 12.0))
+    docs = x.astype(jnp.bfloat16)
+    return jax.lax.dynamic_update_slice(
+        docs, u.astype(jnp.bfloat16)[None, :], (PLANT, 0)
+    )
+
+
+@jax.jit
+def oracle_topk(docs, q):
+    scores = jax.lax.dot_general(
+        q.astype(docs.dtype), docs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mask = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) < NV
+    return jax.lax.top_k(jnp.where(mask, scores, -jnp.inf), K)
+
+
+def keyed_wide(docs, q, nv):
+    return score_topk_fused2_packed(docs, q, nv, K, wide=True)
+
+
+def chained(fn, length):
+    @jax.jit
+    def f(docs, q, nv):
+        def body(i, qc):
+            out = fn(docs, qc, nv)
+            return qc + 0.0 * out.reshape(-1)[0].astype(qc.dtype)
+
+        qf = jax.lax.fori_loop(0, length, body, q)
+        return fn(docs, qf, nv).reshape(-1)[:1]
+
+    return f
+
+
+def time_case(label, args, iters=9, reps=5, flops=0.0):
+    short, long_ = chained(keyed_wide, 1), chained(keyed_wide, iters)
+    np.asarray(short(*args))
+    np.asarray(long_(*args))
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(short(*args))
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(long_(*args))
+        tl = time.perf_counter() - t0
+        runs.append(max(0.0, (tl - ts) / (iters - 1)))
+    runs.sort()
+    med = runs[len(runs) // 2]
+    hbm = BYTES / med / 1e9 / 819.0 * 100  # v5e ~819 GB/s
+    extra = f", {hbm:5.1f}% of HBM bw" if flops == 0 else (
+        f", {flops / med / 1e12 / 394 * 100:5.1f}% MFU"
+    )
+    print(
+        f"{label:22}: median {med * 1e3:7.3f} ms "
+        f"(spread {runs[0] * 1e3:.3f}-{runs[-1] * 1e3:.3f}){extra}"
+    )
+    return med
+
+
+def main():
+    print("device:", jax.devices()[0])
+    print(f"corpus: {N:,} x {D} bf16 = {BYTES / 1e9:.2f} GB "
+          f"({N - (1 << 24):,} rows past 2^24)")
+    assert N > (1 << 24) and fused2_supported(N, D, 256, K)
+
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(D).astype(np.float32)
+    u /= np.linalg.norm(u)
+    docs = synth(jnp.asarray(u))
+    np.asarray(docs[PLANT, :1])  # materialize
+
+    nv = jnp.int32(NV)
+
+    # --- check 1: the planted >2^24 row decodes exactly at rank 1 ------
+    packed = np.asarray(keyed_wide(docs, jnp.asarray(u)[None, :], nv))
+    vals = np.frombuffer(
+        np.ascontiguousarray(packed[:, :K]).tobytes(), np.float32
+    ).reshape(1, K)
+    idx = packed[:, K:]
+    assert idx.dtype == np.int32 and int(idx[0, 0]) == PLANT, idx[0, :4]
+    assert abs(float(vals[0, 0]) - 1.0) < 0.01, vals[0, 0]
+    print(f"planted-row check OK: rank-1 idx {int(idx[0, 0]):,} "
+          f"(2^24 = {1 << 24:,}), score {float(vals[0, 0]):.4f}")
+
+    # --- check 2: b=8 vs the exact oracle ------------------------------
+    q8 = rng.standard_normal((8, D)).astype(np.float32)
+    q8 /= np.linalg.norm(q8, axis=1, keepdims=True)
+    q8d = jnp.asarray(q8)
+    packed8 = np.asarray(keyed_wide(docs, q8d, nv))
+    vals8 = np.frombuffer(
+        np.ascontiguousarray(packed8[:, :K]).tobytes(), np.float32
+    ).reshape(8, K)
+    idx8 = packed8[:, K:]
+    ovals, orows = (np.asarray(a) for a in oracle_topk(docs, q8d))
+    eps = KEY_EPS + 1e-6
+    scores_by_row = {}
+    for b in range(8):
+        got = set(idx8[b].tolist())
+        assert len(got) == K and (idx8[b] >= 0).all() and (idx8[b] < NV).all()
+        for v, r in zip(ovals[b], orows[b]):
+            scores_by_row[(b, int(r))] = float(v)
+            assert int(r) in got or v <= vals8[b, -1] + eps, (
+                b, int(r), float(v), vals8[b, -1]
+            )
+        # returned vals are quantized keys: within KEY_EPS below truth
+        # for every returned row that the oracle also scored
+        for j in range(K):
+            t = scores_by_row.get((b, int(idx8[b, j])))
+            if t is not None:
+                assert t - eps <= vals8[b, j] <= t + eps, (b, j, t, vals8[b, j])
+    print("oracle check OK: 8 queries, exact-coverage + value contract hold")
+
+    # --- timing ---------------------------------------------------------
+    q1 = jnp.asarray(q8[:1])
+    q256 = jnp.asarray(
+        rng.standard_normal((256, D)).astype(np.float32)
+    )
+    t1 = time_case("keyed wide b=1", (docs, q1, nv))
+    t256 = time_case(
+        "keyed wide b=256", (docs, q256, nv),
+        flops=2.0 * 256 * N * D,
+    )
+    print(f"per query at b=256: {t256 / 256 * 1e3:.4f} ms")
+    print(f"HBM floor at this shape: {BYTES / 819e9 * 1e3:.2f} ms "
+          f"(b=1 measured {t1 * 1e3:.2f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1465,6 +1465,18 @@ class RetrievalEngine:
             corpus.n_padded, corpus.dim_padded, b, min(k, corpus.n_valid)
         )
 
+    def _scores_over_budget(self, corpus: PackedCorpus, b: int) -> bool:
+        """Whether a materializing exact path's ``[B, N]`` f32 score
+        matrix would exceed ``ops.topk.FALLBACK_SCORES_BUDGET`` — the
+        XLA-ladder bottom then streams over row blocks instead (17 GB at
+        [256, 2^24] fails compile outright on a 16 GB chip)."""
+        from ..ops.topk import FALLBACK_SCORES_BUDGET
+
+        n_rows = corpus.n_padded
+        if self.mesh is not None and self.model_axis is None:
+            n_rows = n_rows // int(self.mesh.shape[self.data_axis])
+        return b * n_rows * 4 > FALLBACK_SCORES_BUDGET
+
     def prescore_eps(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
     ) -> np.ndarray:
@@ -1704,6 +1716,13 @@ class RetrievalEngine:
                     corpus.data, corpus.row_scales, q, n_valid, k_eff,
                     interpret=interp,
                 )
+            elif self._scores_over_budget(corpus, q.shape[0]):
+                from ..ops.topk import streaming_score_topk_packed
+
+                packed_dev = streaming_score_topk_packed(
+                    corpus.data, q, n_valid, k_eff,
+                    row_scales=corpus.row_scales, wide=wide,
+                )
             else:
                 packed_dev = score_topk_int8_packed(
                     corpus.data, corpus.row_scales, q, n_valid, k_eff, wide=wide
@@ -1753,6 +1772,12 @@ class RetrievalEngine:
             ):
                 packed_dev = score_topk_extract_packed(
                     corpus.data, q, n_valid, k_eff, interpret=interp
+                )
+            elif self._scores_over_budget(corpus, q.shape[0]):
+                from ..ops.topk import streaming_score_topk_packed
+
+                packed_dev = streaming_score_topk_packed(
+                    corpus.data, q, n_valid, k_eff, wide=wide
                 )
             else:
                 packed_dev = score_topk_packed(

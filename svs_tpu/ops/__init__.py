@@ -15,6 +15,7 @@ from .topk import (
     score_topk_fast,
     score_topk_packed,
     scores_matmul,
+    streaming_score_topk,
     verified_topk,
 )
 from .pairwise import pairwise_candidates_keyed, pairwise_topk_blocked
@@ -63,6 +64,7 @@ __all__ = [
     "score_topk_fast",
     "score_topk_packed",
     "scores_matmul",
+    "streaming_score_topk",
     "verified_topk",
     "pairwise_candidates_keyed",
     "pairwise_topk_blocked",

@@ -55,13 +55,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .topk import (
+    FALLBACK_SCORES_BUDGET,
     NEG_INF,
     f32_dot_precision,
     mask_cols,
     pack_vals_idx,
     score_topk,
     scores_matmul,
+    streaming_score_topk,
 )
+
+
+def _exact_fallback(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    row_scales: "jax.Array | None" = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """The exact path embedded in the keyed kernels' ``lax.cond``:
+    materializing while the ``[B, N]`` f32 score matrix fits
+    :data:`~svs_tpu.ops.topk.FALLBACK_SCORES_BUDGET`, streaming past it.
+    ``cond`` branches allocate HBM even when untaken — a [256, 2^24]
+    fallback is 17 GB, which fails COMPILE on a 16 GB chip for exactly
+    the wide corpora the keyed kernels now support."""
+    if queries.shape[0] * docs.shape[0] * 4 > FALLBACK_SCORES_BUDGET:
+        return streaming_score_topk(
+            docs, queries, n_valid, k, row_scales=row_scales
+        )
+    if row_scales is not None:
+        from .quant import score_topk_int8
+
+        return score_topk_int8(docs, row_scales, queries, n_valid, k)
+    return score_topk(docs, queries, n_valid, k)
 
 #: Pallas memory-ref handle type inside kernel bodies.  Pallas exposes no
 #: public Ref class to annotate with, so kernels annotate refs as ``Any``
@@ -352,7 +378,9 @@ def score_topk_fused_packed(
     ev, ei = _fused_extract(docs, q, n_valid, interpret=interpret)
     vals, idx = _verified_merge(
         ev, ei, k,
-        lambda: score_topk(docs, queries if b_pad == b else q, n_valid, k),
+        lambda: _exact_fallback(
+            docs, queries if b_pad == b else q, n_valid, k
+        ),
     )
     return pack_vals_idx(vals[:b], idx[:b], wide=wide)
 
@@ -474,9 +502,9 @@ def score_topk_fused_int8_packed(
         q_docs, row_scales, q_int8, q_scales, n_valid, interpret=interpret
     )
     def _int8_exact() -> Tuple[jax.Array, jax.Array]:
-        from .quant import score_topk_int8
-
-        return score_topk_int8(q_docs, row_scales, queries, n_valid, k)
+        return _exact_fallback(
+            q_docs, queries, n_valid, k, row_scales=row_scales
+        )
 
     vals, idx = _verified_merge(ev, ei, k, _int8_exact)
     return pack_vals_idx(vals[:b], idx[:b], wide=wide)
@@ -886,7 +914,7 @@ def fused2_topk(
         return vals, idx
 
     def full(_: None) -> Tuple[jax.Array, jax.Array]:
-        fv, fi = score_topk(docs, q, n_valid, k)
+        fv, fi = _exact_fallback(docs, q, n_valid, k)
         return fv.astype(jnp.float32), fi
 
     vals, idx = jax.lax.cond(covered, fast, full, None)
@@ -941,9 +969,9 @@ def fused2_topk_int8(
         return vals, idx
 
     def full(_: None) -> Tuple[jax.Array, jax.Array]:
-        from .quant import score_topk_int8
-
-        fv, fi = score_topk_int8(q_docs, row_scales, queries, n_valid, k)
+        fv, fi = _exact_fallback(
+            q_docs, queries, n_valid, k, row_scales=row_scales
+        )
         return fv.astype(jnp.float32), fi
 
     vals, idx = jax.lax.cond(covered, fast, full, None)

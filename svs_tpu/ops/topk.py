@@ -159,6 +159,121 @@ def score_topk_fast(
     return verified_topk(scores, k)
 
 
+#: Ceiling on the f32 score-matrix bytes a materializing exact path may
+#: allocate in-graph.  ``lax.cond`` branches allocate even when untaken:
+#: a [256, 2^24] fallback inside the keyed kernels is a 17 GB HBM
+#: allocation that fails COMPILE on a 16 GB chip, killing the very
+#: wide-corpus shapes the keyed kernels exist for.  Past this budget the
+#: fallback streams over row blocks instead (:func:`streaming_score_topk`).
+FALLBACK_SCORES_BUDGET = 1 << 31  # 2 GiB
+
+
+def streaming_score_topk(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    row_scales: "jax.Array | None" = None,
+    max_block_rows: int = 1 << 21,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact masked scoring + top-k with O(B x block) score memory.
+
+    Result contract of :func:`score_topk` (``row_scales=None``) or
+    ``quant.score_topk_int8`` (int8 corpus + per-row scales), including
+    the smaller-index-first tie rule, but the ``[B, N]`` f32 score matrix
+    never materializes: a ``fori_loop`` scores one row block at a time
+    and merges a running top-k carry (``concat([carry, block]) -> top_k``
+    — carry first, so global tie order is preserved).  This is the exact
+    fallback the fused keyed kernels embed once a materializing fallback
+    would exceed :data:`FALLBACK_SCORES_BUDGET`; it is also callable
+    directly for any corpus too large to score in one piece.
+
+    The block size is the largest divisor of ``n`` at most
+    ``max_block_rows`` (packed corpora are block-multiple-sized, so a
+    divisor near the target always exists) and never below ``k``.
+    """
+    n, d = docs.shape
+    b = queries.shape[0]
+    if k > n:
+        raise ValueError(f"k={k} exceeds the corpus row count {n}")
+    target = max(1, -(-n // max_block_rows))
+    steps = target  # prefer MORE steps (blocks under the memory target)
+    while steps * max(k, 1) <= n and n % steps != 0:
+        steps += 1
+    if steps * max(k, 1) > n or n % steps != 0:
+        steps = target  # no divisor small enough: take the next larger block
+        while steps > 1 and n % steps != 0:
+            steps -= 1
+    block = n // steps
+
+    if row_scales is None:
+        q = queries
+        if docs.dtype != q.dtype and jnp.issubdtype(docs.dtype, jnp.floating):
+            q = q.astype(docs.dtype)
+        prec = f32_dot_precision(docs.dtype)
+        q_int8 = q_scales = None
+    else:
+        from .quant import quantize_rows_int8
+
+        q_int8, q_scales = quantize_rows_int8(queries)
+        prec = None
+
+    def block_scores(start: jax.Array) -> jax.Array:
+        blk = jax.lax.dynamic_slice(docs, (start, 0), (block, d))
+        if row_scales is None:
+            s = jax.lax.dot_general(
+                q,
+                blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        else:
+            rs = jax.lax.dynamic_slice(row_scales, (start,), (block,))
+            raw = jax.lax.dot_general(
+                q_int8,
+                blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = raw.astype(jnp.float32) * rs[None, :] * q_scales[:, None]
+        live = jax.lax.broadcasted_iota(jnp.int32, (b, block), 1) + start
+        return jnp.where(live < n_valid, s, NEG_INF)
+
+    vals0, idx0 = jax.lax.top_k(block_scores(jnp.int32(0)), k)
+
+    def body(
+        i: jax.Array, carry: Tuple[jax.Array, jax.Array]
+    ) -> Tuple[jax.Array, jax.Array]:
+        cv, ci = carry
+        start = i * block
+        bv, bi = jax.lax.top_k(block_scores(start), k)
+        mv = jnp.concatenate([cv, bv], axis=1)
+        mi = jnp.concatenate([ci, bi + start], axis=1)
+        v, p = jax.lax.top_k(mv, k)
+        return v, jnp.take_along_axis(mi, p, axis=1)
+
+    return jax.lax.fori_loop(1, steps, body, (vals0, idx0))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wide"))
+def streaming_score_topk_packed(
+    docs: jax.Array,
+    queries: jax.Array,
+    n_valid: jax.Array,
+    k: int,
+    row_scales: "jax.Array | None" = None,
+    wide: bool = False,
+) -> jax.Array:
+    """:func:`streaming_score_topk` + result packing in one dispatch —
+    the XLA-ladder bottom for corpora whose ``[B, N]`` f32 score matrix
+    exceeds :data:`FALLBACK_SCORES_BUDGET`."""
+    return pack_vals_idx(
+        *streaming_score_topk(docs, queries, n_valid, k, row_scales=row_scales),
+        wide=wide,
+    )
+
+
 def pack_vals_idx(vals: jax.Array, idx: jax.Array, wide: bool = False) -> jax.Array:
     """Scores ++ indices in ONE array so a single host fetch retrieves both.
 

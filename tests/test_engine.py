@@ -1227,3 +1227,37 @@ def test_auto_precision_end_to_end(db_path, unit_rows):
         assert scores == sorted(scores, reverse=True)
     finally:
         kb.close()
+
+
+def test_xla_ladder_streams_past_scores_budget(
+    db_path, unit_rows, monkeypatch
+):
+    """When the materializing [B, N] f32 score matrix would blow the HBM
+    budget (a compile-time OOM at [256, 2^24] on a 16 GB chip), the XLA
+    ladder bottom must dispatch the streaming exact path — and the
+    results must be oracle-identical."""
+    import svs_tpu.ops.topk as topk_mod
+
+    m = unit_rows(300, 24)
+    db = _fill(db_path, m)
+    calls = []
+    real = topk_mod.streaming_score_topk_packed
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(topk_mod, "FALLBACK_SCORES_BUDGET", 0)
+    monkeypatch.setattr(topk_mod, "streaming_score_topk_packed", spy)
+    q = unit_rows(3, 24)
+    for precision in ("bf16", "int8"):
+        calls.clear()
+        eng = RetrievalEngine(precision=precision, kernel="xla")
+        corpus = eng.ensure_fresh(db)
+        vals, rows, _ = eng.topk_with_rescore(corpus, q, 7)
+        assert calls, f"streaming bottom not dispatched for {precision}"
+        for b in range(3):
+            oracle = {i for _, i in top_k_numpy(m @ q[b], 7)}
+            got = set(np.asarray(rows)[b].tolist())
+            # candidate sets from quantized prescores: near-total overlap
+            assert len(got & oracle) >= 6

@@ -686,3 +686,75 @@ def test_keyed_pairwise_route_pins_headline_shapes():
     assert not keyed_pairwise_route((1 << 20) + LARGE_ROW_MULTIPLE, 256, 100)
     # small packs pad to 256-multiples -> not 4096-aligned -> exact path
     assert not keyed_pairwise_route(100_096, 256, 1000)
+
+
+# --- streaming exact fallback (memory-bounded scoring) ----------------------
+
+
+def test_streaming_score_topk_matches_materializing(unit_rows):
+    from svs_tpu.ops.topk import streaming_score_topk
+
+    m, q, mp, qp = _setup(unit_rows)
+    nv, k = jnp.int32(len(m)), 17
+    qj = jnp.asarray(qp)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        docs = jnp.asarray(mp, dtype)
+        ref_v, ref_i = score_topk(docs, qj, nv, k)
+        got_v, got_i = streaming_score_topk(
+            docs, qj, nv, k, max_block_rows=128
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+        np.testing.assert_allclose(
+            np.asarray(got_v), np.asarray(ref_v), rtol=1e-6
+        )
+
+
+def test_streaming_score_topk_tie_rule_across_blocks(unit_rows):
+    """Duplicated rows land in different blocks; the smaller-index-first
+    tie rule of lax.top_k must survive the block merge."""
+    from svs_tpu.ops.topk import streaming_score_topk
+
+    base = unit_rows(64, 32)
+    m = np.concatenate([base] * 4, axis=0)  # dup groups 64 rows apart
+    q = base[:3]
+    mp = pad_matrix(m)
+    qp = jnp.asarray(pad_queries(q, mp.shape[1]))
+    nv, k = jnp.int32(len(m)), 9
+    docs = jnp.asarray(mp)
+    ref_v, ref_i = score_topk(docs, qp, nv, k)
+    got_v, got_i = streaming_score_topk(docs, qp, nv, k, max_block_rows=64)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v))
+
+
+def test_streaming_score_topk_int8_matches_materializing(unit_rows):
+    from svs_tpu.ops.topk import streaming_score_topk
+
+    m, q, mp, qp = _setup(unit_rows)
+    nv, k = jnp.int32(len(m)), 13
+    qd, scales = quantize_rows_int8(jnp.asarray(mp))
+    qj = jnp.asarray(qp)
+    ref_v, ref_i = score_topk_int8(qd, scales, qj, nv, k)
+    got_v, got_i = streaming_score_topk(
+        qd, qj, nv, k, row_scales=scales, max_block_rows=96
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v), rtol=1e-6)
+
+
+def test_fused2_fallback_streams_past_scores_budget(monkeypatch):
+    """Over the budget, the keyed kernels' in-graph exact fallback must
+    stream (a materializing [B, N] f32 branch is a 17 GB allocation at
+    2^24 rows that fails COMPILE) — and stay exact when coverage fails
+    (all-identical rows tie every key, forcing the fallback branch)."""
+    import svs_tpu.ops.pallas_extract as px
+
+    monkeypatch.setattr(px, "FALLBACK_SCORES_BUDGET", 0)
+    n, d, k = 2 * px.FUSED_BLOCK_N, 128, 10
+    u = np.zeros(d, np.float32)
+    u[0] = 1.0
+    docs = jnp.asarray(np.tile(u, (n, 1)), jnp.bfloat16)
+    q = jnp.asarray(u[None, :])
+    vals, idx = px.fused2_topk(docs, q, jnp.int32(n - 5), k, interpret=True)
+    assert np.asarray(idx)[0].tolist() == list(range(k))
+    np.testing.assert_allclose(np.asarray(vals)[0], 1.0, atol=1e-2)
