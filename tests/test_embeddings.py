@@ -95,3 +95,19 @@ async def test_magnitude_guard():
 
     # empty batch is fine
     assert await wrap_embeddings_func_check_magnitude(good, 0.001)([]) == []
+
+
+def test_embeddings_util_alias_module():
+    """The reference exposes svs.embeddings.util; imports of its helpers
+    must survive a package swap (ref: src/svs/embeddings/util.py)."""
+    from svs_tpu.embeddings.util import (
+        EMBEDDINGS_MAX_CACHE_SIZE,
+        embedding_from_bytes,
+        embedding_to_bytes,
+        wrap_embeddings_func_check_magnitude,
+    )
+
+    blob = embedding_to_bytes([0.5, -0.25])
+    assert embedding_from_bytes(blob) == [0.5, -0.25]
+    assert EMBEDDINGS_MAX_CACHE_SIZE > 0
+    assert callable(wrap_embeddings_func_check_magnitude)
