@@ -121,6 +121,23 @@ def _build_sharded_topk(
             gidx = idx.astype(jnp.int32) + offset
             return vals[None], gidx[None]
 
+        if model_axis is None:
+            from ..ops.topk import FALLBACK_SCORES_BUDGET, streaming_score_topk
+
+            if q.shape[0] * n_local * 4 > FALLBACK_SCORES_BUDGET:
+                # The materializing path below allocates a [B, N/D] f32
+                # score matrix PER SHARD — at [256, 2^24] that is 17 GB
+                # and fails compile on a 16 GB chip.  Stream row blocks
+                # instead (exact, same tie rule, O(B x block) memory).
+                nv_local = jnp.clip(
+                    n_valid.astype(jnp.int32) - offset, 0, n_local
+                )
+                vals, idx = streaming_score_topk(
+                    docs, q, nv_local, k_local,
+                    row_scales=scales if has_scales else None,
+                )
+                return vals[None], (idx + offset)[None]
+
         if has_scales:
             q_int8, q_scales = quantize_rows_int8(q)
             raw = jax.lax.dot_general(

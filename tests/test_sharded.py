@@ -419,3 +419,55 @@ def test_mesh_topk_final_int8_and_model_axis_policy(
     )
     eng2._maybe_build_device_rescore(corpus2)
     assert corpus2.dev_rescore is None
+
+
+def test_sharded_streams_past_scores_budget(
+    devices_available, unit_rows, monkeypatch
+):
+    """Past the score-matrix budget, each shard's non-keyed scoring must
+    stream row blocks instead of materializing [B, N/D] f32 (a per-chip
+    compile-time OOM at wide shapes) — with oracle-identical results."""
+    import svs_tpu.ops.topk as topk_mod
+
+    calls = []
+    real = topk_mod.streaming_score_topk
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(topk_mod, "FALLBACK_SCORES_BUDGET", 0)
+    monkeypatch.setattr(topk_mod, "streaming_score_topk", spy)
+    # lru_cache on _build_sharded_topk would replay a pre-patch trace:
+    # clear it so this mesh/k combination re-traces under the spy.
+    from svs_tpu.parallel import sharded as sharded_mod
+
+    sharded_mod._build_sharded_topk.cache_clear()
+
+    m, q, mp, qp = _corpus(unit_rows)
+    mesh = default_mesh()
+    docs = jax.device_put(jnp.asarray(mp), NamedSharding(mesh, P("data", None)))
+    vals, idx = sharded_score_topk(
+        docs, None, jnp.asarray(qp), jnp.int32(len(m)), 11, mesh=mesh
+    )
+    assert calls, "per-shard streaming path not traced"
+    for b in range(q.shape[0]):
+        oracle = top_k_numpy(m @ q[b], 11)
+        assert list(np.asarray(idx)[b]) == [i for _, i in oracle]
+
+    # int8 shards stream through the same seam
+    calls.clear()
+    sharded_mod._build_sharded_topk.cache_clear()
+    qd, scales = quantize_rows_int8(jnp.asarray(mp))
+    docs8 = jax.device_put(qd, NamedSharding(mesh, P("data", None)))
+    scales8 = jax.device_put(scales, NamedSharding(mesh, P("data")))
+    vals8, idx8 = sharded_score_topk(
+        docs8, scales8, jnp.asarray(qp), jnp.int32(len(m)), 11, mesh=mesh
+    )
+    assert calls, "int8 per-shard streaming path not traced"
+    for b in range(q.shape[0]):
+        true = {i for _, i in top_k_numpy(m @ q[b], 11)}
+        got = set(np.asarray(idx8)[b].tolist())
+        assert len(true & got) >= 10
+
+    sharded_mod._build_sharded_topk.cache_clear()
