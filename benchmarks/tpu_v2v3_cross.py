@@ -7,7 +7,11 @@ the winner flips as nb grows / d shrinks.  This probe times both packed
 production paths at b=256, k=100 over a shape ladder to turn the two
 anecdotes into a dispatch rule.
 
-Run on the TPU box: python benchmarks/tpu_v2v3_cross.py
+Run on the TPU box: python benchmarks/tpu_v2v3_cross.py [--int8]
+
+``--int8`` times the int8 packed paths instead (matmul ~2x faster, so
+selection dominates earlier and v2's crossover should arrive at smaller
+nb than bf16's).
 """
 
 from __future__ import annotations
@@ -26,7 +30,9 @@ from svs_tpu.ops.pallas_extract import (
     FUSED_BLOCK_N,
     fused2_supported,
     fused3_supported,
+    score_topk_fused2_int8_packed,
     score_topk_fused2_packed,
+    score_topk_fused3_int8_packed,
     score_topk_fused3_packed,
 )
 
@@ -39,6 +45,9 @@ SHAPES = [
     (256 * FUSED_BLOCK_N, 768),    # ~2.1M
     (512 * FUSED_BLOCK_N, 512),    # ~4.2M
     (1024 * FUSED_BLOCK_N, 256),   # ~8.4M
+    (1216 * FUSED_BLOCK_N, 256),   # ~10.0M
+    (1408 * FUSED_BLOCK_N, 256),   # ~11.5M
+    (1792 * FUSED_BLOCK_N, 256),   # ~14.7M
     (2050 * FUSED_BLOCK_N, 256),   # ~16.8M — past 2^24
 ]
 
@@ -53,6 +62,22 @@ def synth(n, d):
         return x.astype(jnp.bfloat16)
 
     return f(0)
+
+
+def synth_int8(n, d):
+    """int8 rows + per-row scales shaped like the engine's quantized
+    pack (unit-norm rows -> scores in [-1, 1])."""
+
+    @jax.jit
+    def f(_):
+        r = jax.lax.broadcasted_iota(jnp.float32, (n, d), 0)
+        c = jax.lax.broadcasted_iota(jnp.float32, (n, d), 1)
+        x = jnp.sin(r * 12.9898 + c * 78.233) * 43758.5453
+        q = jnp.round((x - jnp.floor(x) - 0.5) * 254.0)
+        return q.astype(jnp.int8)
+
+    scales = jnp.full((n,), 1.0 / (127.0 * np.sqrt(d / 12.0)), jnp.float32)
+    return f(0), scales
 
 
 def chained(fn, length):
@@ -85,23 +110,46 @@ def device_ms(fn, args, iters=9, reps=5):
 
 
 def main():
-    print("device:", jax.devices()[0])
+    int8 = "--int8" in sys.argv[1:]
+    print("device:", jax.devices()[0], "| precision:", "int8" if int8 else "bf16")
     rng = np.random.default_rng(0)
     print(f"{'shape':>16} {'nb':>5} | {'v2 ms':>8} {'v3 ms':>8} | winner")
     for n, d in SHAPES:
         wide = n >= (1 << 24)
-        assert fused2_supported(n, d, B, K) and fused3_supported(n, d, B, K)
-        docs = synth(n, d)
-        np.asarray(docs[0, :1])
+        # this probe intentionally runs v3 PAST its GUARD_MAX_BLOCKS
+        # profitability ceiling (that ceiling came from this data), so
+        # only v2's predicate + raw shape alignment are asserted
+        assert fused2_supported(n, d, B, K)
+        assert n % FUSED_BLOCK_N == 0 and fused3_supported(
+            min(n, 1024 * FUSED_BLOCK_N), d, B, K
+        )
         q = rng.standard_normal((B, d)).astype(np.float32)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         qd, nv = jnp.asarray(q), jnp.int32(n - 37)
 
-        def v2(d_, q_, n_):
-            return score_topk_fused2_packed(d_, q_, n_, K, wide=wide)
+        if int8:
+            docs, scales = synth_int8(n, d)
+            np.asarray(docs[0, :1])
 
-        def v3(d_, q_, n_):
-            return score_topk_fused3_packed(d_, q_, n_, K, wide=wide)
+            def v2(d_, q_, n_):
+                return score_topk_fused2_int8_packed(
+                    d_, scales, q_, n_, K, wide=wide
+                )
+
+            def v3(d_, q_, n_):
+                return score_topk_fused3_int8_packed(
+                    d_, scales, q_, n_, K, wide=wide
+                )
+
+        else:
+            docs = synth(n, d)
+            np.asarray(docs[0, :1])
+
+            def v2(d_, q_, n_):
+                return score_topk_fused2_packed(d_, q_, n_, K, wide=wide)
+
+            def v3(d_, q_, n_):
+                return score_topk_fused3_packed(d_, q_, n_, K, wide=wide)
 
         t2 = device_ms(v2, (docs, qd, nv))
         t3 = device_ms(v3, (docs, qd, nv))

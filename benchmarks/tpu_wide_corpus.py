@@ -190,14 +190,19 @@ def main():
         "keyed (v2) wide b=256", (docs, q256, nv),
         flops=2.0 * 256 * N * D,
     )
-    assert fused3_supported(N, D, 256, K)
+    # v3 runs here PAST its GUARD_MAX_BLOCKS profitability ceiling (this
+    # shape's nb=2050 measures v2 faster — tpu_v2v3_cross.py — so the
+    # engine dispatches v2 at any batch for wide corpora)
+    assert N % FUSED_BLOCK_N == 0 and fused3_supported(
+        1024 * FUSED_BLOCK_N, D, 256, K
+    )
     t256g = time_case(
         "guarded (v3) wide b=256", (docs, q256, nv),
         flops=2.0 * 256 * N * D, fn=guarded_wide,
     )
     best = min(t256, t256g)
     print(f"per query at b=256: {best / 256 * 1e3:.4f} ms "
-          f"(engine dispatch at b>=16 is v3)")
+          f"(engine dispatch for wide corpora is v2 — GUARD_MAX_BLOCKS)")
     print(f"HBM floor at this shape: {BYTES / 819e9 * 1e3:.2f} ms "
           f"(b=1 measured {t1 * 1e3:.2f})")
 

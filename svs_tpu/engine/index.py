@@ -1452,18 +1452,46 @@ class RetrievalEngine:
         drift.  Growing ``k`` past ``GUARD_MAX_C`` turns this off, so
         the widen-and-retry ladder naturally escalates v3 -> v2/v1 ->
         exact."""
-        from ..ops.pallas_extract import fused3_supported
+        from ..ops.pallas_extract import (
+            FUSED_BLOCK_N,
+            GUARD_KEYS,
+            fused3_supported,
+        )
 
-        if not self.rescore or self.mesh is not None:
+        if not self.rescore:
             return False
         if corpus.precision == "int8":
             if self.kernel != "auto":
                 return False
         elif self.kernel not in ("auto", "pallas"):
             return False
-        return fused3_supported(
-            corpus.n_padded, corpus.dim_padded, b, min(k, corpus.n_valid)
-        )
+        c = min(k, corpus.n_valid)
+        # Mesh: guarded selection runs PER SHARD (fused3 inside
+        # shard_map, data-axis-only; see parallel.sharded), so support is
+        # judged on the shard shape.  The merged boundary slot composes
+        # per-shard bounds exactly like the single-chip wire, so ONE
+        # GUARD_KEY_EPS term covers it.
+        n_rows = corpus.n_padded
+        if self.mesh is not None:
+            if self.model_axis is not None:
+                return False
+            n_rows = corpus.n_padded // int(self.mesh.shape[self.data_axis])
+            # Padding is contiguous at the END of the pack, so on a mesh
+            # it concentrates in the trailing shard(s) — fused3_supported's
+            # own "two trailing blocks" slack assumes single-chip padding.
+            # A shard whose key pool can't seat ``c`` LIVE keys returns
+            # bound=+inf (dead markers reach the selection), which would
+            # fail the margin on EVERY batch and trap the widen ladder;
+            # refuse dispatch unless the worst shard still has enough
+            # fully-live blocks.
+            pad_rows = corpus.n_padded - corpus.n_valid
+            nb_shard = n_rows // FUSED_BLOCK_N
+            dead_blocks_worst = min(
+                -(-pad_rows // FUSED_BLOCK_N), nb_shard
+            )
+            if c > (nb_shard - dead_blocks_worst) * GUARD_KEYS:
+                return False
+        return fused3_supported(n_rows, corpus.dim_padded, b, c)
 
     def _scores_over_budget(self, corpus: PackedCorpus, b: int) -> bool:
         """Whether a materializing exact path's ``[B, N]`` f32 score
@@ -1658,6 +1686,13 @@ class RetrievalEngine:
         if self.mesh is not None:
             from ..parallel.sharded import sharded_score_topk
 
+            # Same ladder as single-chip, per shard: guarded (v3) when
+            # the batch clears GUARD_MIN_BATCH and every shard's pool can
+            # seat the candidates, else keyed (v2), else the
+            # materialize/stream fallbacks inside sharded_score_topk.
+            guarded = self._guarded_selection_possible(
+                corpus, q.shape[0], k_eff
+            )
             vals, idx = sharded_score_topk(
                 corpus.data,
                 corpus.row_scales,
@@ -1667,9 +1702,9 @@ class RetrievalEngine:
                 mesh=self.mesh,
                 data_axis=self.data_axis,
                 model_axis=self.model_axis,
-                keyed=self._keyed_selection_possible(
-                    corpus, q.shape[0], k_eff
-                ),
+                keyed=not guarded
+                and self._keyed_selection_possible(corpus, q.shape[0], k_eff),
+                guarded=guarded,
             )
             packed_dev = _pack_results(vals, idx, wide=wide)
         elif corpus.precision == "int8":

@@ -1055,6 +1055,17 @@ GUARD_MAX_C = 1024
 #: 4.21, b=16 4.26 vs 4.21 tie, b>=32 v3 wins outright — 6.18 vs 7.93
 #: at b=256; benchmarks/tpu_v3_prod.py).
 GUARD_MIN_BATCH = 16
+#: v3 dispatch ceiling on the BLOCK count: v3's finish stage decodes and
+#: selects over nb*128 output lanes, growing with the corpus, while v2's
+#: staged in-kernel reduce does not — so the winner flips as nb grows.
+#: Measured v5e crossover at b=256 k=100, SAME nb for both precisions
+#: (benchmarks/tpu_v2v3_cross.py, 2026-08-19, constant n*d ladder):
+#:   bf16: nb=1024 v3 wins 18% | nb=1216 v2 wins 8% | nb=2050 v2 wins 18%
+#:   int8: nb=1024 v3 wins 22% | nb=1216 v2 wins 4% | nb=2050 v2 wins 16%
+#: Midpoint ceiling; past it dispatch falls through to the keyed (v2)
+#: path, which has no row ceiling at all.  On a mesh the PER-SHARD block
+#: count is judged (the finish stage runs per chip).
+GUARD_MAX_BLOCKS = 1120
 #: Keys at/above this decode from scores > ~2.5 — beyond any unit-norm
 #: or int8-overshoot score, so only reachable by raw-op inputs that may
 #: have lost f32 exactness; the bound saturates to +inf there.
@@ -1275,14 +1286,16 @@ def fused3_supported(n: int, d: int, b: int, c: int) -> bool:
     blocks may be partially/fully padding — hence ``nb - 2``.  A caller
     violating even that (pool starved of live keys) is caught at
     runtime: dead markers reaching the selection force the bound to +inf
-    (see ``_fused3_finish``).  Like v2 there is NO ``n < 2^24`` ceiling —
-    rows are reconstructed in int32 from (block, subtile, lane)."""
+    (see ``_fused3_finish``).  There is no ``n < 2^24`` CORRECTNESS
+    ceiling (rows are reconstructed in int32 from (block, subtile,
+    lane)); ``GUARD_MAX_BLOCKS`` is a measured profitability ceiling —
+    past it the v2 keyed path is faster and dispatch falls through."""
     nb = n // FUSED_BLOCK_N
     return (
         n % FUSED_BLOCK_N == 0
         and d % DIM_CHUNK == 0
         and GUARD_MIN_BATCH <= b <= FUSED_MAX_BATCH
-        and nb >= 16
+        and 16 <= nb <= GUARD_MAX_BLOCKS
         and 0 < c <= min(GUARD_MAX_C, (nb - 2) * GUARD_KEYS)
     )
 

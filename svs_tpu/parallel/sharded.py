@@ -42,6 +42,7 @@ def sharded_score_topk(
     data_axis: str = "data",
     model_axis: Optional[str] = None,
     keyed: bool = False,
+    guarded: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-``k`` over a mesh-sharded corpus.
 
@@ -59,19 +60,32 @@ def sharded_score_topk(
     term whenever this dispatch is possible).  Requires data-axis-only
     sharding and per-shard ``fused2_supported`` shapes — the engine's
     ``_keyed_selection_possible`` is the gate.
+
+    ``guarded=True`` runs each shard through the guarded (v3) kernels
+    instead — batched selection with half v2's emit reduces; each shard
+    returns candidates plus a sound per-query bound on every hidden
+    (non-extracted) prescore in its row range, and the merged boundary
+    slot becomes ``max(weakest merged candidate, max over shards of the
+    per-shard bounds)`` — exactly the composition the single-chip wire
+    carries (``ops.pallas_extract.score_topk_fused3_packed``), so the
+    engine's rescore margin proof reads it unchanged.  Only sound under
+    the verified rescore + widen machinery; the engine's
+    ``_guarded_selection_possible`` is the gate (data-axis-only,
+    per-shard ``fused3_supported`` shapes, ``b >= GUARD_MIN_BATCH``).
     """
     if row_scales is not None and model_axis is not None:
         raise NotImplementedError(
             "int8 corpora shard over the data axis only (per-query scales "
             "must see the full query vector)"
         )
-    if keyed and model_axis is not None:
+    if (keyed or guarded) and model_axis is not None:
         raise NotImplementedError(
-            "keyed per-shard selection needs each shard's full dot "
-            "products (data-axis-only sharding)"
+            "keyed/guarded per-shard selection needs each shard's full "
+            "dot products (data-axis-only sharding)"
         )
     fn = _build_sharded_topk(
-        mesh, data_axis, model_axis, int(k), row_scales is not None, keyed
+        mesh, data_axis, model_axis, int(k), row_scales is not None, keyed,
+        guarded,
     )
     if row_scales is not None:
         return fn(docs, row_scales, queries, n_valid)
@@ -86,17 +100,43 @@ def _build_sharded_topk(
     k: int,
     has_scales: bool,
     keyed: bool = False,
+    guarded: bool = False,
 ) -> "Any":
     def local_topk(
         docs: jax.Array,
         scales: Optional[jax.Array],
         q: jax.Array,
         n_valid: jax.Array,
-    ) -> Tuple[jax.Array, jax.Array]:
+    ) -> Tuple[jax.Array, ...]:
         n_local = docs.shape[0]
         k_local = min(k, n_local)
         on_cpu = jax.default_backend() == "cpu"
         offset = jax.lax.axis_index(data_axis).astype(jnp.int32) * n_local
+
+        if guarded:
+            # Guarded (v3) kernels per shard: candidates + a sound bound
+            # on every prescore hidden in this shard's row range (see
+            # ops.pallas_extract "guarded fused kernels").  The bound
+            # rides back as a third per-shard output; ``merged`` folds
+            # the max across shards into the wire's boundary slot.
+            from ..ops.pallas_extract import (
+                fused3_candidates,
+                fused3_candidates_int8,
+            )
+
+            nv_local = jnp.clip(
+                n_valid.astype(jnp.int32) - offset, 0, n_local
+            )
+            if has_scales:
+                vals, rows, bound = fused3_candidates_int8(
+                    docs, scales, q, nv_local, k_local, interpret=on_cpu
+                )
+            else:
+                vals, rows, bound = fused3_candidates(
+                    docs, q, nv_local, k_local, interpret=on_cpu
+                )
+            gidx = rows.astype(jnp.int32) + offset
+            return vals[None], gidx[None], bound[None]
 
         if keyed:
             # Keyed fused kernels per shard: one kernel does matmul +
@@ -172,29 +212,45 @@ def _build_sharded_topk(
         in_specs = (P(data_axis, model_axis), P(data_axis), P(None, model_axis), P())
         def mapped(
             docs: jax.Array, scales: jax.Array, q: jax.Array, n_valid: jax.Array
-        ) -> Tuple[jax.Array, jax.Array]:
+        ) -> Tuple[jax.Array, ...]:
             return local_topk(docs, scales, q, n_valid)
     else:
         in_specs = (P(data_axis, model_axis), P(None, model_axis), P())
         def mapped(
             docs: jax.Array, q: jax.Array, n_valid: jax.Array
-        ) -> Tuple[jax.Array, jax.Array]:
+        ) -> Tuple[jax.Array, ...]:
             return local_topk(docs, None, q, n_valid)
 
+    out_specs: Tuple[P, ...] = (P(data_axis, None, None), P(data_axis, None, None))
+    if guarded:
+        out_specs = out_specs + (P(data_axis, None),)
     shard_fn = jax.shard_map(
         mapped,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P(data_axis, None, None), P(data_axis, None, None)),
+        out_specs=out_specs,
         check_vma=False,
     )
 
     def merged(*args: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        vals, gidx = shard_fn(*args)  # [D, B, k_local]
+        out = shard_fn(*args)
+        vals, gidx = out[0], out[1]  # [D, B, k_local]
         b = vals.shape[1]
         vals = jnp.moveaxis(vals, 0, 1).reshape(b, -1)
         gidx = jnp.moveaxis(gidx, 0, 1).reshape(b, -1)
-        return merge_topk(vals, gidx, k)
+        mvals, midx = merge_topk(vals, gidx, k)
+        if guarded:
+            # A doc missing from the merged set was either never
+            # extracted in its shard (<= that shard's bound) or dropped
+            # at the merge (<= the merged k-th value), so this boundary
+            # upper-bounds every hidden prescore globally — the same
+            # composition score_topk_fused3_packed writes single-chip.
+            gbound = jnp.max(out[2], axis=0)  # [B]
+            mvals = jnp.concatenate(
+                [mvals[:, :-1], jnp.maximum(mvals[:, -1:], gbound[:, None])],
+                axis=1,
+            )
+        return mvals, midx
 
     return jax.jit(merged)
 

@@ -563,9 +563,17 @@ def test_fused3_supported_bounds():
     assert not fused3_supported(
         big_nb * FUSED_BLOCK_N, 128, b, GUARD_MAX_C + 1
     )
-    # NO 2^24 row ceiling (the v3 wire reconstructs rows in int32)
+    # profitability ceiling at GUARD_MAX_BLOCKS: past it v2 measures
+    # faster (benchmarks/tpu_v2v3_cross.py) and dispatch falls through
+    # to the keyed path — which covers any row count, incl. past 2^24
+    from svs_tpu.ops.pallas_extract import GUARD_MAX_BLOCKS, fused2_supported
+
+    assert fused3_supported(GUARD_MAX_BLOCKS * FUSED_BLOCK_N, 128, b, 400)
+    assert not fused3_supported(
+        (GUARD_MAX_BLOCKS + 1) * FUSED_BLOCK_N, 128, b, 400
+    )
     huge = (((1 << 24) // FUSED_BLOCK_N) + 17) * FUSED_BLOCK_N
-    assert fused3_supported(huge, 128, b, 400)
+    assert fused2_supported(huge, 128, b, 400)
 
 
 def test_fused3_bound_contract_random(unit_rows):

@@ -296,6 +296,155 @@ def test_engine_mesh_dispatches_keyed_kernels(unit_rows, monkeypatch):
         assert got == oracle, b
 
 
+@pytest.mark.parametrize("precision", ["bf16", "int8"])
+def test_sharded_guarded_candidate_contract(unit_rows, precision):
+    """Guarded (v3) per-shard selection inside shard_map: merged
+    candidate values decode within GUARD_KEY_EPS below the storage-model
+    truth, and the FOLDED boundary slot (``vals[:, -1]`` = max(weakest
+    merged candidate, max over shards of per-shard hidden bounds))
+    upper-bounds every document missing from the merged set — the exact
+    composition the single-chip v3 wire carries, which the engine's
+    margin proof consumes unchanged."""
+    from svs_tpu.ops.pallas_extract import FUSED_BLOCK_N, GUARD_KEY_EPS
+    from svs_tpu.parallel.mesh import default_mesh
+
+    devices = jax.devices()[:2]
+    mesh = default_mesh(devices=devices)
+    n = 2 * 2 * FUSED_BLOCK_N  # two fused blocks per shard
+    m = unit_rows(n, 16)
+    padded = np.zeros((n, 128), np.float32)
+    padded[:, :16] = m
+    q_rows = [3, 9000, 17000, 25000, 31000, 50, 16500, 16900]
+    q = np.zeros((8, 128), np.float32)
+    q[:, :16] = m[q_rows][:, :16]
+    nv = n - 123
+    k = 40
+    if precision == "int8":
+        di, rs = quantize_rows_int8(jnp.asarray(padded))
+        docs = jax.device_put(di, NamedSharding(mesh, P("data", None)))
+        scales = jax.device_put(rs, NamedSharding(mesh, P("data")))
+        # storage-model ground truth: the int8 path quantizes queries
+        # too, then scales the exact int32 dot — reproducible bit-exact
+        # on the host up to the f32 multiply rounding
+        qi, qs = quantize_rows_int8(jnp.asarray(q))
+        model = (
+            np.asarray(qi, np.int32) @ np.asarray(di, np.int32).T
+        ).astype(np.float32) * np.asarray(rs)[None, :] * np.asarray(qs)[:, None]
+        eps = GUARD_KEY_EPS + 1e-4
+    else:
+        docs = jax.device_put(
+            jnp.asarray(padded, jnp.bfloat16),
+            NamedSharding(mesh, P("data", None)),
+        )
+        scales = None
+        model = (
+            m[:, :16].astype(np.float32) @ m[q_rows][:, :16].T
+        ).T.astype(np.float32)
+        # bf16 storage: rounding of both sides + key grid + f32 cushion
+        eps = 2.0**-8 * (1 + 2.0**-9) + GUARD_KEY_EPS + 3e-5
+    vals, idx = sharded_score_topk(
+        docs, scales, jnp.asarray(q), jnp.int32(nv), k,
+        mesh=mesh, guarded=True,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert (idx >= 0).all() and (idx < nv).all()
+    for b in range(8):
+        assert len(set(idx[b].tolist())) == k
+        model_of_returned = model[b][idx[b]]
+        # all but the folded boundary slot decode within eps of truth
+        assert (vals[b][:-1] <= model_of_returned[:-1] + eps).all()
+        assert (model_of_returned[:-1] <= vals[b][:-1] + eps).all()
+        # the boundary slot is >= its own candidate's decoded value
+        # (fold can only raise it) ...
+        boundary = vals[b][-1]
+        assert model_of_returned[-1] <= boundary + eps
+        # ... and THE contract: no document outside the merged set may
+        # exceed the boundary
+        mask = np.ones(nv, dtype=bool)
+        mask[idx[b]] = False
+        hidden_max = model[b][:nv][mask].max()
+        assert hidden_max <= boundary + eps, (b, hidden_max, boundary)
+
+
+def test_engine_mesh_dispatches_guarded_kernels(unit_rows, monkeypatch):
+    """b >= GUARD_MIN_BATCH on a mesh engine must route through the
+    guarded (v3) per-shard kernels — the fastest batched path per chip —
+    with GUARD_KEY_EPS accounted in prescore_eps and the folded boundary
+    feeding the margin proof; the rescored result must match the oracle
+    exactly.  The nb>=16-per-shard floor in fused3_supported is a
+    dispatch-profitability choice (kernels are shape-correct for
+    nb >= 2); it is relaxed here so interpret mode stays CI-sized."""
+    from svs_tpu.engine.index import RetrievalEngine
+    from svs_tpu.engine.packing import pack_corpus
+    from svs_tpu.ops import pallas_extract as pe
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        GUARD_KEY_EPS,
+        GUARD_MIN_BATCH,
+    )
+    from svs_tpu.parallel.mesh import default_mesh
+
+    calls = []
+    orig = pe.fused3_candidates
+
+    def spy(docs, q, nv, c, interpret=False):
+        calls.append(tuple(docs.shape))
+        return orig(docs, q, nv, c, interpret=interpret)
+
+    real_supported = pe.fused3_supported
+
+    def relaxed(n, d, b, c):
+        return (
+            n % FUSED_BLOCK_N == 0
+            and n // FUSED_BLOCK_N >= 2
+            and real_supported(max(n, 16 * FUSED_BLOCK_N), d, b, c)
+        )
+
+    monkeypatch.setattr(pe, "fused3_candidates", spy)
+    monkeypatch.setattr(pe, "fused3_supported", relaxed)
+    # new mesh object -> fresh lru_cache entry in _build_sharded_topk, so
+    # the spy is captured at trace time
+    mesh = default_mesh(devices=jax.devices()[:2])
+
+    # per-shard nb=4 with 100 trailing padding rows: worst shard loses
+    # one block to padding, pool (4-1)*32 = 96 >= c
+    n = 8 * FUSED_BLOCK_N - 100
+    m = unit_rows(n, 16)
+    b = GUARD_MIN_BATCH
+    eng = RetrievalEngine(precision="bf16", mesh=mesh)
+    corpus = pack_corpus(
+        m,
+        np.arange(1, n + 1, dtype=np.int64),
+        version=1,
+        precision="bf16",
+        placement=eng._placement(),
+        row_multiple=eng._row_multiple(n),
+        dim_multiple=eng._dim_multiple(),
+    )
+    assert corpus.n_padded == 8 * FUSED_BLOCK_N
+    c = eng.candidate_count(10)
+    assert eng._guarded_selection_possible(corpus, b, c)
+    # the padding-aware pool check must refuse when padding eats the
+    # worst shard's pool (here: pretend only c > pool keys fit)
+    assert not eng._guarded_selection_possible(corpus, b, 97)
+    q = m[:b].astype(np.float32)
+    assert (eng.prescore_eps(corpus, q, c) >= GUARD_KEY_EPS).all()
+    vals, rows = eng.topk(corpus, q, c)
+    assert calls, "mesh path must route through the guarded kernel"
+    from svs_tpu.utils.topk_np import top_k_numpy
+
+    for bi in range(b):
+        cand = (corpus.emb_ids[rows[bi].astype(int)] - 1).astype(int)
+        exact_cand = m[cand].astype(np.float32) @ q[bi]
+        order = sorted(
+            range(len(cand)), key=lambda i: (exact_cand[i], cand[i]),
+            reverse=True,
+        )
+        got = sorted(int(cand[i]) for i in order[:10])
+        oracle = sorted(i for _, i in top_k_numpy(m @ q[bi], 10))
+        assert got == oracle, bi
+
+
 def test_mesh_topk_final_matches_host_selection(devices_available, unit_rows):
     """Mesh analog of test_engine.test_topk_final_matches_host_selection:
     the sharded on-device pipeline (per-shard prescore -> per-shard exact
