@@ -116,13 +116,7 @@ def main():
     print(f"{'shape':>16} {'nb':>5} | {'v2 ms':>8} {'v3 ms':>8} | winner")
     for n, d in SHAPES:
         wide = n >= (1 << 24)
-        # this probe intentionally runs v3 PAST its GUARD_MAX_BLOCKS
-        # profitability ceiling (that ceiling came from this data), so
-        # only v2's predicate + raw shape alignment are asserted
-        assert fused2_supported(n, d, B, K)
-        assert n % FUSED_BLOCK_N == 0 and fused3_supported(
-            min(n, 1024 * FUSED_BLOCK_N), d, B, K
-        )
+        assert fused2_supported(n, d, B, K) and fused3_supported(n, d, B, K)
         q = rng.standard_normal((B, d)).astype(np.float32)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         qd, nv = jnp.asarray(q), jnp.int32(n - 37)

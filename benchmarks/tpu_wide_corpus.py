@@ -176,6 +176,34 @@ def main():
                 assert t - eps <= vals8[b, j] <= t + eps, (b, j, t, vals8[b, j])
     print("oracle check OK: 8 queries, exact-coverage + value contract hold")
 
+    # --- check 3: the guarded (v3) STAGED finish vs the same oracle ----
+    # nb=2050 >> GUARD_STAGE_MIN_BLOCKS, so this exercises the pass-2
+    # staged-reduce finish on silicon: every oracle row missing from the
+    # candidates must sit under the returned bound (+ GUARD_KEY_EPS),
+    # and candidate values decode within GUARD_KEY_EPS of truth.
+    from svs_tpu.ops.pallas_extract import GUARD_KEY_EPS, fused3_candidates
+
+    gvals, grows, gbound = (
+        np.asarray(a)
+        for a in fused3_candidates(docs, q8d, nv, K)
+    )
+    geps = GUARD_KEY_EPS + 1e-6
+    for b in range(8):
+        got = set(grows[b].tolist())
+        assert len(got) == K and (grows[b] >= 0).all() and (grows[b] < NV).all()
+        assert np.isfinite(gbound[b])
+        for v, r in zip(ovals[b], orows[b]):
+            assert int(r) in got or v <= gbound[b] + geps, (
+                b, int(r), float(v), gbound[b]
+            )
+        for j in range(K):
+            t = scores_by_row.get((b, int(grows[b, j])))
+            if t is not None:
+                assert t - geps <= gvals[b, j] <= t + geps, (
+                    b, j, t, gvals[b, j]
+                )
+    print("staged-finish check OK: v3 bound + value contract hold at nb=2050")
+
     # --- timing ---------------------------------------------------------
     # Queries must be unit-norm (the engine's contract): raw standard
     # normals at d=256 have norm ~16, pushing keys past the exact-integer
@@ -190,19 +218,14 @@ def main():
         "keyed (v2) wide b=256", (docs, q256, nv),
         flops=2.0 * 256 * N * D,
     )
-    # v3 runs here PAST its GUARD_MAX_BLOCKS profitability ceiling (this
-    # shape's nb=2050 measures v2 faster — tpu_v2v3_cross.py — so the
-    # engine dispatches v2 at any batch for wide corpora)
-    assert N % FUSED_BLOCK_N == 0 and fused3_supported(
-        1024 * FUSED_BLOCK_N, D, 256, K
-    )
+    assert fused3_supported(N, D, 256, K)
     t256g = time_case(
         "guarded (v3) wide b=256", (docs, q256, nv),
         flops=2.0 * 256 * N * D, fn=guarded_wide,
     )
     best = min(t256, t256g)
     print(f"per query at b=256: {best / 256 * 1e3:.4f} ms "
-          f"(engine dispatch for wide corpora is v2 — GUARD_MAX_BLOCKS)")
+          f"(engine dispatch at b>=16 is v3 — staged finish)")
     print(f"HBM floor at this shape: {BYTES / 819e9 * 1e3:.2f} ms "
           f"(b=1 measured {t1 * 1e3:.2f})")
 

@@ -1055,17 +1055,6 @@ GUARD_MAX_C = 1024
 #: 4.21, b=16 4.26 vs 4.21 tie, b>=32 v3 wins outright — 6.18 vs 7.93
 #: at b=256; benchmarks/tpu_v3_prod.py).
 GUARD_MIN_BATCH = 16
-#: v3 dispatch ceiling on the BLOCK count: v3's finish stage decodes and
-#: selects over nb*128 output lanes, growing with the corpus, while v2's
-#: staged in-kernel reduce does not — so the winner flips as nb grows.
-#: Measured v5e crossover at b=256 k=100, SAME nb for both precisions
-#: (benchmarks/tpu_v2v3_cross.py, 2026-08-19, constant n*d ladder):
-#:   bf16: nb=1024 v3 wins 18% | nb=1216 v2 wins 8% | nb=2050 v2 wins 18%
-#:   int8: nb=1024 v3 wins 22% | nb=1216 v2 wins 4% | nb=2050 v2 wins 16%
-#: Midpoint ceiling; past it dispatch falls through to the keyed (v2)
-#: path, which has no row ceiling at all.  On a mesh the PER-SHARD block
-#: count is judged (the finish stage runs per chip).
-GUARD_MAX_BLOCKS = 1120
 #: Keys at/above this decode from scores > ~2.5 — beyond any unit-norm
 #: or int8-overshoot score, so only reachable by raw-op inputs that may
 #: have lost f32 exactness; the bound saturates to +inf there.
@@ -1286,16 +1275,20 @@ def fused3_supported(n: int, d: int, b: int, c: int) -> bool:
     blocks may be partially/fully padding — hence ``nb - 2``.  A caller
     violating even that (pool starved of live keys) is caught at
     runtime: dead markers reaching the selection force the bound to +inf
-    (see ``_fused3_finish``).  There is no ``n < 2^24`` CORRECTNESS
-    ceiling (rows are reconstructed in int32 from (block, subtile,
-    lane)); ``GUARD_MAX_BLOCKS`` is a measured profitability ceiling —
-    past it the v2 keyed path is faster and dispatch falls through."""
+    (see ``_fused3_finish``).  There is no row ceiling at all: no
+    ``n < 2^24`` correctness ceiling (rows are reconstructed in int32
+    from (block, subtile, lane)), and the nb-scaled finish cost that
+    briefly imposed a measured profitability ceiling at ~1120 blocks is
+    gone — past ``GUARD_STAGE_MIN_BLOCKS`` the finish runs v2's pass-2
+    staged reduce, and v3 then wins every measured shape through
+    nb=4100 (13-35% bf16, 21-42% int8; benchmarks/tpu_v2v3_cross.py,
+    BENCHMARKS.md 2026-08-19)."""
     nb = n // FUSED_BLOCK_N
     return (
         n % FUSED_BLOCK_N == 0
         and d % DIM_CHUNK == 0
         and GUARD_MIN_BATCH <= b <= FUSED_MAX_BATCH
-        and 16 <= nb <= GUARD_MAX_BLOCKS
+        and nb >= 16
         and 0 < c <= min(GUARD_MAX_C, (nb - 2) * GUARD_KEYS)
     )
 
@@ -1307,8 +1300,33 @@ def _guard_key_vals(keys: jax.Array) -> jax.Array:
     return vq.astype(jnp.float32) / GUARD_QSCALE - KEY_BIAS
 
 
+#: finish-stage strategy floor: at/above this block count the finish
+#: runs v2's pass-2 staged reduce over the key array instead of one
+#: lax.top_k over all nb*32 lanes — whose nb-scaled cost is what made
+#: plain-finish v3 LOSE to v2 past ~1120 blocks (measured crossover,
+#: benchmarks/tpu_v2v3_cross.py).  With the staged finish v3 wins every
+#: measured shape through nb=4100 — 13-35% bf16, 21-42% int8
+#: (BENCHMARKS.md 2026-08-19) — so fused3_supported carries no block
+#: ceiling.  Below this floor the single top_k is already cheap and the
+#: extra kernel dispatch isn't worth it — measured flip between nb=64
+#: (staged +10% slower: 3.48 vs 3.17 ms) and nb=124 (staged 4% faster:
+#: 5.78 vs 6.00, and the gap only widens with nb), b=256 c=400 bf16.
+GUARD_STAGE_MIN_BLOCKS = 96
+
+
+def _guard_reduce_h2(nb: int, c: int) -> int:
+    """Staged-finish winners kept per 128-lane key group (= 4 blocks'
+    keys): Poisson mean ``c`` over the groups plus four sigma plus
+    slack, rounded up to a multiple of 8 (same sizing rule as v2's
+    ``_reduce_h2``)."""
+    groups = max(1, (nb * GUARD_KEYS) // REDUCE_GROUP)
+    lam = c / groups
+    h2 = lam + 4.0 * lam**0.5 + 8.0
+    return int(-(-h2 // 8) * 8)
+
+
 def _fused3_finish(
-    out: jax.Array, c: int, b_real: int
+    out: jax.Array, c: int, b_real: int, interpret: bool = False
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Merge + decode + bound for the guarded kernels.  ``out`` is the
     raw kernel output ``[B_pad, nb*128]``.  Returns ``(vals f32 [B, c],
@@ -1316,28 +1334,79 @@ def _fused3_finish(
     ``bound`` is a sound upper bound on the decoded prescore of every
     document NOT among the returned rows (+inf when key saturation makes
     the bound untrustworthy).  Row reconstruction is int32 — exact for
-    any corpus size (no 2^24 ceiling)."""
+    any corpus size (no 2^24 ceiling).
+
+    Large corpora (``nb >= GUARD_STAGE_MIN_BLOCKS``) route the merge
+    through v2's pass-2 staged-reduce kernel (top-h2 per 128-lane group,
+    re-keyed by position) before a small ``lax.top_k`` — the single
+    ``top_k`` over all ``nb*32`` lanes is what made v3 lose to v2 past
+    ~1120 blocks.  Soundness of the staged bound: re-keying perturbs a
+    key by < REDUCE_GROUP (= 128 < GUARD_SUBTILE), so a key dropped at
+    pass-2 decodes at most ONE 2^-12 grid step above its group's kept
+    tail; tails feed the bound, and that step plus key rounding is
+    exactly the GUARD_KEY_EPS = 2^-11 the engine already carries."""
     b_pad = out.shape[0]
     nb = out.shape[1] // _GUARD_OUT_LANES
     o3 = out.reshape(b_pad, nb, _GUARD_OUT_LANES)
     keys = o3[:, :, :GUARD_KEYS].reshape(b_pad, nb * GUARD_KEYS)
-    sel, cols = jax.lax.top_k(keys, c)
-    ki = sel.astype(jnp.int32)
-    lane = ki - (ki // GUARD_SUBTILE) * GUARD_SUBTILE
-    vals = _guard_key_vals(sel)
+    h2 = _guard_reduce_h2(nb, c)
+    staged = nb >= GUARD_STAGE_MIN_BLOCKS and h2 <= 48
+
+    if staged:
+        l1 = nb * GUARD_KEYS
+        l1p = ((l1 + REDUCE_BLOCK - 1) // REDUCE_BLOCK) * REDUCE_BLOCK
+        # pad with KEY_DEAD (not zeros): v3 keys clamp at score -3, so a
+        # live key can decode below zero-key's -KEY_BIAS — dead markers
+        # are the only value guaranteed to stay under every live key
+        # (and under their own re-keyed forms: -2^24 + pos < -8.2M).
+        keys1p = keys if l1p == l1 else jnp.concatenate(
+            [keys, jnp.full((b_pad, l1p - l1), KEY_DEAD, jnp.float32)],
+            axis=1,
+        )
+        keys2 = _reduce_keys(keys1p, h2, interpret=interpret)
+        sel, cols2 = jax.lax.top_k(keys2, c)
+        k2i = sel.astype(jnp.int32)
+        lane2 = k2i - (k2i // REDUCE_GROUP) * REDUCE_GROUP
+        pos = (cols2 // h2) * REDUCE_GROUP + lane2
+        k1i = jnp.take_along_axis(keys1p, pos, axis=1).astype(jnp.int32)
+        # decode from the re-keyed value: GUARD_SUBTILE = 8*REDUCE_GROUP,
+        # so floor(k1/128)*128 + pos keeps the same quantized score field
+        vals = _guard_key_vals(sel)
+        lane = k1i - (k1i // GUARD_SUBTILE) * GUARD_SUBTILE
+        cols = pos
+        sat_key = jnp.max(keys, axis=1)  # pass-2 reorders; check globally
+        dead_sel = jnp.min(k1i, axis=1).astype(jnp.float32) <= KEY_DEAD
+        # keys dropped at pass-2 are bounded by their group's kept tail
+        stage_tail = jnp.max(keys2[:, h2 - 1 :: h2], axis=1)
+    else:
+        sel, cols = jax.lax.top_k(keys, c)
+        ki = sel.astype(jnp.int32)
+        lane = ki - (ki // GUARD_SUBTILE) * GUARD_SUBTILE
+        vals = _guard_key_vals(sel)
+        sat_key = sel[:, 0]
+        dead_sel = sel[:, -1] <= KEY_DEAD
+        stage_tail = None
+
     jb = cols // GUARD_KEYS
     s = (cols - jb * GUARD_KEYS) // GUARD_H
     rows = jb * FUSED_BLOCK_N + s * GUARD_SUBTILE + lane
+    # a dead/padding selection (pool-starved raw-op caller; bound is
+    # already +inf for it) may reconstruct a position in the staged
+    # path's REDUCE_BLOCK padding, i.e. past the corpus — keep the row
+    # in-range so downstream gathers never index out of bounds
+    rows = jnp.minimum(rows, nb * FUSED_BLOCK_N - 1)
     # hidden-score bound: docs dropped in-subtile are <= their subtile's
     # tail (<= the guard lane); extracted docs dropped at the merge are
     # <= the weakest merged key.  Decode sits within GUARD_KEY_EPS below
     # the true score — the engine's prescore_eps carries that term.
     guard_keys = jnp.max(o3[:, :, GUARD_KEYS], axis=1)
     bound = jnp.maximum(_guard_key_vals(guard_keys), vals[:, -1])
+    if stage_tail is not None:
+        bound = jnp.maximum(bound, _guard_key_vals(stage_tail))
     # keys at scores > ~2.5 may have lost f32 exactness (raw-op callers
     # only; unit-norm corpora never get here): refuse to certify
     bound = jnp.where(
-        sel[:, 0] >= _GUARD_SAT_KEY, jnp.float32(jnp.inf), bound
+        sat_key >= _GUARD_SAT_KEY, jnp.float32(jnp.inf), bound
     )
     # a dead marker reaching the selection means the live pool ran short
     # of c (a raw-op caller violating the engine's <=1-partial-block
@@ -1345,9 +1414,7 @@ def _fused3_finish(
     # would be fabrications, so refuse to certify anything.  Dead keys
     # are the strict minimum after the emit clamp, so any in-selection
     # lands in the last slot.
-    bound = jnp.where(
-        sel[:, -1] <= KEY_DEAD, jnp.float32(jnp.inf), bound
-    )
+    bound = jnp.where(dead_sel, jnp.float32(jnp.inf), bound)
     return vals, rows, bound
 
 
@@ -1375,7 +1442,7 @@ def fused3_candidates(
     if b_pad != b:
         q = jnp.concatenate([q, jnp.zeros((b_pad - b, d), q.dtype)], axis=0)
     out = _fused3_extract(docs, q, n_valid, interpret=interpret)
-    vals, rows, bound = _fused3_finish(out, c, b)
+    vals, rows, bound = _fused3_finish(out, c, b, interpret=interpret)
     return vals[:b], rows[:b], bound[:b]
 
 
@@ -1402,7 +1469,7 @@ def fused3_candidates_int8(
     out = _fused3_extract_int8(
         q_docs, row_scales, q_int8, q_scales, n_valid, interpret=interpret
     )
-    vals, rows, bound = _fused3_finish(out, c, b)
+    vals, rows, bound = _fused3_finish(out, c, b, interpret=interpret)
     return vals[:b], rows[:b], bound[:b]
 
 

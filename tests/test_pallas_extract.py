@@ -563,17 +563,12 @@ def test_fused3_supported_bounds():
     assert not fused3_supported(
         big_nb * FUSED_BLOCK_N, 128, b, GUARD_MAX_C + 1
     )
-    # profitability ceiling at GUARD_MAX_BLOCKS: past it v2 measures
-    # faster (benchmarks/tpu_v2v3_cross.py) and dispatch falls through
-    # to the keyed path — which covers any row count, incl. past 2^24
-    from svs_tpu.ops.pallas_extract import GUARD_MAX_BLOCKS, fused2_supported
-
-    assert fused3_supported(GUARD_MAX_BLOCKS * FUSED_BLOCK_N, 128, b, 400)
-    assert not fused3_supported(
-        (GUARD_MAX_BLOCKS + 1) * FUSED_BLOCK_N, 128, b, 400
-    )
+    # NO row ceiling: not the 2^24 correctness one (int32 row
+    # reconstruction) and, since the staged finish, not the
+    # nb-scaled-profitability one either (the finish routes through the
+    # pass-2 staged reduce past GUARD_STAGE_MIN_BLOCKS)
     huge = (((1 << 24) // FUSED_BLOCK_N) + 17) * FUSED_BLOCK_N
-    assert fused2_supported(huge, 128, b, 400)
+    assert fused3_supported(huge, 128, b, 400)
 
 
 def test_fused3_bound_contract_random(unit_rows):
@@ -670,6 +665,159 @@ def test_fused3_packed_wire_carries_bound(unit_rows):
         wv[:, -1],
         np.maximum(np.asarray(vals)[:, -1], np.asarray(bound)),
     )
+
+
+def _guard_key(score, lane):
+    """Encode a v3 packed key exactly as _guard_emit does (no clamp —
+    callers pass in-domain scores)."""
+    from svs_tpu.ops.pallas_extract import (
+        GUARD_QSCALE,
+        GUARD_SUBTILE,
+        KEY_BIAS,
+    )
+
+    return float(
+        np.floor((score + KEY_BIAS) * GUARD_QSCALE) * GUARD_SUBTILE + lane
+    )
+
+
+def _synth_guard_out(b, nb, key_spec, guards):
+    """Raw v3 kernel output [b, nb*128] from a dense spec:
+    ``key_spec[(bi, block, col)] = (score, lane)`` for the 32 key lanes
+    (unset lanes become KEY_DEAD), ``guards[bi, block]`` = guard score."""
+    from svs_tpu.ops.pallas_extract import (
+        GUARD_KEYS,
+        KEY_DEAD,
+        _GUARD_OUT_LANES,
+    )
+
+    out = np.zeros((b, nb, _GUARD_OUT_LANES), np.float32)
+    out[:, :, :GUARD_KEYS] = KEY_DEAD
+    for (bi, blk, col), (score, lane) in key_spec.items():
+        out[bi, blk, col] = _guard_key(score, lane)
+    out[:, :, GUARD_KEYS] = np.vectorize(
+        lambda s: _guard_key(s, 0)
+    )(guards).astype(np.float32)
+    return out.reshape(b, nb * _GUARD_OUT_LANES)
+
+
+def test_fused3_staged_finish_matches_plain_merge():
+    """At nb >= GUARD_STAGE_MIN_BLOCKS the finish routes through v2's
+    pass-2 staged reduce instead of one top_k over all nb*32 lanes.  On
+    keys whose global top-c is spread across groups (<= h2 winners per
+    128-lane group), the staged merge must return EXACTLY the plain
+    merge's candidate set with identical decoded values and rows, and a
+    bound no lower than the plain bound."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        GUARD_KEY_EPS,
+        GUARD_KEYS,
+        GUARD_STAGE_MIN_BLOCKS,
+        GUARD_SUBTILE,
+        _fused3_finish,
+        _guard_reduce_h2,
+    )
+
+    nb = GUARD_STAGE_MIN_BLOCKS
+    b, c = 3, 24
+    assert _guard_reduce_h2(nb, c) <= 48  # staged path active
+    rng = np.random.default_rng(7)
+    key_spec = {}
+    expect = {bi: [] for bi in range(b)}
+    for bi in range(b):
+        # background: every block's col 0 holds a mildly negative score
+        for blk in range(nb):
+            key_spec[(bi, blk, 0)] = (-0.5 + blk * 1e-6, 17)
+        # plants: c distinct winners spread over distant blocks (one per
+        # 128-lane group at most 4 blocks wide -> never > h2 per group)
+        for j in range(c):
+            blk = (j * 8 + bi) % nb
+            score = 0.9 - j * 0.01
+            lane = (j * 37) % GUARD_SUBTILE
+            col = 1 + (j % (GUARD_KEYS - 1))
+            key_spec[(bi, blk, col)] = (score, lane)
+            expect[bi].append(
+                (score, blk * FUSED_BLOCK_N + (col // 4) * GUARD_SUBTILE + lane)
+            )
+    guards = np.full((b, nb), -0.9, np.float64)
+    out = _synth_guard_out(b, nb, key_spec, guards)
+    vals, rows, bound = _fused3_finish(jnp.asarray(out), c, b, interpret=True)
+    vals, rows, bound = np.asarray(vals), np.asarray(rows), np.asarray(bound)
+    for bi in range(b):
+        got = set(rows[bi].tolist())
+        want = {r for _, r in expect[bi]}
+        assert got == want, (bi, sorted(got - want), sorted(want - got))
+        # decoded values within one grid step below the planted scores
+        by_row = {r: s for s, r in expect[bi]}
+        for v, r in zip(vals[bi], rows[bi]):
+            s = by_row[int(r)]
+            assert s - GUARD_KEY_EPS <= v <= s + 1e-6, (bi, r, s, v)
+        # bound covers the guard lanes and the weakest candidate
+        assert bound[bi] >= -0.9 - GUARD_KEY_EPS
+        assert bound[bi] >= vals[bi][-1] - 1e-6
+        assert np.isfinite(bound[bi])
+
+
+def test_fused3_staged_finish_cluster_drops_are_bounded():
+    """Adversarial: more winners inside ONE 128-lane key group than the
+    pass-2 keeps (h2).  The staged merge MUST miss some — and every miss
+    must sit under the returned bound (+ GUARD_KEY_EPS), which is what
+    makes the engine's margin check fail and the widen ladder escalate."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        GUARD_KEY_EPS,
+        GUARD_KEYS,
+        GUARD_STAGE_MIN_BLOCKS,
+        _fused3_finish,
+        _guard_reduce_h2,
+    )
+
+    nb = GUARD_STAGE_MIN_BLOCKS
+    b, c = 1, 24
+    h2 = _guard_reduce_h2(nb, c)
+    n_hot = h2 + 4  # > h2 in the first group (blocks 0-3)
+    key_spec = {}
+    hot = {}
+    for j in range(n_hot):
+        blk, col = divmod(j, GUARD_KEYS)  # all inside blocks 0..3
+        score = 0.95 - j * 0.001
+        key_spec[(0, blk, col)] = (score, j % 512)
+        hot[blk * FUSED_BLOCK_N + (col // 4) * 1024 + (j % 512)] = score
+    for blk in range(4, nb):
+        key_spec[(0, blk, 0)] = (-0.5, 3)
+    guards = np.full((1, nb), -0.9, np.float64)
+    out = _synth_guard_out(1, nb, key_spec, guards)
+    vals, rows, bound = _fused3_finish(jnp.asarray(out), c, 1, interpret=True)
+    rows0 = set(np.asarray(rows)[0].tolist())
+    missed = [r for r in hot if r not in rows0]
+    assert missed, "pass-2 must drop some of the cluster"
+    b0 = float(np.asarray(bound)[0])
+    for r in missed:
+        assert hot[r] <= b0 + GUARD_KEY_EPS, (r, hot[r], b0)
+
+
+def test_fused3_staged_finish_dead_pool_refuses():
+    """Live pool short of c through the staged path: bound must go +inf
+    and every returned row must stay inside the corpus (REDUCE_BLOCK
+    padding positions must never escape as row indices)."""
+    import jax.numpy as jnp
+    from svs_tpu.ops.pallas_extract import (
+        FUSED_BLOCK_N,
+        GUARD_STAGE_MIN_BLOCKS,
+        _fused3_finish,
+    )
+
+    nb = GUARD_STAGE_MIN_BLOCKS
+    c = 24
+    key_spec = {(0, 0, j): (0.5 - j * 0.01, j) for j in range(8)}  # 8 live
+    guards = np.full((1, nb), -1.0, np.float64)
+    out = _synth_guard_out(1, nb, key_spec, guards)
+    vals, rows, bound = _fused3_finish(jnp.asarray(out), c, 1, interpret=True)
+    assert np.isinf(np.asarray(bound)[0])
+    rows = np.asarray(rows)
+    assert (rows >= 0).all() and (rows < nb * FUSED_BLOCK_N).all()
 
 
 def test_fused3_int8_bound_contract(unit_rows):
