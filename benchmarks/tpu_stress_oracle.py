@@ -66,7 +66,7 @@ if os.environ.get("SVS_STRESS_SMOKE"):
     DRAWS, REPEATS = 1, 1
 else:
     CORPORA = [
-        # (precision, n_docs, dim, replicas)
+        # (precision, n_docs, dim, replicas[, combos override])
         ("bf16", 16_384 + 517, 256, None),
         ("bf16", 40_000, 768, None),
         ("int8", 50_000, 1536, None),
@@ -74,6 +74,12 @@ else:
         ("f32", 30_000, 512, None),
         ("bf16", 40_000, 768, 4),  # replica fan-out (degrades to the
         # available device count; exercises slice-level dispatch + eps)
+        # 106 fused blocks (> GUARD_STAGE_MIN_BLOCKS): the guarded
+        # kernels' STAGED pass-2 finish, oracle-checked through the full
+        # engine — the smaller corpora above never reach it.  Few combos
+        # (the host-side exhaustive oracle costs ~0.2 s/query here).
+        ("bf16", 852_000, 128, None, [(256, 100), (16, 10)]),
+        ("int8", 852_000, 128, None, [(256, 100)]),
     ]
     COMBOS = [(1, 10), (8, 100), (32, 25), (64, 100), (256, 100), (256, 400)]
     DRAWS = 3  # query draws per combo
@@ -208,7 +214,9 @@ def main(seed: int = 0) -> None:
     rng = np.random.default_rng(seed)
     t_start = time.perf_counter()
     checks = 0
-    for precision, n, dim, replicas in CORPORA:
+    for entry in CORPORA:
+        precision, n, dim, replicas = entry[:4]
+        combos = entry[4] if len(entry) > 4 else COMBOS
         m = build_matrix(rng, n, dim)
         path = WORK / f"stress_{precision}_{n}_{dim}.sqlite"
         build_kb(path, m)
@@ -223,7 +231,7 @@ def main(seed: int = 0) -> None:
             path, embed, precision=precision, sidecar=False, replicas=rep
         )
         try:
-            for b, k in COMBOS:
+            for b, k in combos:
                 for d in range(DRAWS + REPEATS):
                     tag = f"{precision}{n}x{dim}b{b}k{k}d{min(d, DRAWS - 1)}"
                     if d < DRAWS:
@@ -241,7 +249,7 @@ def main(seed: int = 0) -> None:
             print(
                 f"[stress] {precision} {n}x{dim}"
                 f"{f' x{rep} replicas' if rep else ''}: OK "
-                f"({len(COMBOS) * (DRAWS + REPEATS)} batches)",
+                f"({len(combos) * (DRAWS + REPEATS)} batches)",
                 flush=True,
             )
         finally:
