@@ -222,6 +222,86 @@ def _final_from_packed(
     return final_select_wire(exact, emb_of, tail_bits, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "dim"))
+def _subset_final(
+    dev_f32: jax.Array,
+    dev_map: Optional[jax.Array],
+    rows: jax.Array,
+    emb_of: jax.Array,
+    n_live: jax.Array,
+    queries: jax.Array,
+    k: int,
+    dim: Optional[int] = None,
+) -> jax.Array:
+    """Exact top-``k`` over an EXPLICIT row subset — the pre-filter fast
+    path for selective metadata filters (the reference has no filtering;
+    this is the device analog of scanning only the matching rows).
+
+    ``rows`` are int32 pack rows padded to a static width (padding
+    repeats row 0), ``emb_of`` the matching int32 emb ids (padding
+    value irrelevant — masked scores are ``-inf`` and ``k`` never
+    exceeds the live count), ``n_live`` the live prefix length.  Gather
+    the subset's exact f32 vectors from the HBM mirror, one HIGHEST
+    [B, d] x [F, d]^T dot, mask the padding, and reuse the final
+    tie-rule selection wire — exact by construction (every matching
+    document is scored in f32), so no margin proof and no widen loop."""
+    if dim is not None and dim != queries.shape[1]:
+        queries = queries[:, :dim]  # padded upload; mirror rows true-dim
+    gr = rows if dev_map is None else dev_map[rows]
+    cand = dev_f32[gr]  # [F, d] gather in HBM
+    # HIGHEST: these ARE the returned scores (see _rescore_from_packed).
+    exact = jax.lax.dot_general(
+        queries,
+        cand,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, F]
+    live = jnp.arange(rows.shape[0], dtype=jnp.int32)[None, :] < n_live
+    exact = jnp.where(live, exact, -jnp.inf)
+    from ..ops.topk import final_select_wire
+
+    emb_b = jnp.broadcast_to(emb_of[None, :], exact.shape)
+    tail = jnp.zeros((exact.shape[0], 1), dtype=jnp.int32)
+    return final_select_wire(exact, emb_b, tail, k)
+
+
+def _subset_select_np(
+    exact: np.ndarray, emb: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host top-``k`` of exact subset scores with the reference tie rule
+    (descending score, equal scores break to the larger emb id) —
+    boundary-tie safe: the argpartition prefilter keeps EVERY row tied
+    with the k-th score, then the lexsort decides among them."""
+    n_q, f = exact.shape
+    k = min(int(k), f)
+    out_emb = np.empty((n_q, k), dtype=np.int64)
+    out_scores = np.empty((n_q, k), dtype=np.float32)
+    for b in range(n_q):
+        row = exact[b]
+        if k < f:
+            part = np.argpartition(row, f - k)[f - k :]
+            boundary = row[part].min()
+            cand = np.nonzero(row >= boundary)[0]
+        else:
+            cand = np.arange(f)
+        order = np.lexsort((-emb[cand], -row[cand]))[:k]
+        sel = cand[order]
+        out_emb[b] = emb[sel]
+        out_scores[b] = row[sel]
+    return out_emb, out_scores
+
+
+#: Host-route ceiling for the pre-filter subset dot (B * F * d mults):
+#: past it the 1-vCPU-class host would be slower than the post-filter
+#: device ladder, so ``subset_topk`` declines and the caller widens.
+_SUBSET_HOST_MAX_FLOPS = 2_000_000_000
+
+#: Entries kept in the engine's device-side subset cache (rows + emb ids
+#: per distinct filter); bounds HBM held for dead corpora/filters.
+_SUBSET_DEV_CACHE_MAX = 16
+
+
 @jax.jit
 def _pairwise_rescore_from_rows(
     dev_f32: jax.Array,
@@ -381,6 +461,13 @@ class RetrievalEngine:
         self.pack_events: Dict[str, int] = {
             "reuse": 0, "append": 0, "delete": 0, "sidecar": 0, "scan": 0,
         }
+        #: Device-side (rows, emb ids) uploads per distinct pre-filter —
+        #: repeated filtered queries then cost only the query upload and
+        #: the [B, 2k+1] fetch.  Keyed by the filter's canonical string;
+        #: entries pin their corpus so a re-pack naturally misses.
+        self._subset_dev: Dict[
+            str, Tuple[PackedCorpus, jax.Array, jax.Array, int]
+        ] = {}
         self._lock = threading.Lock()
 
     def shutdown(self) -> None:
@@ -1300,6 +1387,106 @@ class RetrievalEngine:
         )
         boundary = np.ascontiguousarray(arr[:, 2 * n_eff]).view(np.float32)
         return emb, scores, boundary
+
+    def subset_topk(
+        self,
+        corpus: PackedCorpus,
+        queries: np.ndarray,
+        emb_sub: np.ndarray,
+        k: int,
+        cache_key: Optional[str] = None,
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Exact top-``k`` restricted to the documents whose embedding
+        ids are in ``emb_sub`` — the PRE-FILTER fast path for selective
+        metadata filters (``KB.retrieve(..., where=...)``): instead of
+        over-fetching an exact global prefix and filtering host-side
+        (the post-filter widen ladder), score ONLY the matching rows in
+        exact f32 and select with the reference tie rule.  Exact by
+        construction — every matching document is scored — so there is
+        no margin proof and no widen loop.
+
+        Returns ``(emb_ids int64 [B, k'], scores f32 [B, k'])`` with
+        ``k' = min(k, |matching rows in this pack snapshot|)``, or
+        ``None`` when no route applies (mesh engines, no f32 gather
+        source, or a host-route shape past ``_SUBSET_HOST_MAX_FLOPS``) —
+        the caller falls back to the post-filter ladder.  Ids absent
+        from the pack snapshot are dropped (same snapshot semantics as
+        the ladder).  ``cache_key`` (the filter's canonical string)
+        caches the subset's device arrays across calls."""
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        emb_sub = np.asarray(emb_sub, dtype=np.int64)
+        rows, present = corpus.rows_for_emb_ids(emb_sub)
+        if not bool(present.all()):
+            rows, emb_sub = rows[present], emb_sub[present]
+        f = int(rows.size)
+        b = queries.shape[0]
+        if f == 0:
+            return (
+                np.zeros((b, 0), dtype=np.int64),
+                np.zeros((b, 0), dtype=np.float32),
+            )
+        k_eff = min(int(k), f)
+        dev = corpus.dev_rescore
+        if (
+            dev is not None
+            and self.mesh is None
+            and int(emb_sub.max()) < 2**31
+        ):
+            f_pad = max(512, 1 << (f - 1).bit_length())
+            if f_pad * int(dev[0].shape[1]) * 4 <= _DEVICE_GATHER_MAX_BYTES:
+                entry = (
+                    self._subset_dev.get(cache_key)
+                    if cache_key is not None
+                    else None
+                )
+                if (
+                    entry is not None
+                    and entry[0] is corpus
+                    and entry[3] == f
+                ):
+                    _, rows_dev, emb_dev, _ = entry
+                else:
+                    rows_p = np.zeros(f_pad, dtype=np.int32)
+                    rows_p[:f] = rows
+                    emb_p = np.full(f_pad, -1, dtype=np.int32)
+                    emb_p[:f] = emb_sub
+                    rows_dev = jax.device_put(rows_p, self.device)
+                    emb_dev = jax.device_put(emb_p, self.device)
+                    if cache_key is not None:
+                        while len(self._subset_dev) >= _SUBSET_DEV_CACHE_MAX:
+                            self._subset_dev.pop(
+                                next(iter(self._subset_dev))
+                            )
+                        self._subset_dev[cache_key] = (
+                            corpus, rows_dev, emb_dev, f,
+                        )
+                q_dev = self._put_queries(corpus, queries)
+                wire = _subset_final(
+                    dev[0],
+                    dev[1],
+                    rows_dev,
+                    emb_dev,
+                    jnp.int32(f),
+                    q_dev,
+                    k_eff,
+                    dim=_mirror_dim(dev[0], corpus),
+                )
+                arr = np.asarray(wire)
+                emb = arr[:, :k_eff].astype(np.int64)
+                scores = np.ascontiguousarray(
+                    arr[:, k_eff : 2 * k_eff]
+                ).view(np.float32)
+                return emb, scores
+        host = corpus.host_f32
+        if host is None:
+            return None
+        if b * f * corpus.dim > _SUBSET_HOST_MAX_FLOPS:
+            return None
+        row_map = corpus.host_row_map
+        src = rows if row_map is None else row_map[rows]
+        sub = host[src]  # [F, dim] f32 gather
+        exact = queries @ sub.T  # [B, F] exact f32 (the returned scores)
+        return _subset_select_np(exact, emb_sub, k_eff)
 
     # -- search ---------------------------------------------------------------
 

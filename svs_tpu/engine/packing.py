@@ -183,6 +183,13 @@ class PackedCorpus:
     _emb_ids_max: Optional[int] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    # memoized (sorted emb ids, argsort order) for
+    # :meth:`rows_for_emb_ids` — incremental deletes backfill holes with
+    # tail rows, so ``emb_ids`` is NOT sorted in general and the inverse
+    # mapping needs one O(n log n) sort, paid once per pack
+    _emb_sort: Optional[Tuple[np.ndarray, np.ndarray]] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
     #: Replica-mode clones of this pack on other devices (one per
     #: secondary device, set by ``parallel.replicas.ReplicaEngine``).
     #: Attached to the CORPUS — not to engine state — so an in-flight
@@ -203,6 +210,32 @@ class PackedCorpus:
     def host_row_map(self) -> Optional[np.ndarray]:
         cache = self.host_cache
         return cache[1] if cache is not None else None
+
+    def rows_for_emb_ids(
+        self, ids: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Inverse of ``emb_ids``: pack rows holding the given embedding
+        ids, as ``(rows int64, present bool)`` aligned with ``ids`` —
+        ``rows`` is meaningful only where ``present`` (ids the pack
+        snapshot doesn't hold map to row 0, masked off).  The sorted
+        order is memoized per pack (same pattern as ``_emb_ids_max``)."""
+        if self._emb_sort is None:
+            order = np.argsort(self.emb_ids, kind="stable")
+            object.__setattr__(
+                self, "_emb_sort", (self.emb_ids[order], order)
+            )
+        sorted_ids, order = self._emb_sort  # type: ignore[misc]
+        ids = np.asarray(ids, dtype=np.int64)
+        pos = np.searchsorted(sorted_ids, ids)
+        pos_c = np.minimum(pos, len(sorted_ids) - 1) if len(
+            sorted_ids
+        ) else np.zeros_like(pos)
+        present = (
+            (sorted_ids[pos_c] == ids) if len(sorted_ids) else
+            np.zeros(len(ids), dtype=bool)
+        )
+        rows = np.where(present, order[pos_c], 0).astype(np.int64)
+        return rows, present
 
     def emb_ids_fit_int32(self) -> bool:
         """Whether every emb id fits the int32 device mirror (the

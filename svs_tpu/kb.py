@@ -369,14 +369,115 @@ def meta_filter_predicate(flt: Dict[str, Any]) -> DocumentPredicate:
     meta with exactly the given value (docs without meta match only the
     empty filter).  This is the declaratively-expressible filter subset
     used by the HTTP ``meta_filter`` field and the CLI ``--meta-filter``
-    flag; Python callers can pass any predicate to ``where=`` directly.
-    """
+    flag; Python callers can pass any predicate to ``where=`` directly
+    (or pass the dict itself as ``where=`` — same as calling this).
+
+    The returned predicate carries its spec (``__meta_filter__``), which
+    lets the retrieval facades engage the PRE-FILTER fast path for
+    selective filters: look the matching emb ids up in the
+    :class:`MetaRowIndex` and score only those rows
+    (``RetrievalEngine.subset_topk``) instead of widening an exact
+    global prefix.  Hand-written predicates are opaque — they always
+    take the post-filter ladder."""
 
     def predicate(doc: DocumentRecord) -> bool:
         meta = doc.get("meta") or {}
         return all(k in meta and meta[k] == v for k, v in flt.items())
 
+    predicate.__meta_filter__ = dict(flt)  # type: ignore[attr-defined]
     return predicate
+
+
+class MetaRowIndex:
+    """Generation-gated map from a meta equality ``(key, value)`` to the
+    sorted emb ids of matching documents — the lookup side of pre-filter
+    retrieval (new capability; the reference has no filtering).
+
+    Entries build lazily: the first lookup touching unindexed
+    ``(key, value)`` pairs runs ONE ``(emb_id, meta)`` store scan that
+    populates all of them, evaluating literally the same comparison as
+    :func:`meta_filter_predicate` (``key in meta and meta[key] == value``)
+    so the two paths can never disagree.  The whole index drops on ANY
+    store change (``Tx.change_token`` — the ``DocRowCache`` gate)."""
+
+    def __init__(self, max_entries: int = 64) -> None:
+        self._token: Optional[Tuple[int, int]] = None
+        self._entries: Dict[Tuple[str, str], np.ndarray] = {}
+        self.max_entries = max_entries
+
+    @staticmethod
+    def canonical(flt: Dict[str, Any]) -> str:
+        """Canonical cache string for a filter dict (sorted, compact)."""
+        return json.dumps(flt, sort_keys=True, separators=(",", ":"))
+
+    def lookup(self, tx: Tx, flt: Dict[str, Any]) -> Optional[np.ndarray]:
+        """Sorted int64 emb ids of documents matching EVERY equality in
+        ``flt``, or ``None`` for the empty filter (matches everything —
+        the post-filter path is free there)."""
+        if not flt:
+            return None
+        token = tx.change_token()
+        if token != self._token:
+            self._entries.clear()
+            self._token = token
+        keys = [
+            (k, json.dumps(v, sort_keys=True, separators=(",", ":")))
+            for k, v in flt.items()
+        ]
+        missing = [ck for ck in keys if ck not in self._entries]
+        if missing:
+            want = {ck: (ck[0], flt[ck[0]]) for ck in missing}
+            found: Dict[Tuple[str, str], List[int]] = {
+                ck: [] for ck in missing
+            }
+            loads = json.loads
+            for emb_id, meta_str in tx.iter_emb_meta():
+                if meta_str is None:
+                    continue
+                meta = loads(meta_str)
+                for ck, (k, v) in want.items():
+                    if k in meta and meta[k] == v:
+                        found[ck].append(emb_id)
+            for ck, ids in found.items():
+                while len(self._entries) >= self.max_entries:
+                    self._entries.pop(next(iter(self._entries)))
+                self._entries[ck] = np.asarray(sorted(ids), dtype=np.int64)
+        out = self._entries[keys[0]]
+        for ck in keys[1:]:
+            out = np.intersect1d(
+                out, self._entries[ck], assume_unique=True
+            )
+        return out
+
+
+#: Pre-filter engagement ceiling: past this many matching rows the
+#: subset gather stops beating the streamed full-corpus kernels and the
+#: post-filter ladder converges in one round anyway.
+_PREFILTER_MAX_ROWS = 1 << 16
+
+
+def _prefilter_emb_ids(
+    tx: Tx,
+    index: MetaRowIndex,
+    corpus: "PackedCorpus",
+    flt: Dict[str, Any],
+    n: int,
+) -> Optional[np.ndarray]:
+    """Matching emb ids when the pre-filter path should run, else
+    ``None`` (unselective or unindexable filters take the post-filter
+    widen ladder).  Gate: match count within ``_PREFILTER_MAX_ROWS`` AND
+    under a quarter of the corpus (subset gathers read HBM ~4x slower
+    per row than the streamed kernels), OR no more matches than ``n``
+    (the answer is just "all of them, ranked")."""
+    ids = index.lookup(tx, flt)
+    if ids is None:
+        return None
+    f = int(ids.size)
+    if f <= n:
+        return ids
+    if f > _PREFILTER_MAX_ROWS or f * 4 > corpus.n_valid:
+        return None
+    return ids
 
 
 #: Initial candidate over-fetch for filtered retrieval: each widen round
@@ -774,6 +875,7 @@ class AsyncKB:
         self.sidecar = sidecar
         self._stats = QueryStats()
         self._doc_cache = DocRowCache()
+        self._meta_index = MetaRowIndex()
 
     def stats(self) -> Dict[str, Dict[str, float]]:
         """Rolling per-phase timing stats (pack/embed/search/finalize) plus
@@ -1265,7 +1367,7 @@ class AsyncKB:
         self,
         query: str,
         n: int,
-        where: Optional[DocumentPredicate] = None,
+        where: Optional[Union[DocumentPredicate, Dict[str, Any]]] = None,
     ) -> List[Retrieval]:
         """Exact cosine top-``n`` for one query string.
 
@@ -1280,7 +1382,7 @@ class AsyncKB:
         self,
         queries: List[str],
         n: int,
-        where: Optional[DocumentPredicate] = None,
+        where: Optional[Union[DocumentPredicate, Dict[str, Any]]] = None,
     ) -> List[List[Retrieval]]:
         """Exact cosine top-``n`` for a batch of queries: one provider call
         for the embeddings and one fused device matmul+top-k for the whole
@@ -1312,6 +1414,15 @@ class AsyncKB:
             vectors = np.asarray(await self._embed(queries), dtype=np.float32)
         if where is None:
             return await self._search_hydrated(corpus, vectors, n)
+        if isinstance(where, dict):
+            flt: Optional[Dict[str, Any]] = where
+            where = meta_filter_predicate(where)
+        else:
+            flt = getattr(where, "__meta_filter__", None)
+        if flt is not None:
+            fast = await self._prefiltered(corpus, vectors, n, flt)
+            if fast is not None:
+                return fast
         m = min(corpus.n_valid, max(n * _FILTER_OVERFETCH, n))
         out: List[Optional[List[Retrieval]]] = [None] * len(queries)
         pending = list(range(len(queries)))
@@ -1329,6 +1440,59 @@ class AsyncKB:
                 "filter left %d queries under-filled; widening the exact "
                 "prefix to %d and retrying", len(pending), m,
             )
+
+    async def _prefiltered(
+        self,
+        corpus: "PackedCorpus",
+        vectors: np.ndarray,
+        n: int,
+        flt: Dict[str, Any],
+    ) -> Optional[List[List[Retrieval]]]:
+        """The pre-filter fast path for declarative meta filters: look
+        the matching emb ids up (:class:`MetaRowIndex`), exactly score
+        ONLY those rows (:meth:`RetrievalEngine.subset_topk` — no widen
+        ladder; exact by construction), hydrate.  ``None`` = no route
+        (unselective filter, mesh engine, no f32 gather source) — the
+        caller runs the post-filter widen ladder instead."""
+        loop = asyncio.get_running_loop()
+        async with self._get_lock():
+            db = await self._ensure_db()
+
+            def plan() -> Optional[np.ndarray]:
+                with db.transaction() as tx:
+                    return _prefilter_emb_ids(
+                        tx, self._meta_index, corpus, flt, n
+                    )
+
+            ids = await loop.run_in_executor(None, plan)
+        if ids is None:
+            return None
+        if ids.size == 0:
+            return [[] for _ in range(vectors.shape[0])]
+        with phase("device_search", self._stats), profiler_trace("retrieve"):
+            sub = await loop.run_in_executor(
+                None,
+                self.engine.subset_topk,
+                corpus,
+                vectors,
+                ids,
+                n,
+                MetaRowIndex.canonical(flt),
+            )
+        if sub is None:
+            return None
+        emb, scores = sub
+        with phase("finalize", self._stats):
+            async with self._get_lock():
+                db = await self._ensure_db()
+
+                def heavy() -> List[List[Retrieval]]:
+                    with db.transaction() as tx:
+                        return _hydrate_and_mint(
+                            tx, emb, scores, self._doc_cache
+                        )
+
+                return await loop.run_in_executor(None, heavy)
 
     async def _search_hydrated(
         self, corpus: "PackedCorpus", vectors: np.ndarray, n: int
@@ -1485,6 +1649,7 @@ class KB:
         self.sidecar = sidecar
         self._stats = QueryStats()
         self._doc_cache = DocRowCache()
+        self._meta_index = MetaRowIndex()
         self._lock = threading.Lock()
         self._loop = EventLoopThread()
         self.db: Optional[Database] = None
@@ -1822,7 +1987,7 @@ class KB:
         self,
         query: str,
         n: int,
-        where: Optional[DocumentPredicate] = None,
+        where: Optional[Union[DocumentPredicate, Dict[str, Any]]] = None,
     ) -> List[Retrieval]:
         return self.retrieve_batch([query], n, where=where)[0]
 
@@ -1830,7 +1995,7 @@ class KB:
         self,
         queries: List[str],
         n: int,
-        where: Optional[DocumentPredicate] = None,
+        where: Optional[Union[DocumentPredicate, Dict[str, Any]]] = None,
     ) -> List[List[Retrieval]]:
         """Sync mirror of :meth:`AsyncKB.retrieve_batch` (incl. the
         ``where`` filtered-retrieval extension)."""
@@ -1845,6 +2010,15 @@ class KB:
             vectors = np.asarray(self._embed(queries), dtype=np.float32)
         if where is None:
             return self._search_hydrated(corpus, vectors, n)
+        if isinstance(where, dict):
+            flt: Optional[Dict[str, Any]] = where
+            where = meta_filter_predicate(where)
+        else:
+            flt = getattr(where, "__meta_filter__", None)
+        if flt is not None:
+            fast = self._prefiltered(corpus, vectors, n, flt)
+            if fast is not None:
+                return fast
         m = min(corpus.n_valid, max(n * _FILTER_OVERFETCH, n))
         out: List[Optional[List[Retrieval]]] = [None] * len(queries)
         pending = list(range(len(queries)))
@@ -1860,6 +2034,36 @@ class KB:
                 "filter left %d queries under-filled; widening the exact "
                 "prefix to %d and retrying", len(pending), m,
             )
+
+    def _prefiltered(
+        self,
+        corpus: PackedCorpus,
+        vectors: np.ndarray,
+        n: int,
+        flt: Dict[str, Any],
+    ) -> Optional[List[List[Retrieval]]]:
+        """Sync mirror of :meth:`AsyncKB._prefiltered`."""
+        with self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                ids = _prefilter_emb_ids(
+                    tx, self._meta_index, corpus, flt, n
+                )
+        if ids is None:
+            return None
+        if ids.size == 0:
+            return [[] for _ in range(vectors.shape[0])]
+        with phase("device_search", self._stats), profiler_trace("retrieve"):
+            sub = self.engine.subset_topk(
+                corpus, vectors, ids, n, MetaRowIndex.canonical(flt)
+            )
+        if sub is None:
+            return None
+        emb, scores = sub
+        with phase("finalize", self._stats), self._lock:
+            db = self._require_db()
+            with db.transaction() as tx:
+                return _hydrate_and_mint(tx, emb, scores, self._doc_cache)
 
     def _search_hydrated(
         self, corpus: PackedCorpus, vectors: np.ndarray, n: int

@@ -325,6 +325,14 @@ class Tx:
             "FROM docs WHERE embedding IS NOT NULL;"
         )
 
+    def iter_emb_meta(self) -> Iterator[Tuple[int, Optional[str]]]:
+        """Stream ``(emb_id, meta_json)`` for every embedded document —
+        the meta-filter index build scan (lighter than
+        :meth:`iter_doc_rows_with_emb`: no text column off disk)."""
+        yield from self._conn.execute(
+            "SELECT embedding, meta FROM docs WHERE embedding IS NOT NULL;"
+        )
+
     def change_token(self) -> Tuple[int, int]:
         """O(1) staleness token covering EVERY kind of database change:
         SQLite's ``data_version`` moves when any *other* connection writes
