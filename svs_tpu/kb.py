@@ -393,17 +393,24 @@ class MetaRowIndex:
     sorted emb ids of matching documents — the lookup side of pre-filter
     retrieval (new capability; the reference has no filtering).
 
-    Entries build lazily: the first lookup touching unindexed
-    ``(key, value)`` pairs runs ONE ``(emb_id, meta)`` store scan that
-    populates all of them, evaluating literally the same comparison as
-    :func:`meta_filter_predicate` (``key in meta and meta[key] == value``)
-    so the two paths can never disagree.  The whole index drops on ANY
-    store change (``Tx.change_token`` — the ``DocRowCache`` gate)."""
+    Entries build lazily on first lookup.  Scalar equalities evaluate
+    inside SQLite (``Tx.meta_eq_emb_ids`` — a JSON1 C scan, no per-row
+    Python JSON parse); pairs SQL can't express with Python-equality
+    semantics batch into ONE ``(emb_id, meta)`` Python scan evaluating
+    literally the same comparison as :func:`meta_filter_predicate`
+    (``key in meta and meta[key] == value``), so the routes can never
+    disagree.  The whole index drops on ANY store change
+    (``Tx.change_token`` — the ``DocRowCache`` gate)."""
 
     def __init__(self, max_entries: int = 64) -> None:
         self._token: Optional[Tuple[int, int]] = None
         self._entries: Dict[Tuple[str, str], np.ndarray] = {}
         self.max_entries = max_entries
+
+    def _store(self, ck: Tuple[str, str], ids: np.ndarray) -> None:
+        while len(self._entries) >= self.max_entries:
+            self._entries.pop(next(iter(self._entries)))
+        self._entries[ck] = ids
 
     @staticmethod
     def canonical(flt: Dict[str, Any]) -> str:
@@ -426,22 +433,32 @@ class MetaRowIndex:
         ]
         missing = [ck for ck in keys if ck not in self._entries]
         if missing:
-            want = {ck: (ck[0], flt[ck[0]]) for ck in missing}
-            found: Dict[Tuple[str, str], List[int]] = {
-                ck: [] for ck in missing
-            }
-            loads = json.loads
-            for emb_id, meta_str in tx.iter_emb_meta():
-                if meta_str is None:
-                    continue
-                meta = loads(meta_str)
-                for ck, (k, v) in want.items():
-                    if k in meta and meta[k] == v:
-                        found[ck].append(emb_id)
-            for ck, ids in found.items():
-                while len(self._entries) >= self.max_entries:
-                    self._entries.pop(next(iter(self._entries)))
-                self._entries[ck] = np.asarray(sorted(ids), dtype=np.int64)
+            scan: List[Tuple[str, str]] = []
+            for ck in missing:
+                # SQL fast path: JSON1 evaluates the same equality inside
+                # SQLite's C scan (Tx.meta_eq_emb_ids documents the exact
+                # semantics match); unroutable pairs batch into ONE
+                # Python scan below.
+                ids_sql = tx.meta_eq_emb_ids(ck[0], flt[ck[0]])
+                if ids_sql is None:
+                    scan.append(ck)
+                else:
+                    self._store(ck, np.asarray(ids_sql, dtype=np.int64))
+            if scan:
+                want = {ck: (ck[0], flt[ck[0]]) for ck in scan}
+                found: Dict[Tuple[str, str], List[int]] = {
+                    ck: [] for ck in scan
+                }
+                loads = json.loads
+                for emb_id, meta_str in tx.iter_emb_meta():
+                    if meta_str is None:
+                        continue
+                    meta = loads(meta_str)
+                    for ck, (k, v) in want.items():
+                        if k in meta and meta[k] == v:
+                            found[ck].append(emb_id)
+                for ck, ids in found.items():
+                    self._store(ck, np.asarray(sorted(ids), dtype=np.int64))
         out = self._entries[keys[0]]
         for ck in keys[1:]:
             out = np.intersect1d(

@@ -333,6 +333,56 @@ class Tx:
             "SELECT embedding, meta FROM docs WHERE embedding IS NOT NULL;"
         )
 
+    def meta_eq_emb_ids(self, key: str, value: Any) -> Optional[List[int]]:
+        """Emb ids of embedded documents whose meta satisfies
+        ``key in meta and meta[key] == value`` — evaluated inside SQLite
+        (JSON1 ``json_type``/``json_extract``), sorted ascending.
+
+        Returns ``None`` when the pair can't be routed through SQL with
+        *exactly* the Python-equality semantics of
+        :func:`svs_tpu.kb.meta_filter_predicate` — non-scalar values
+        (dict/list compare structurally in Python, textually in SQL),
+        ints outside SQLite's 64-bit range, keys needing JSON-path
+        escaping, or a build without JSON1 — so the caller falls back to
+        the Python scan.  Scalar cross-type cases match Python: JSON
+        ``true``/``1``/``1.0`` are mutually equal, text never equals a
+        number, absent keys never match, and ``json_type = 'null'``
+        distinguishes a stored JSON ``null`` (matches ``value=None``)
+        from an absent key (matches nothing).  Object/array *stored*
+        values are excluded by ``json_type`` so a string filter value
+        can never textually collide with an object's JSON serialization.
+        """
+        if '"' in key or "\\" in key:
+            return None
+        if isinstance(value, bool):
+            pass  # binds as 0/1 — same equivalence class as Python's
+        elif isinstance(value, int):
+            if not -(1 << 63) <= value < (1 << 63):
+                return None
+        elif not isinstance(value, (str, float, type(None))):
+            return None
+        path = f'$."{key}"'
+        try:
+            if value is None:
+                rows = self._conn.execute(
+                    "SELECT embedding FROM docs WHERE embedding IS NOT NULL"
+                    " AND meta IS NOT NULL AND json_type(meta, ?) = 'null'"
+                    " ORDER BY embedding;",
+                    (path,),
+                ).fetchall()
+            else:
+                rows = self._conn.execute(
+                    "SELECT embedding FROM docs WHERE embedding IS NOT NULL"
+                    " AND meta IS NOT NULL"
+                    " AND json_type(meta, ?) NOT IN ('object', 'array')"
+                    " AND json_extract(meta, ?) = ?"
+                    " ORDER BY embedding;",
+                    (path, path, value),
+                ).fetchall()
+        except sqlite3.OperationalError:
+            return None  # malformed meta JSON or no JSON1: Python scan
+        return [r[0] for r in rows]
+
     def change_token(self) -> Tuple[int, int]:
         """O(1) staleness token covering EVERY kind of database change:
         SQLite's ``data_version`` moves when any *other* connection writes
