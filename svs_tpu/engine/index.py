@@ -24,6 +24,7 @@ RAM cache (``svs/kb.py:856-893``).  Responsibilities:
 from __future__ import annotations
 
 import functools
+import hashlib
 import logging
 import threading
 from pathlib import Path
@@ -464,9 +465,14 @@ class RetrievalEngine:
         #: Device-side (rows, emb ids) uploads per distinct pre-filter —
         #: repeated filtered queries then cost only the query upload and
         #: the [B, 2k+1] fetch.  Keyed by the filter's canonical string;
-        #: entries pin their corpus so a re-pack naturally misses.
+        #: an entry is valid only for (the same corpus object, the same
+        #: match-set digest) — meta-only updates can change WHICH ids a
+        #: filter matches without re-packing, so identity+count is not
+        #: enough.  Stores to the cache sweep out entries pinning a
+        #: superseded corpus (each pins multi-GB device arrays via
+        #: ``entry[0]``).  Guarded by ``self._lock``.
         self._subset_dev: Dict[
-            str, Tuple[PackedCorpus, jax.Array, jax.Array, int]
+            str, Tuple[PackedCorpus, jax.Array, jax.Array, bytes]
         ] = {}
         self._lock = threading.Lock()
 
@@ -1434,15 +1440,20 @@ class RetrievalEngine:
         ):
             f_pad = max(512, 1 << (f - 1).bit_length())
             if f_pad * int(dev[0].shape[1]) * 4 <= _DEVICE_GATHER_MAX_BYTES:
-                entry = (
-                    self._subset_dev.get(cache_key)
-                    if cache_key is not None
-                    else None
-                )
+                # Digest of the actual match set: a meta-only update can
+                # swap WHICH ids match (same count, same pack object), so
+                # identity+count alone would serve stale rows.
+                digest = hashlib.blake2b(
+                    emb_sub.tobytes(), digest_size=16
+                ).digest()
+                entry = None
+                if cache_key is not None:
+                    with self._lock:
+                        entry = self._subset_dev.get(cache_key)
                 if (
                     entry is not None
                     and entry[0] is corpus
-                    and entry[3] == f
+                    and entry[3] == digest
                 ):
                     _, rows_dev, emb_dev, _ = entry
                 else:
@@ -1453,13 +1464,27 @@ class RetrievalEngine:
                     rows_dev = jax.device_put(rows_p, self.device)
                     emb_dev = jax.device_put(emb_p, self.device)
                     if cache_key is not None:
-                        while len(self._subset_dev) >= _SUBSET_DEV_CACHE_MAX:
-                            self._subset_dev.pop(
-                                next(iter(self._subset_dev))
+                        with self._lock:
+                            # Re-packs make every old-corpus entry dead
+                            # weight (each pins the old pack + mirror in
+                            # HBM); sweep them on any store.
+                            stale = [
+                                ck
+                                for ck, e in self._subset_dev.items()
+                                if e[0] is not corpus
+                            ]
+                            for ck in stale:
+                                del self._subset_dev[ck]
+                            while (
+                                len(self._subset_dev)
+                                >= _SUBSET_DEV_CACHE_MAX
+                            ):
+                                self._subset_dev.pop(
+                                    next(iter(self._subset_dev))
+                                )
+                            self._subset_dev[cache_key] = (
+                                corpus, rows_dev, emb_dev, digest,
                             )
-                        self._subset_dev[cache_key] = (
-                            corpus, rows_dev, emb_dev, f,
-                        )
                 q_dev = self._put_queries(corpus, queries)
                 wire = _subset_final(
                     dev[0],

@@ -427,43 +427,50 @@ class MetaRowIndex:
         if token != self._token:
             self._entries.clear()
             self._token = token
+        # json.dumps can refuse a filter VALUE (numpy scalar, set, ...);
+        # such filters can't be cache-keyed — raise the ladder's signal.
         keys = [
             (k, json.dumps(v, sort_keys=True, separators=(",", ":")))
             for k, v in flt.items()
         ]
-        missing = [ck for ck in keys if ck not in self._entries]
-        if missing:
-            scan: List[Tuple[str, str]] = []
-            for ck in missing:
-                # SQL fast path: JSON1 evaluates the same equality inside
-                # SQLite's C scan (Tx.meta_eq_emb_ids documents the exact
-                # semantics match); unroutable pairs batch into ONE
-                # Python scan below.
-                ids_sql = tx.meta_eq_emb_ids(ck[0], flt[ck[0]])
-                if ids_sql is None:
-                    scan.append(ck)
-                else:
-                    self._store(ck, np.asarray(ids_sql, dtype=np.int64))
-            if scan:
-                want = {ck: (ck[0], flt[ck[0]]) for ck in scan}
-                found: Dict[Tuple[str, str], List[int]] = {
-                    ck: [] for ck in scan
-                }
-                loads = json.loads
-                for emb_id, meta_str in tx.iter_emb_meta():
-                    if meta_str is None:
-                        continue
-                    meta = loads(meta_str)
-                    for ck, (k, v) in want.items():
-                        if k in meta and meta[k] == v:
-                            found[ck].append(emb_id)
-                for ck, ids in found.items():
-                    self._store(ck, np.asarray(sorted(ids), dtype=np.int64))
-        out = self._entries[keys[0]]
+        # Resolve into a LOCAL map: `_store`'s eviction may drop an entry
+        # this very lookup still needs once the cache is full.
+        have: Dict[Tuple[str, str], np.ndarray] = {}
+        scan: List[Tuple[str, str]] = []
+        for ck in keys:
+            cached = self._entries.get(ck)
+            if cached is not None:
+                have[ck] = cached
+                continue
+            # SQL fast path: JSON1 evaluates the same equality inside
+            # SQLite's C scan (Tx.meta_eq_emb_ids documents the exact
+            # semantics match); unroutable pairs batch into ONE Python
+            # scan below.
+            ids_sql = tx.meta_eq_emb_ids(ck[0], flt[ck[0]])
+            if ids_sql is None:
+                scan.append(ck)
+            else:
+                have[ck] = np.asarray(ids_sql, dtype=np.int64)
+                self._store(ck, have[ck])
+        if scan:
+            want = {ck: (ck[0], flt[ck[0]]) for ck in scan}
+            found: Dict[Tuple[str, str], List[int]] = {
+                ck: [] for ck in scan
+            }
+            loads = json.loads
+            for emb_id, meta_str in tx.iter_emb_meta():
+                if meta_str is None:
+                    continue
+                meta = loads(meta_str)
+                for ck, (k, v) in want.items():
+                    if k in meta and meta[k] == v:
+                        found[ck].append(emb_id)
+            for ck, ids in found.items():
+                have[ck] = np.asarray(sorted(ids), dtype=np.int64)
+                self._store(ck, have[ck])
+        out = have[keys[0]]
         for ck in keys[1:]:
-            out = np.intersect1d(
-                out, self._entries[ck], assume_unique=True
-            )
+            out = np.intersect1d(out, have[ck], assume_unique=True)
         return out
 
 
@@ -486,7 +493,13 @@ def _prefilter_emb_ids(
     under a quarter of the corpus (subset gathers read HBM ~4x slower
     per row than the streamed kernels), OR no more matches than ``n``
     (the answer is just "all of them, ranked")."""
-    ids = index.lookup(tx, flt)
+    try:
+        ids = index.lookup(tx, flt)
+    except TypeError:
+        # Filter values json.dumps refuses (numpy scalars, sets, ...)
+        # can't be indexed or cache-keyed; the ladder's host predicate
+        # compares them with plain Python equality just fine.
+        return None
     if ids is None:
         return None
     f = int(ids.size)

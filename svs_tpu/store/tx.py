@@ -359,7 +359,16 @@ class Tx:
         elif isinstance(value, int):
             if not -(1 << 63) <= value < (1 << 63):
                 return None
-        elif not isinstance(value, (str, float, type(None))):
+        elif isinstance(value, float):
+            # Stored ints past int64 reach SQL as lossily-rounded REALs
+            # (JSON1 coercion), which a huge float filter could equal
+            # where Python's exact int/float comparison says no.  Only
+            # float filters >= 2^53 can collide with that rounding (and
+            # this also declines inf, whose JSON spelling is invalid
+            # anyway); Python equality below 2^53 matches SQL exactly.
+            if abs(value) >= float(1 << 53):
+                return None
+        elif not isinstance(value, (str, type(None))):
             return None
         path = f'$."{key}"'
         try:

@@ -263,3 +263,76 @@ def test_rows_for_emb_ids_inverse_with_missing(db_path):
 
 def test_prefilter_gate_ceiling_constant_sane():
     assert 0 < _PREFILTER_MAX_ROWS <= 1 << 20
+
+
+def test_meta_only_swap_invalidates_subset_cache(db_path):
+    """A meta update that swaps WHICH docs match while keeping the match
+    COUNT constant must not serve the old match set from the device
+    subset cache (the pack object survives meta-only changes, so the
+    cache must key on the match set itself, not its size)."""
+    kb = _build(db_path, n_docs=200, n_buckets=10)
+    first = kb.retrieve("angle:10.0", 3, where={"bucket": 7})
+    assert all(h["doc"]["meta"]["bucket"] == 7 for h in first)
+    a = first[0]["doc"]["id"]  # best bucket-7 doc: move it OUT...
+    with kb.bulk_query_docs() as q:
+        some_b3 = next(
+            d["id"]
+            for d in q.dfs_traversal()
+            if d["meta"] == {"bucket": 3}
+        )
+        q.update_doc_meta(a, {"bucket": 3})
+        q.update_doc_meta(some_b3, {"bucket": 7})  # ...and one IN
+    after = kb.retrieve("angle:10.0", 3, where={"bucket": 7})
+    ids_after = {h["doc"]["id"] for h in after}
+    assert a not in ids_after  # stale cache would still return it
+    pred = lambda d: d["meta"] == {"bucket": 7}
+    ladder = kb.retrieve("angle:10.0", 3, where=pred)
+    key = lambda hits: [(h["doc"]["id"], h["score"]) for h in hits]
+    assert key(after) == key(ladder)
+    kb.close()
+
+
+def test_meta_index_eviction_does_not_break_inflight_lookup(db_path):
+    """A multi-key lookup must survive its own entries being evicted
+    (FIFO at max_entries) mid-lookup."""
+    kb = _build(db_path, n_docs=100, n_buckets=4)
+    with kb._require_db().transaction() as tx:
+        idx = MetaRowIndex(max_entries=1)
+        got = idx.lookup(tx, {"bucket": 1, "missing": "x"})
+        assert got.size == 0  # intersection with an empty set
+        got2 = idx.lookup(tx, {"bucket": 1})
+        assert got2.size == 25
+    kb.close()
+
+
+def test_unserializable_filter_value_falls_back_to_ladder(db_path):
+    """Filter values json.dumps refuses (numpy scalars, ...) must not
+    crash retrieve — the post-filter ladder compares them with Python
+    equality."""
+    kb = _build(db_path, n_docs=80, n_buckets=4)
+    got = kb.retrieve("angle:4.2", 3, where={"bucket": np.int64(1)})
+    assert len(got) == 3
+    assert all(h["doc"]["meta"]["bucket"] == 1 for h in got)
+    pred = meta_filter_predicate({"bucket": 1})
+    want = kb.retrieve("angle:4.2", 3, where=lambda d: pred(d))
+    key = lambda hits: [(h["doc"]["id"], h["score"]) for h in hits]
+    assert key(got) == key(want)
+    kb.close()
+
+
+def test_subset_cache_sweeps_stale_corpus_entries(db_path):
+    """Entries pinning a superseded pack (multi-GB of HBM each at real
+    scale) are swept on the next store."""
+    kb = _build(db_path, n_docs=200, n_buckets=10)
+    kb.retrieve("angle:10.0", 3, where={"bucket": 7})
+    eng = kb.engine
+    assert len(eng._subset_dev) == 1
+    old_corpus = next(iter(eng._subset_dev.values()))[0]
+    with kb.bulk_add_docs() as add:  # re-pack
+        for i in range(40):
+            add(f"angle:{900 + i * 0.2}", meta={"bucket": i % 10})
+    kb.retrieve("angle:10.0", 3, where={"bucket": 3})
+    assert all(
+        e[0] is not old_corpus for e in eng._subset_dev.values()
+    )
+    kb.close()

@@ -147,3 +147,35 @@ def test_retrieve_where_end_to_end_after_sql_route(kb):
     key = lambda hits: [(h["doc"]["id"], h["score"]) for h in hits]
     assert key(fast) == key(ladder)
     assert all(h["doc"]["meta"]["k"] == "x" for h in fast)
+
+
+def test_huge_float_filter_declined_not_diverging(kb):
+    """Stored ints past int64 reach SQL as rounded REALs; a float filter
+    equal to that ROUNDING must not match in the fast path when Python's
+    exact comparison says no.  The SQL route declines floats >= 2^53."""
+    with kb._require_db().transaction() as tx:
+        assert tx.meta_eq_emb_ids("k", float(2**70)) is None  # declined
+        # Python truth: 2**70 stored exactly-representable matches the
+        # equal float; the index (via the scan route) agrees.
+        idx = MetaRowIndex()
+        got = idx.lookup(tx, {"k": float(2**70)})
+        assert got.tolist() == _brute(tx, "k", float(2**70))
+
+
+def test_huge_float_vs_rounded_int_no_false_match(db_path):
+    """The precise divergence case: stored 2**70+1 (not representable as
+    a double) vs filter float(2**70) — Python says no; the old SQL route
+    would have said yes via REAL rounding."""
+    from svs_tpu import KB as _KB
+
+    from kb_helpers import make_angle_embedder
+
+    kb2 = _KB(str(db_path) + ".huge", make_angle_embedder())
+    with kb2.bulk_add_docs() as add:
+        add("angle:1.0", meta={"k": 2**70 + 1})
+        add("angle:2.0", meta={"k": "other"})
+    with kb2._require_db().transaction() as tx:
+        idx = MetaRowIndex()
+        assert idx.lookup(tx, {"k": float(2**70)}).size == 0
+        assert idx.lookup(tx, {"k": 2**70 + 1}).size == 1
+    kb2.close()
