@@ -472,7 +472,8 @@ class RetrievalEngine:
         #: superseded corpus (each pins multi-GB device arrays via
         #: ``entry[0]``).  Guarded by ``self._lock``.
         self._subset_dev: Dict[
-            str, Tuple[PackedCorpus, jax.Array, jax.Array, bytes]
+            str,
+            Tuple[PackedCorpus, jax.Array, Optional[jax.Array], bytes],
         ] = {}
         self._lock = threading.Lock()
 
@@ -1413,12 +1414,16 @@ class RetrievalEngine:
 
         Returns ``(emb_ids int64 [B, k'], scores f32 [B, k'])`` with
         ``k' = min(k, |matching rows in this pack snapshot|)``, or
-        ``None`` when no route applies (mesh engines, no f32 gather
-        source, or a host-route shape past ``_SUBSET_HOST_MAX_FLOPS``) —
-        the caller falls back to the post-filter ladder.  Ids absent
-        from the pack snapshot are dropped (same snapshot semantics as
-        the ladder).  ``cache_key`` (the filter's canonical string)
-        caches the subset's device arrays across calls."""
+        ``None`` when no route applies (no f32 gather source, emb ids
+        past int32, or a host-route shape past
+        ``_SUBSET_HOST_MAX_FLOPS``) — the caller falls back to the
+        post-filter ladder.  Mesh engines route through
+        :func:`parallel.sharded.sharded_subset_topk` (each shard
+        gathers+scores the subset rows in its range, one psum).  Ids
+        absent from the pack snapshot are dropped (same snapshot
+        semantics as the ladder).  ``cache_key`` (the filter's
+        canonical string) caches the subset's device arrays across
+        calls."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         emb_sub = np.asarray(emb_sub, dtype=np.int64)
         rows, present = corpus.rows_for_emb_ids(emb_sub)
@@ -1494,6 +1499,77 @@ class RetrievalEngine:
                     jnp.int32(f),
                     q_dev,
                     k_eff,
+                    dim=_mirror_dim(dev[0], corpus),
+                )
+                arr = np.asarray(wire)
+                emb = arr[:, :k_eff].astype(np.int64)
+                scores = np.ascontiguousarray(
+                    arr[:, k_eff : 2 * k_eff]
+                ).view(np.float32)
+                return emb, scores
+        if (
+            dev is not None
+            and self.mesh is not None
+            and corpus.dev_emb is not None
+            and int(emb_sub.max()) < 2**31
+        ):
+            from ..parallel.sharded import sharded_subset_topk
+
+            f_pad = max(512, 1 << (f - 1).bit_length())
+            # Each shard's gather materializes [F_pad, dim] — same
+            # budget as the single-chip route, applied per chip.
+            if f_pad * int(dev[0].shape[1]) * 4 <= _DEVICE_GATHER_MAX_BYTES:
+                digest = hashlib.blake2b(
+                    emb_sub.tobytes(), digest_size=16
+                ).digest()
+                entry = None
+                if cache_key is not None:
+                    with self._lock:
+                        entry = self._subset_dev.get(cache_key)
+                if (
+                    entry is not None
+                    and entry[0] is corpus
+                    and entry[3] == digest
+                ):
+                    rows_dev = entry[1]
+                else:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    rows_p = np.zeros(f_pad, dtype=np.int32)
+                    rows_p[:f] = rows
+                    rows_dev = jax.device_put(
+                        rows_p,
+                        NamedSharding(self.mesh, PartitionSpec(None)),
+                    )
+                    if cache_key is not None:
+                        with self._lock:
+                            stale = [
+                                ck
+                                for ck, e in self._subset_dev.items()
+                                if e[0] is not corpus
+                            ]
+                            for ck in stale:
+                                del self._subset_dev[ck]
+                            while (
+                                len(self._subset_dev)
+                                >= _SUBSET_DEV_CACHE_MAX
+                            ):
+                                self._subset_dev.pop(
+                                    next(iter(self._subset_dev))
+                                )
+                            self._subset_dev[cache_key] = (
+                                corpus, rows_dev, None, digest,
+                            )
+                q_dev = self._put_queries(corpus, queries)
+                wire = sharded_subset_topk(
+                    dev[0],
+                    corpus.dev_emb,
+                    rows_dev,
+                    jnp.int32(f),
+                    q_dev,
+                    k_eff,
+                    mesh=self.mesh,
+                    data_axis=self.data_axis,
                     dim=_mirror_dim(dev[0], corpus),
                 )
                 arr = np.asarray(wire)

@@ -344,3 +344,95 @@ def _build_sharded_rescore_final(
         return final_select_wire(exact, emb_of, tail_bits, k)
 
     return jax.jit(final)
+
+
+def sharded_subset_topk(
+    mirror: jax.Array,
+    dev_emb: jax.Array,
+    rows: jax.Array,
+    n_live: jax.Array,
+    queries: jax.Array,
+    k: int,
+    *,
+    mesh: jax.sharding.Mesh,
+    data_axis: str = "data",
+    dim: Optional[int] = None,
+) -> jax.Array:
+    """Mesh analog of the engine's pre-filter fast path
+    (``engine.index._subset_final``): exact top-``k`` over an EXPLICIT
+    pack-row subset, computed where the rows live.  Each shard gathers
+    the subset rows in its global range from its slice of the f32
+    mirror and computes partial exact dots (``HIGHEST``); one ``psum``
+    over ICI replicates the full ``[B, F]`` exact score matrix; the
+    final tie-rule selection runs replicated and the caller fetches one
+    compact ``[B, 2k+1]`` wire.  Only the tiny row-index vector and the
+    ``[B, F]`` partials cross ICI — never embedding vectors.
+
+    ``mirror``: ``[N_padded, dim]`` f32 in pack-row order, sharded
+    ``P(data_axis)``; ``dev_emb``: ``[N_padded]`` int32 emb ids in
+    pack-row order, replicated; ``rows``: ``[F_pad]`` int32 pack rows
+    (padding repeats row 0 — masked via ``n_live``), replicated;
+    ``queries``: ``[B, dim_padded]`` f32 replicated."""
+    fn = _build_sharded_subset(
+        mesh, data_axis, int(k), None if dim is None else int(dim)
+    )
+    return fn(mirror, dev_emb, rows, n_live, queries)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_subset(
+    mesh: jax.sharding.Mesh,
+    data_axis: str,
+    k: int,
+    dim: Optional[int],
+) -> "Any":
+    def local_partial(
+        mirror: jax.Array, rows: jax.Array, q: jax.Array
+    ) -> jax.Array:
+        n_local = mirror.shape[0]
+        offset = jax.lax.axis_index(data_axis).astype(jnp.int32) * n_local
+        lr = rows - offset  # [F]
+        valid = (lr >= 0) & (lr < n_local)
+        cand = mirror[jnp.clip(lr, 0, n_local - 1)]  # [F, d] local HBM
+        # HIGHEST: these ARE the returned scores (same contract as the
+        # single-chip _subset_final).
+        partial = jax.lax.dot_general(
+            q,
+            cand,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, F]
+        partial = jnp.where(valid[None, :], partial, 0.0)
+        return jax.lax.psum(partial, data_axis)
+
+    shard_fn = jax.shard_map(
+        local_partial,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(None), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+
+    def final(
+        mirror: jax.Array,
+        dev_emb: jax.Array,
+        rows: jax.Array,
+        n_live: jax.Array,
+        queries: jax.Array,
+    ) -> jax.Array:
+        from ..ops.topk import final_select_wire
+
+        if dim is not None and dim != queries.shape[1]:
+            queries = queries[:, :dim]
+        exact = shard_fn(mirror, rows, queries)  # [B, F] replicated
+        live = (
+            jnp.arange(rows.shape[0], dtype=jnp.int32)[None, :] < n_live
+        )
+        exact = jnp.where(live, exact, -jnp.inf)
+        emb_of = dev_emb[rows]  # [F] int32 (padding masked via -inf)
+        emb_b = jnp.broadcast_to(emb_of[None, :], exact.shape)
+        tail = jnp.zeros((exact.shape[0], 1), dtype=jnp.int32)
+        return final_select_wire(exact, emb_b, tail, k)
+
+    return jax.jit(final)

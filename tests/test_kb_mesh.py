@@ -97,3 +97,48 @@ def test_kb_pairwise_on_mesh(need_devices, tmp_path):
     score, d1, d2 = pairs[0]
     assert {d1["text"], d2["text"]} == {"angle:0", "angle:4"}
     kb.close()
+
+
+def test_kb_filtered_prefilter_on_mesh(need_devices, tmp_path):
+    """Declarative filtered retrieval on a mesh routes through the
+    sharded subset kernel (engine.subset_topk must NOT return None) and
+    agrees exactly with the post-filter ladder and an unsharded KB."""
+    import numpy as np
+
+    def build(path, **kw):
+        kb = KB(path, make_angle_embedder(), **kw)
+        with kb.bulk_add_docs() as add:
+            for i in range(64):
+                add(f"angle:{(i * 7) % 360}", meta={"bucket": i % 8})
+        return kb
+
+    plain = build(tmp_path / "pf_plain.sqlite")
+    want = plain.retrieve("angle:33", 4, where={"bucket": 3})
+    plain.close()
+
+    kb = build(tmp_path / "pf_mesh.sqlite", mesh=default_mesh())
+    calls = []
+    real = kb.engine.subset_topk
+
+    def spy(corpus, vectors, ids, n, key=None):
+        res = real(corpus, vectors, ids, n, key)
+        calls.append(res is not None)
+        return res
+
+    kb.engine.subset_topk = spy  # type: ignore[method-assign]
+    got = kb.retrieve("angle:33", 4, where={"bucket": 3})
+    assert calls == [True], "mesh subset route did not engage"
+    key = lambda hits: [(h["doc"]["text"], h["score"]) for h in hits]
+    assert [t for t, _ in key(got)] == [t for t, _ in key(want)]
+    assert [s for _, s in key(got)] == pytest.approx(
+        [s for _, s in key(want)], abs=1e-6
+    )
+    ladder = kb.retrieve(
+        "angle:33", 4, where=lambda d: d["meta"] == {"bucket": 3}
+    )
+    ids = lambda hits: [h["doc"]["id"] for h in hits]
+    assert ids(got) == ids(ladder)
+    # cached second call (device rows reused) stays correct
+    again = kb.retrieve("angle:33", 4, where={"bucket": 3})
+    assert ids(again) == ids(got) and calls == [True, True]
+    kb.close()

@@ -620,3 +620,45 @@ def test_sharded_streams_past_scores_budget(
         assert len(true & got) >= 10
 
     sharded_mod._build_sharded_topk.cache_clear()
+
+
+def test_sharded_subset_topk_matches_oracle(devices_available, unit_rows):
+    """The mesh pre-filter kernel: exact scores and reference tie rule
+    over an explicit pack-row subset, vs the host oracle — including
+    planted exact score ties and n_live padding."""
+    from svs_tpu.engine.index import _subset_select_np
+    from svs_tpu.parallel.sharded import sharded_subset_topk
+
+    mesh = default_mesh()
+    n, d, b, k = 2048, 64, 3, 7
+    m = unit_rows(n, d).astype(np.float32)
+    m[100] = m[700] = m[40]  # exact ties across different shards
+    q = unit_rows(b, d).astype(np.float32)
+
+    rows = np.arange(0, n, 3, dtype=np.int64)  # every 3rd pack row
+    emb_ids = rows * 10 + 5  # arbitrary non-contiguous emb ids
+    f = rows.size
+    f_pad = 1 << (f - 1).bit_length()
+    rows_p = np.zeros(f_pad, dtype=np.int32)
+    rows_p[:f] = rows
+
+    mirror = jax.device_put(m, NamedSharding(mesh, P("data", None)))
+    dev_emb_np = np.zeros(n, dtype=np.int32)
+    dev_emb_np[rows] = emb_ids.astype(np.int32)
+    dev_emb = jax.device_put(dev_emb_np, NamedSharding(mesh, P(None)))
+    rows_dev = jax.device_put(rows_p, NamedSharding(mesh, P(None)))
+    q_dev = jax.device_put(q, NamedSharding(mesh, P(None, None)))
+
+    wire = np.asarray(
+        sharded_subset_topk(
+            mirror, dev_emb, rows_dev, jnp.int32(f), q_dev, k, mesh=mesh
+        )
+    )
+    got_emb = wire[:, :k].astype(np.int64)
+    got_scores = np.ascontiguousarray(wire[:, k : 2 * k]).view(np.float32)
+
+    exact = q @ m[rows].T  # [B, F] host f32 oracle
+    want_emb, want_scores = _subset_select_np(exact, emb_ids, k)
+    assert np.array_equal(got_emb, want_emb)
+    # HIGHEST-precision device dots vs host BLAS: tiny accumulation skew
+    np.testing.assert_allclose(got_scores, want_scores, atol=1e-6)
