@@ -319,3 +319,29 @@ def test_replica_argument_validation(tmp_path):
         ReplicaEngine(n_replicas=0)
     with pytest.raises(ValueError):
         ReplicaEngine(n_replicas=10_000)
+
+
+def test_replica_filtered_retrieval(tmp_path):
+    """Filtered retrieval on a replica KB: the pre-filter subset route
+    runs on the primary (correct results; batch split applies to the
+    unfiltered path) and agrees exactly with the post-filter ladder."""
+    kb = KB(
+        tmp_path / "rf.sqlite",
+        make_onehot_embedder(),
+        force_fresh_db=True,
+        replicas=4,
+    )
+    with kb.bulk_add_docs() as add:
+        for i in range(64):
+            add(f"doc {i}", meta={"b": i % 4})
+    qs = [f"doc {q}" for q in range(8)]
+    filt = kb.retrieve_batch(qs, 3, where={"b": 2})
+    ladder = kb.retrieve_batch(
+        qs, 3, where=lambda d: d["meta"]["b"] == 2
+    )
+    key = lambda rs: [
+        [(h["doc"]["id"], h["score"]) for h in r] for r in rs
+    ]
+    assert key(filt) == key(ladder)
+    assert all(h["doc"]["meta"]["b"] == 2 for r in filt for h in r)
+    kb.close()
