@@ -45,6 +45,41 @@ def log(*args) -> None:
     print(*args, file=sys.stderr, flush=True)
 
 
+def _arm_watchdog(seconds: float, preset: str) -> None:
+    """Guarantee ONE JSON line on stdout even if the device link wedges.
+
+    Tunneled device RPCs can stall indefinitely (observed: a wedged
+    relay streams 0 bytes forever — no exception, no timeout anywhere
+    in the stack), which would hang the harness that invokes this
+    script.  A daemon timer prints a machine-readable failure line and
+    hard-exits instead.  Generous default (45 min vs ~10 min for a cold
+    headline run): a legitimate run never gets close.  Override/disable
+    via SVS_TPU_BENCH_TIMEOUT (seconds; 0 disables)."""
+    import os
+    import threading
+
+    def fire() -> None:
+        print(
+            json.dumps(
+                {
+                    "metric": "bench aborted by watchdog: no result "
+                    f"within {seconds:.0f}s (device link stalled?)",
+                    "value": None,
+                    "unit": "timeout",
+                    "vs_baseline": None,
+                    "error": "watchdog_timeout",
+                    "preset": preset,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 # Reference warm-query latencies (seconds) for the two corpus sizes it
 # published (BASELINE.md).
 REF_WARM_1M_S = 0.240
@@ -107,6 +142,12 @@ def main() -> None:
     )
     args = parser.parse_args()
     args.chain = max(2, args.chain)
+
+    import os
+
+    wd = float(os.environ.get("SVS_TPU_BENCH_TIMEOUT", "2700"))
+    if wd > 0:
+        _arm_watchdog(wd, args.preset)
 
     import jax
     import jax.numpy as jnp
