@@ -2109,6 +2109,70 @@ class RetrievalEngine:
 
         return packed_dev, wide
 
+    def subset_pairwise_corpus(
+        self,
+        corpus: PackedCorpus,
+        rows: np.ndarray,
+        emb_sub: np.ndarray,
+    ) -> Optional[PackedCorpus]:
+        """A derived :class:`PackedCorpus` of ONLY the given pack rows —
+        the filtered-pairwise route (``where=`` on
+        ``document_top_pairwise_scores``; svs_tpu extension, the
+        reference has no filtering): the unmodified verified pairwise
+        loop then runs against "a corpus of just the matching
+        documents", inheriting every exactness invariant (eps bound,
+        margin check, widen-retry, tie rule) for free.
+
+        The gather runs on device (``jnp.take`` over the resident pack
+        — O(F·d) HBM, trivial next to the O(F²·d) pairwise FLOPs);
+        padding rows are zeroed to mirror real pack semantics.  The
+        host f32 cache subsets along (so rescore gathers stay
+        memory-fast); without one, the finalize path's store fetch by
+        emb id works unchanged.  ``None`` on mesh engines (the pack is
+        sharded; the caller post-filters the exact global pair prefix
+        instead) — sound either way."""
+        if self.mesh is not None:
+            return None
+        f = int(rows.size)
+        f_pad = max(-(-f // ROW_MULTIPLE) * ROW_MULTIPLE, ROW_MULTIPLE)
+        rows_p = np.zeros(f_pad, dtype=np.int32)
+        rows_p[:f] = rows
+        rows_dev = jax.device_put(rows_p, self.device)
+        live = (jnp.arange(f_pad, dtype=jnp.int32) < f)[:, None]
+        data = jnp.where(
+            live,
+            jnp.take(corpus.data, rows_dev, axis=0),
+            jnp.zeros((), corpus.data.dtype),
+        )
+        scales = None
+        if corpus.row_scales is not None:
+            scales = jnp.where(
+                live[:, 0],
+                jnp.take(corpus.row_scales, rows_dev),
+                jnp.zeros((), corpus.row_scales.dtype),
+            )
+        host_cache = None
+        if corpus.host_f32 is not None:
+            src = (
+                rows
+                if corpus.host_row_map is None
+                else corpus.host_row_map[rows]
+            )
+            host_cache = (
+                np.ascontiguousarray(corpus.host_f32[src]), None,
+            )
+        return PackedCorpus(
+            data=data,
+            row_scales=scales,
+            emb_ids=np.asarray(emb_sub, dtype=np.int64),
+            n_valid=f,
+            dim=corpus.dim,
+            version=corpus.version,
+            precision=corpus.precision,
+            scale_max=corpus.scale_max,  # upper bound: eps stays sound
+            host_cache=host_cache,
+        )
+
     def pairwise_topk(
         self, corpus: PackedCorpus, k: int
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -510,6 +510,52 @@ def _prefilter_emb_ids(
     return ids
 
 
+def _filter_match_emb_ids(
+    tx: Tx,
+    index: MetaRowIndex,
+    where: Union[DocumentPredicate, Dict[str, Any]],
+) -> Optional[np.ndarray]:
+    """Sorted emb ids of EVERY embedded document passing ``where``, or
+    ``None`` when the filter matches everything (empty dict) — the
+    match-set resolver for filtered pairwise, where the whole subset is
+    needed up front (pairs can't be post-filtered one candidate at a
+    time the way retrieval hits can).  Declarative filters ride the
+    :class:`MetaRowIndex`; opaque predicates pay one full hydrated
+    scan — noise next to the O(F²·d) pairwise work that follows."""
+    flt = (
+        where
+        if isinstance(where, dict)
+        else getattr(where, "__meta_filter__", None)
+    )
+    if flt is not None:
+        if not flt:
+            return None
+        try:
+            ids = index.lookup(tx, flt)
+        except TypeError:
+            ids = None  # unserializable values: predicate scan below
+        if ids is not None:
+            return ids
+    pred = meta_filter_predicate(where) if isinstance(where, dict) else where
+    loads = json.loads
+    out = [
+        int(emb_id)
+        for emb_id, rec_id, parent_id, level, text, meta_str
+        in tx.iter_doc_rows_with_emb()
+        if pred(
+            {
+                "id": rec_id,
+                "parent_id": parent_id,
+                "level": level,
+                "text": text,
+                "embedding": True,
+                "meta": loads(meta_str) if meta_str is not None else None,
+            }
+        )
+    ]
+    return np.asarray(sorted(out), dtype=np.int64)
+
+
 #: Initial candidate over-fetch for filtered retrieval: each widen round
 #: searches min(n * 4^round, corpus) — geometric like the rescore ladder,
 #: so a selectivity-s filter converges in O(log_4(1/s)) device steps.
@@ -1593,13 +1639,51 @@ class AsyncKB:
             )
 
     async def document_top_pairwise_scores(
-        self, n: int
+        self,
+        n: int,
+        where: Optional[Union[DocumentPredicate, Dict[str, Any]]] = None,
     ) -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
         """Top-``n`` most-similar document pairs (dedup / NSFW-filter tool).
-        Runs blocked on device — no O(n_docs^2) host matrix."""
+        Runs blocked on device — no O(n_docs^2) host matrix.
+
+        ``where`` (svs_tpu extension) restricts pairs to documents
+        passing the filter — BOTH endpoints must pass — while staying
+        exact: the verified pairwise loop runs against a derived corpus
+        of only the matching documents
+        (:meth:`RetrievalEngine.subset_pairwise_corpus`), so results
+        equal running the unfiltered op on a store containing just
+        those docs.  Mesh engines post-filter the exact global pair
+        prefix with 4x widening instead (sound either way)."""
         loop = asyncio.get_running_loop()
         async with self._get_lock():
             corpus = await self._ensure_engine_fresh()
+        filtered = False
+        if where is not None:
+            async with self._get_lock():
+                db = await self._ensure_db()
+
+                def resolve() -> Optional[np.ndarray]:
+                    with db.transaction() as tx:
+                        return _filter_match_emb_ids(
+                            tx, self._meta_index, where
+                        )
+
+                ids = await loop.run_in_executor(None, resolve)
+            if ids is not None:
+                rows, present = corpus.rows_for_emb_ids(ids)
+                if not bool(present.all()):
+                    rows, ids = rows[present], ids[present]
+                if rows.size < 2:
+                    return []
+                sub = await loop.run_in_executor(
+                    None,
+                    self.engine.subset_pairwise_corpus,
+                    corpus, rows, ids,
+                )
+                if sub is None:
+                    return await self._pairwise_postfiltered(n, where)
+                corpus = sub
+                filtered = True
         if corpus.n_valid < 2 or n <= 0:
             return []
         c = n
@@ -1631,13 +1715,43 @@ class AsyncKB:
 
                 results = await loop.run_in_executor(None, heavy)
             if results is not None:
-                if c0 is not None:
+                if c0 is not None and not filtered:
+                    # subset widths would pollute the full-corpus hint
                     self.engine.record_pairwise_candidates(
                         n, c, widened=(c != c0)
                     )
                 return results
             c = min(total_pairs, c * 4)
             log.info("pairwise rescore margin insufficient; widening to %d", c)
+
+    async def _pairwise_postfiltered(
+        self,
+        n: int,
+        where: Union[DocumentPredicate, Dict[str, Any]],
+    ) -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
+        """Filtered pairwise for engines without a subset route (mesh):
+        take the exact global top-``c`` pairs, keep those whose BOTH
+        endpoints pass, widen ``c`` 4x while under-filled.  Exactness:
+        any qualifying pair outside an exact top-``c`` prefix scores at
+        most the c-th pair, which scores at most the n-th survivor."""
+        pred = (
+            meta_filter_predicate(where) if isinstance(where, dict)
+            else where
+        )
+        async with self._get_lock():
+            corpus = await self._ensure_engine_fresh()
+        total = corpus.n_valid * (corpus.n_valid - 1) // 2
+        c = max(n * _FILTER_OVERFETCH, n)
+        while True:
+            pairs = await self.document_top_pairwise_scores(min(c, total))
+            kept = [t for t in pairs if pred(t[1]) and pred(t[2])]
+            if len(kept) >= n or c >= total:
+                return kept[:n]
+            c = min(total, c * 4)
+            log.info(
+                "pairwise filter under-filled (%d/%d); widening the "
+                "exact pair prefix to %d", len(kept), n, c,
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -2138,10 +2252,35 @@ class KB:
             )
 
     def document_top_pairwise_scores(
-        self, n: int
+        self,
+        n: int,
+        where: Optional[Union[DocumentPredicate, Dict[str, Any]]] = None,
     ) -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
+        """Sync mirror of :meth:`AsyncKB.document_top_pairwise_scores`
+        (incl. the ``where=`` filtered-pairwise extension)."""
         with self._lock:
             corpus = self._ensure_engine_fresh()
+        filtered = False
+        if where is not None:
+            with self._lock:
+                db = self._require_db()
+                with db.transaction() as tx:
+                    ids = _filter_match_emb_ids(
+                        tx, self._meta_index, where
+                    )
+            if ids is not None:
+                rows, present = corpus.rows_for_emb_ids(ids)
+                if not bool(present.all()):
+                    rows, ids = rows[present], ids[present]
+                if rows.size < 2:
+                    return []
+                sub = self.engine.subset_pairwise_corpus(
+                    corpus, rows, ids
+                )
+                if sub is None:
+                    return self._pairwise_postfiltered(n, where)
+                corpus = sub
+                filtered = True
         if corpus.n_valid < 2 or n <= 0:
             return []
         c = n
@@ -2165,13 +2304,39 @@ class KB:
                             self.engine.pairwise_rescore(corpus, ra, rb),
                     )
             if results is not None:
-                if c0 is not None:
+                if c0 is not None and not filtered:
+                    # subset widths would pollute the full-corpus hint
                     self.engine.record_pairwise_candidates(
                         n, c, widened=(c != c0)
                     )
                 return results
             c = min(total_pairs, c * 4)
             log.info("pairwise rescore margin insufficient; widening to %d", c)
+
+    def _pairwise_postfiltered(
+        self,
+        n: int,
+        where: Union[DocumentPredicate, Dict[str, Any]],
+    ) -> List[Tuple[float, DocumentRecord, DocumentRecord]]:
+        """Sync mirror of :meth:`AsyncKB._pairwise_postfiltered`."""
+        pred = (
+            meta_filter_predicate(where) if isinstance(where, dict)
+            else where
+        )
+        with self._lock:
+            corpus = self._ensure_engine_fresh()
+        total = corpus.n_valid * (corpus.n_valid - 1) // 2
+        c = max(n * _FILTER_OVERFETCH, n)
+        while True:
+            pairs = self.document_top_pairwise_scores(min(c, total))
+            kept = [t for t in pairs if pred(t[1]) and pred(t[2])]
+            if len(kept) >= n or c >= total:
+                return kept[:n]
+            c = min(total, c * 4)
+            log.info(
+                "pairwise filter under-filled (%d/%d); widening the "
+                "exact pair prefix to %d", len(kept), n, c,
+            )
 
     def __len__(self) -> int:
         with self._lock:

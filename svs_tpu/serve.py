@@ -29,8 +29,10 @@ Routes (JSON in/out):
   meta carries every given key at exactly the given value (exact
   filtered retrieval via the KB's ``where=`` widen ladder; filtered
   requests skip co-batching but share the admission bound)
-- ``POST /pairwise``  -> ``{"n": int}`` -> top-n most-similar document
-  pairs (the reference's ``document_top_pairwise_scores``)
+- ``POST /pairwise``  -> ``{"n": int, "meta_filter"?: {key: value}}`` ->
+  top-n most-similar document pairs (the reference's
+  ``document_top_pairwise_scores``); ``meta_filter`` restricts pairs to
+  documents whose meta equals every given value (both endpoints)
 - ``POST /add``       -> ``{"texts": [str], "metas": [obj]?}`` (only with
   ``writable=True``; at most ``MAX_ADD_TEXTS`` per request) -> ``{"ids":
   [int]}``
@@ -436,7 +438,15 @@ def make_app(
             raise web.HTTPBadRequest(
                 text=f"'n' must be an integer in [1, {MAX_PAIRWISE_N}]"
             )
-        pairs = await kb.document_top_pairwise_scores(n)
+        meta_filter = body.get("meta_filter")
+        if meta_filter is not None and not isinstance(meta_filter, dict):
+            raise web.HTTPBadRequest(
+                text="'meta_filter' must be a JSON object of "
+                "meta-key -> required-value equalities"
+            )
+        pairs = await kb.document_top_pairwise_scores(
+            n, where=meta_filter or None
+        )
         payload = [
             {
                 "score": score,

@@ -330,6 +330,27 @@ async def test_pairwise_route(db_path):
         assert (
             await client.post("/pairwise", json={"n": 10**9})
         ).status == 400
+        # filtered pairwise: both endpoints must pass the meta filter
+        async with kb.bulk_query_docs() as q:
+            roots = [d async for d in q.dfs_traversal()]
+            for d in roots[:6]:
+                await q.update_doc_meta(d["id"], {"grp": "x"})
+        r = await client.post(
+            "/pairwise", json={"n": 2, "meta_filter": {"grp": "x"}}
+        )
+        assert r.status == 200
+        fp = (await r.json())["pairs"]
+        assert len(fp) == 2
+        assert all(
+            p["doc_a"]["meta"] == {"grp": "x"}
+            and p["doc_b"]["meta"] == {"grp": "x"}
+            for p in fp
+        )
+        assert (
+            await client.post(
+                "/pairwise", json={"n": 2, "meta_filter": [1]}
+            )
+        ).status == 400
     finally:
         await client.close()
         await kb.close()
