@@ -86,22 +86,32 @@ def cmd_pack(args: argparse.Namespace) -> int:
         kb.close()
 
 
+def _parse_meta_filter(
+    raw: "str | None",
+) -> "tuple[object | None, int | None]":
+    """``(where, None)`` for a valid --meta-filter JSON object (or no
+    flag), ``(None, 2)`` after printing the error for malformed input."""
+    if not raw:
+        return None, None
+    import json as _json
+
+    try:
+        flt = _json.loads(raw)
+    except ValueError as exc:
+        print(f"--meta-filter is not valid JSON: {exc}", file=sys.stderr)
+        return None, 2
+    if not isinstance(flt, dict):
+        print("--meta-filter must be a JSON object", file=sys.stderr)
+        return None, 2
+    from .kb import meta_filter_predicate
+
+    return meta_filter_predicate(flt), None
+
+
 def cmd_query(args: argparse.Namespace) -> int:
-    where = None
-    if args.meta_filter:
-        import json as _json
-
-        try:
-            flt = _json.loads(args.meta_filter)
-        except ValueError as exc:
-            print(f"--meta-filter is not valid JSON: {exc}", file=sys.stderr)
-            return 2
-        if not isinstance(flt, dict):
-            print("--meta-filter must be a JSON object", file=sys.stderr)
-            return 2
-        from .kb import meta_filter_predicate
-
-        where = meta_filter_predicate(flt)
+    where, err = _parse_meta_filter(args.meta_filter)
+    if err is not None:
+        return err
     kb = _open_kb(args)
     try:
         hits = kb.retrieve(args.text, args.n, where=where)
@@ -114,9 +124,14 @@ def cmd_query(args: argparse.Namespace) -> int:
 
 
 def cmd_pairs(args: argparse.Namespace) -> int:
+    where, err = _parse_meta_filter(args.meta_filter)
+    if err is not None:
+        return err
     kb = _open_kb(args)
     try:
-        for score, d1, d2 in kb.document_top_pairwise_scores(args.n):
+        for score, d1, d2 in kb.document_top_pairwise_scores(
+            args.n, where=where
+        ):
             print(
                 f"{score:+.6f}  #{d1['id']} ~ #{d2['id']}  "
                 f"{d1['text'][:50]!r} ~ {d2['text'][:50]!r}"
@@ -220,6 +235,9 @@ def main(argv: Optional[list] = None) -> int:
     p = sub.add_parser("pairs", help="top pairwise-similar documents")
     p.add_argument("db")
     p.add_argument("-n", type=int, default=10)
+    p.add_argument("--meta-filter", default=None, metavar="JSON",
+                   help="JSON object of meta-key -> required-value "
+                   "equalities (pairs among matching documents only)")
     p.set_defaults(fn=cmd_pairs)
 
     p = sub.add_parser(

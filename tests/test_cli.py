@@ -73,3 +73,20 @@ def test_pairs(populated_db, capsys):
 def test_gzip(populated_db, capsys, tmp_path):
     assert main(["gzip", str(populated_db)]) == 0
     assert (tmp_path / "testdb.sqlite.gz").exists()
+
+
+def test_pairs_meta_filter(db_path, capsys):
+    kb = KB(db_path, make_mock_embeddings_func())
+    with kb.bulk_add_docs() as add:
+        for i in range(8):
+            add(f"doc {i}", meta={"lang": "de" if i % 2 else "en"})
+    kb.close()
+    assert main([
+        "pairs", str(db_path), "-n", "100",
+        "--meta-filter", '{"lang": "de"}',
+    ]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 4 * 3 // 2  # all pairs among the 4 de docs
+    assert main([
+        "pairs", str(db_path), "--meta-filter", 'nope',
+    ]) == 2
