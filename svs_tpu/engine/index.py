@@ -27,6 +27,7 @@ import functools
 import hashlib
 import logging
 import threading
+import time
 from pathlib import Path
 from typing import Dict, Optional, Tuple, Union
 
@@ -68,11 +69,48 @@ WIDE_INDEX_MIN_ROWS = 1 << 24
 #: host rescore instead.
 _DEVICE_GATHER_MAX_BYTES = 4_000_000_000
 
+#: f32 rescore mirrors up to this size upload synchronously inside
+#: ``ensure_fresh`` (deterministic for small corpora and tests); larger
+#: ones move to a background thread so the cold first query never waits
+#: on a multi-GB device transfer — rescore rides the host cache until
+#: the mirror publishes.
+_MIRROR_SYNC_MAX_BYTES = 256 * 1024 * 1024
+
+#: Staged-copy granularity for mirror uploads (see
+#: ``RetrievalEngine._upload_f32_mirror``).
+_MIRROR_CHUNK_BYTES = 64 * 1024 * 1024
+
 
 @jax.jit
 def _write_rows(buf: jax.Array, new: jax.Array, n0: jax.Array) -> jax.Array:
     start = (n0,) + (0,) * (buf.ndim - 1)
     return jax.lax.dynamic_update_slice(buf, new, start)
+
+
+class _MirrorUploadAborted(Exception):
+    """Raised inside the background mirror uploader when shutdown() asks
+    it to stop mid-transfer."""
+
+
+def _marks_inflight(fn):  # type: ignore[no-untyped-def]
+    """Bracket a device-touching engine method with the in-flight count
+    and last-arrival timestamp the background mirror uploader yields to —
+    queries (including their multi-second first compiles) always win the
+    device link over the opportunistic mirror transfer."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):  # type: ignore[no-untyped-def]
+        self._last_query_t = time.monotonic()
+        with self._inflight_lock:
+            self._inflight += 1
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            with self._inflight_lock:
+                self._inflight -= 1
+            self._last_query_t = time.monotonic()
+
+    return wrapper
 
 
 def _grow_rows(
@@ -454,6 +492,21 @@ class RetrievalEngine:
         #: Fingerprint at the last rebuild attempt — one attempt per store
         #: state, so a failing rebuild can't respawn a scan per query.
         self._cache_rebuild_fp: Optional[Tuple[int, int, int, int]] = None
+        #: Background uploader for large f32 rescore mirrors (joinable —
+        #: tests and clean shutdown); spawn bookkeeping under _mirror_lock.
+        self._mirror_thread: Optional[threading.Thread] = None
+        self._mirror_lock = threading.Lock()
+        #: Monotonic time of the last query arrival plus an in-flight
+        #: count — the background mirror uploader yields the device link
+        #: while queries flow (including mid-compile, which can take
+        #: ~30 s with no new arrivals).
+        self._last_query_t = 0.0
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+        #: Set by shutdown(): aborts any in-progress background mirror
+        #: upload (a daemon thread mid-device-call at interpreter exit
+        #: aborts the process).
+        self._mirror_stop = threading.Event()
         #: How each :meth:`ensure_fresh` call was satisfied (``reuse`` =
         #: token/fingerprint hit, ``append``/``delete`` = incremental,
         #: ``sidecar`` = mmap load, ``scan`` = full BLOB rescan) — surfaced
@@ -478,9 +531,20 @@ class RetrievalEngine:
         self._lock = threading.Lock()
 
     def shutdown(self) -> None:
-        """Release engine-owned background resources (no-op here; the
-        replica engine overrides it to stop its fan-out pool).  Called by
-        ``KB.close()``/``AsyncKB.close()``."""
+        """Release engine-owned background resources: abort + join any
+        in-progress background mirror upload (a daemon thread caught
+        mid-device-call at interpreter exit aborts the whole process).
+        The replica engine extends this to stop its fan-out pool.
+        Called by ``KB.close()``/``AsyncKB.close()``."""
+        self._mirror_stop.set()
+        t = self._mirror_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=30.0)
+        self._mirror_thread = None
+        # The engine can be queried again after close() (the replica pool
+        # pattern does this) — a fresh event re-arms future uploads; a
+        # straggler thread still holds the old, permanently-set one.
+        self._mirror_stop = threading.Event()
 
     # -- freshness ----------------------------------------------------------
 
@@ -526,6 +590,7 @@ class RetrievalEngine:
             count, max_id, generation = tx.embeddings_fingerprint()
         return (version, count, max_id, generation)
 
+    @_marks_inflight
     def ensure_fresh(
         self,
         db: Database,
@@ -1142,19 +1207,120 @@ class RetrievalEngine:
                 return  # the mesh path IS the final selection; no mirror
             self._build_mesh_rescore(corpus, cache_f32, row_map)
             return
+        if cache_f32.nbytes <= _MIRROR_SYNC_MAX_BYTES:
+            self._upload_and_publish_mirror(corpus, cache_f32, row_map)
+            return
+        # Large mirrors upload in a BACKGROUND thread: shipping the f32
+        # cache (6.1 GB at 1M x 1536) across the device link would
+        # otherwise sit on the cold first query (measured ~425 s over the
+        # tunneled harness).  Rescore rides the host cache until the
+        # mirror publishes; one uploader at a time, and a publish onto a
+        # superseded corpus is dropped at the final check.
+        with self._mirror_lock:
+            t = self._mirror_thread
+            if t is not None and t.is_alive():
+                return
+
+            def work() -> None:
+                try:
+                    self._upload_and_publish_mirror(
+                        corpus, cache_f32, row_map, check_current=True
+                    )
+                except Exception:
+                    log.debug("device mirror upload failed", exc_info=True)
+
+            t = threading.Thread(
+                target=work, name="svs-tpu-mirror-upload", daemon=True
+            )
+            t.start()
+            self._mirror_thread = t
+
+    def _upload_and_publish_mirror(
+        self,
+        corpus: PackedCorpus,
+        cache_f32: np.ndarray,
+        row_map: Optional[np.ndarray],
+        check_current: bool = False,
+    ) -> None:
+        """Upload the f32 mirror (+ int32 row map) and publish both on
+        ``corpus``.  ``check_current`` (the background path) re-reads
+        ``self._corpus`` at publish time so a mirror built for a
+        superseded pack is discarded instead of attached."""
         log.info(
             "uploading f32 rescore mirror to device (%.2f GB)",
             cache_f32.nbytes / 1e9,
         )
-        dev = jax.device_put(np.ascontiguousarray(cache_f32), self.device)
+        dev = self._upload_f32_mirror(cache_f32, background=check_current)
         dev_map = (
             jax.device_put(row_map.astype(np.int32), self.device)
             if row_map is not None
             else None
         )
+        if check_current:
+            dev.block_until_ready()
+            # The engine lock (NOT held by this background thread) makes
+            # the superseded-corpus check and the publish one atomic step
+            # against ensure_fresh swapping packs.
+            with self._lock:
+                if (
+                    self._corpus is not corpus
+                    or corpus.dev_rescore is not None
+                ):
+                    return
+                self._publish_mirror(corpus, dev, dev_map)
+            log.info("f32 rescore mirror live on device")
+            return
+        self._publish_mirror(corpus, dev, dev_map)
+
+    def _publish_mirror(
+        self,
+        corpus: PackedCorpus,
+        dev: jax.Array,
+        dev_map: Optional[jax.Array],
+    ) -> None:
+        # dev_emb is published BEFORE dev_rescore: consumers gate on
+        # dev_rescore and may then read dev_emb without re-checking.
         if corpus.emb_ids_fit_int32():
             self._put_emb_mirror(corpus)
         object.__setattr__(corpus, "dev_rescore", (dev, dev_map))
+
+    def _upload_f32_mirror(
+        self, cache_f32: np.ndarray, background: bool = False
+    ) -> jax.Array:
+        """Stage the f32 cache onto the device in chunks — see
+        :func:`packing.staged_device_put` for why a direct ``device_put``
+        of a sidecar-mmap-backed cache is ~40x slower.  Background
+        uploads additionally yield the link to live queries between
+        chunks."""
+        from .packing import staged_device_put
+
+        if cache_f32.dtype != np.float32:  # defensive; caches are f32
+            cache_f32 = np.asarray(cache_f32, dtype=np.float32)
+        return staged_device_put(
+            cache_f32,
+            self.device,
+            chunk_bytes=_MIRROR_CHUNK_BYTES,
+            throttle=self._mirror_throttle if background else None,
+        )
+
+    def _mirror_throttle(self) -> None:
+        """Called between background-upload chunks: wait until no query
+        is in flight AND arrivals have a 250 ms quiet gap, so the upload
+        never starves live traffic on a slow device link — but never
+        defer a single chunk past 60 s (progress guarantee under
+        sustained load).  Aborts when shutdown() is stopping the
+        engine."""
+        deadline = time.monotonic() + 60.0
+        while True:
+            if self._mirror_stop.is_set():
+                raise _MirrorUploadAborted()
+            if time.monotonic() >= deadline:
+                return
+            with self._inflight_lock:
+                busy = self._inflight > 0
+            if not busy and time.monotonic() - self._last_query_t >= 0.25:
+                return
+            time.sleep(0.05)
 
     def _build_mesh_rescore(
         self,
@@ -1220,6 +1386,7 @@ class RetrievalEngine:
         )
         object.__setattr__(corpus, "dev_emb", dev_emb)
 
+    @_marks_inflight
     def topk_with_rescore(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
     ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
@@ -1310,6 +1477,7 @@ class RetrievalEngine:
             )
         return jax.device_put(q, self.device)
 
+    @_marks_inflight
     def topk_final(
         self, corpus: PackedCorpus, queries: np.ndarray, n: int, c: int
     ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -1395,6 +1563,7 @@ class RetrievalEngine:
         boundary = np.ascontiguousarray(arr[:, 2 * n_eff]).view(np.float32)
         return emb, scores, boundary
 
+    @_marks_inflight
     def subset_topk(
         self,
         corpus: PackedCorpus,
@@ -1911,6 +2080,7 @@ class RetrievalEngine:
         t = float(np.sqrt(2.0 * np.log(2.0 / 1e-15)))
         return bf16_term + t * s * 1.001 + 0.25 * corpus.dim * s * s + key_eps
 
+    @_marks_inflight
     def topk(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -2109,6 +2279,7 @@ class RetrievalEngine:
 
         return packed_dev, wide
 
+    @_marks_inflight
     def subset_pairwise_corpus(
         self,
         corpus: PackedCorpus,
@@ -2173,6 +2344,7 @@ class RetrievalEngine:
             host_cache=host_cache,
         )
 
+    @_marks_inflight
     def pairwise_topk(
         self, corpus: PackedCorpus, k: int
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -2247,6 +2419,7 @@ class RetrievalEngine:
             np.asarray(cols, dtype=np.int64),
         )
 
+    @_marks_inflight
     def pairwise_rescore(
         self, corpus: PackedCorpus, rows_a: np.ndarray, rows_b: np.ndarray
     ) -> Optional[np.ndarray]:

@@ -21,7 +21,7 @@ Precision modes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple, Union
+from typing import Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,82 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+#: Staged-upload granularity (and the threshold above which mmap-backed
+#: sources are staged at all) — see :func:`staged_device_put`.  64 MB:
+#: big enough to amortize per-transfer overhead, small enough that a
+#: query arriving mid-chunk waits well under a second at healthy link
+#: rates (and the background uploader yields between chunks).
+STAGE_CHUNK_BYTES = 64 * 1024 * 1024
+
+
+def _is_mmap_backed(a: np.ndarray) -> bool:
+    """True when ``a`` is (a view chain over) a ``np.memmap``."""
+    seen: object = a
+    while isinstance(seen, np.ndarray):
+        if isinstance(seen, np.memmap):
+            return True
+        seen = seen.base
+    return False
+
+
+def staged_device_put(
+    host: np.ndarray,
+    device: Optional[jax.Device],
+    chunk_bytes: Optional[int] = None,
+    throttle: Optional["Callable[[], None]"] = None,
+) -> jax.Array:
+    """``device_put`` a 2-D host array via ~256 MB in-RAM staging chunks.
+
+    ``device_put`` straight from a sidecar ``np.memmap`` interleaves 4 KiB
+    page faults with link writes — measured ~12 MB/s on the tunneled
+    harness vs ~470 MB/s from RAM (a 40x cliff; a 6 GB mirror took 7
+    minutes).  Copying each chunk into RAM first keeps the disk read
+    sequential (readahead-friendly) and the link at full rate, and the
+    donated row-writer keeps peak HBM at one array plus one chunk.
+    Chunking also bounds how long a concurrent query stalls behind a
+    background upload (one chunk, not the whole array); background
+    callers pass ``throttle`` (called before each chunk) to yield the
+    link to live queries entirely.
+    """
+    chunk = STAGE_CHUNK_BYTES if chunk_bytes is None else chunk_bytes
+    n = host.shape[0]
+    row_bytes = max(1, host.nbytes // max(1, n))
+    rows = max(1, chunk // row_bytes)
+    if n <= rows or host.ndim != 2:
+        return jax.device_put(np.array(host, copy=True), device)
+    with jax.default_device(device):
+        buf = jnp.zeros(host.shape, dtype=host.dtype)
+    writer = _row_writer_donated()
+    for lo in range(0, n, rows):
+        if throttle is not None:
+            throttle()
+        hi = min(n, lo + rows)
+        piece = jax.device_put(np.array(host[lo:hi], copy=True), device)
+        buf = writer(buf, piece, jnp.int32(lo))
+        if throttle is not None:
+            # One chunk fully lands before the next queues: an unbounded
+            # dispatch queue would monopolize the link regardless of any
+            # yielding above.
+            buf.block_until_ready()
+    return buf
+
+
+_ROW_WRITER = None
+
+
+def _row_writer_donated():
+    """Jitted in-place row write (buffer donated), built lazily so module
+    import never touches the JAX backend."""
+    global _ROW_WRITER
+    if _ROW_WRITER is None:
+        def write(buf: jax.Array, new: jax.Array, n0: jax.Array) -> jax.Array:
+            start = (n0,) + (0,) * (buf.ndim - 1)
+            return jax.lax.dynamic_update_slice(buf, new, start)
+
+        _ROW_WRITER = jax.jit(write, donate_argnums=(0,))
+    return _ROW_WRITER
+
+
 def _put(
     host: np.ndarray,
     placement: Union[jax.Device, jax.sharding.Sharding, None],
@@ -71,11 +147,20 @@ def _put(
     never bounces the full array through one device and (b) is the
     multi-host path: every host opens the same store, builds the same host
     matrix, and uploads just its own rows (``parallel.multihost``).
+
+    Single-device placements of large mmap-backed sources (sidecar loads)
+    go through :func:`staged_device_put` — see the 40x cliff there.
     """
     if isinstance(placement, jax.sharding.Sharding):
         return jax.make_array_from_callback(
-            host.shape, placement, lambda idx: host[idx]
+            host.shape, placement, lambda idx: np.array(host[idx], copy=True)
         )
+    if (
+        host.ndim == 2
+        and host.nbytes > STAGE_CHUNK_BYTES
+        and _is_mmap_backed(host)
+    ):
+        return staged_device_put(host, placement)
     return jax.device_put(jnp.asarray(host), placement)
 
 

@@ -128,9 +128,11 @@ class ReplicaEngine(RetrievalEngine):
 
     def shutdown(self) -> None:
         """Release the fan-out worker threads (KB/AsyncKB ``close()``
-        call this).  A search racing the shutdown degrades to running
-        its slices inline (see :meth:`_run`); the next
-        :meth:`ensure_fresh` re-creates the pool if the KB reopens."""
+        call this) and the base engine's background uploader.  A search
+        racing the shutdown degrades to running its slices inline (see
+        :meth:`_run`); the next :meth:`ensure_fresh` re-creates the pool
+        if the KB reopens."""
+        super().shutdown()
         with self._clone_lock:
             pool, self._pool = self._pool, None
         if pool is not None:

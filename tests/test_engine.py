@@ -804,6 +804,72 @@ def test_device_rescore_budget_gate(db_path, unit_rows, monkeypatch):
     db.close()
 
 
+def test_mirror_uploads_in_background_above_sync_threshold(
+    db_path, unit_rows, monkeypatch
+):
+    """Mirrors past _MIRROR_SYNC_MAX_BYTES must not block ensure_fresh
+    (the 6 GB cold-start case): the first query runs on the host rescore
+    fallback with exact results, and once the background uploader
+    publishes, the device path returns the same candidates."""
+    import svs_tpu.engine.index as index_mod
+
+    monkeypatch.setattr(index_mod, "_MIRROR_SYNC_MAX_BYTES", 0)
+    m = unit_rows(300, 24)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    corpus = eng.ensure_fresh(db)
+    q = unit_rows(3, 24)
+    # the mirror may already have landed (tiny upload) — but ensure_fresh
+    # itself must have returned without one attached synchronously, which
+    # we can only observe via the thread having been spawned at all
+    assert eng._mirror_thread is not None
+    vals_early, rows_early, _ = eng.topk_with_rescore(corpus, q, 40)
+    eng._mirror_thread.join(timeout=30)
+    assert not eng._mirror_thread.is_alive()
+    assert corpus.dev_rescore is not None  # published by the uploader
+    vals_late, rows_late, exact = eng.topk_with_rescore(corpus, q, 40)
+    np.testing.assert_array_equal(rows_early, rows_late)
+    assert exact is not None
+    db.close()
+
+
+def test_mirror_chunked_upload_matches_whole(db_path, unit_rows, monkeypatch):
+    """The staged-copy uploader (multiple dynamic_update_slice chunks,
+    including a ragged tail) must produce a bit-identical mirror."""
+    import svs_tpu.engine.index as index_mod
+
+    m = unit_rows(300, 24)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    corpus = eng.ensure_fresh(db)
+    cache_f32, _ = corpus.host_cache
+    # 300 rows x 24 f32 = 96 B/row; 7 rows/chunk -> 43 chunks + tail
+    monkeypatch.setattr(index_mod, "_MIRROR_CHUNK_BYTES", 7 * 24 * 4)
+    staged = np.asarray(eng._upload_f32_mirror(cache_f32))
+    np.testing.assert_array_equal(staged, np.asarray(cache_f32))
+    db.close()
+
+
+def test_mirror_background_publish_skips_superseded_corpus(
+    db_path, unit_rows
+):
+    """A mirror built for a pack that was replaced mid-upload must be
+    discarded, never attached to the stale corpus object."""
+    m = unit_rows(64, 16)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    corpus = eng.ensure_fresh(db)
+    cache_f32, row_map = corpus.host_cache
+    object.__setattr__(corpus, "dev_rescore", None)
+    object.__setattr__(corpus, "dev_emb", None)
+    eng.invalidate()  # corpus is no longer current
+    eng._upload_and_publish_mirror(
+        corpus, cache_f32, row_map, check_current=True
+    )
+    assert corpus.dev_rescore is None and corpus.dev_emb is None
+    db.close()
+
+
 def test_device_rescore_f32_reuses_pack(db_path, unit_rows):
     """f32 corpora rescore by default (the rescore stage owns the tie
     rule), and their device gather source is the PACK ITSELF — no second
