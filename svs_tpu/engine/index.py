@@ -29,7 +29,7 @@ import logging
 import threading
 import time
 from pathlib import Path
-from typing import Dict, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -92,14 +92,14 @@ class _MirrorUploadAborted(Exception):
     it to stop mid-transfer."""
 
 
-def _marks_inflight(fn):  # type: ignore[no-untyped-def]
+def _marks_inflight(fn: Callable[..., Any]) -> Callable[..., Any]:
     """Bracket a device-touching engine method with the in-flight count
     and last-arrival timestamp the background mirror uploader yields to —
     queries (including their multi-second first compiles) always win the
     device link over the opportunistic mirror transfer."""
 
     @functools.wraps(fn)
-    def wrapper(self, *args, **kwargs):  # type: ignore[no-untyped-def]
+    def wrapper(self: Any, *args: Any, **kwargs: Any) -> Any:
         self._last_query_t = time.monotonic()
         with self._inflight_lock:
             self._inflight += 1
@@ -1302,6 +1302,24 @@ class RetrievalEngine:
             chunk_bytes=_MIRROR_CHUNK_BYTES,
             throttle=self._mirror_throttle if background else None,
         )
+
+    @property
+    def mirror_uploading(self) -> bool:
+        """True while a background f32 mirror upload is in flight —
+        queries still answer exactly (host rescore fallback) but contend
+        with the transfer; ``serve`` surfaces this as ``warming``."""
+        t = self._mirror_thread
+        return t is not None and t.is_alive()
+
+    def wait_for_mirror(self, timeout: Optional[float] = None) -> bool:
+        """Block until any background mirror upload finishes (benchmarks
+        and tests that want steady-state behavior).  Returns False if a
+        timeout elapsed first."""
+        t = self._mirror_thread
+        if t is not None:
+            t.join(timeout)
+            return not t.is_alive()
+        return True
 
     def _mirror_throttle(self) -> None:
         """Called between background-upload chunks: wait until no query

@@ -123,7 +123,7 @@ def staged_device_put(
 _ROW_WRITER = None
 
 
-def _row_writer_donated():
+def _row_writer_donated() -> "Callable[[jax.Array, jax.Array, jax.Array], jax.Array]":
     """Jitted in-place row write (buffer donated), built lazily so module
     import never touches the JAX backend."""
     global _ROW_WRITER

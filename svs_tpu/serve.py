@@ -19,8 +19,9 @@ further only converts overload into timeout storms.
 
 Routes (JSON in/out):
 
-- ``GET  /healthz``   -> ``{"ok": true, "docs": N}`` (doc count cached
-  ~1 s so health probes never add store queries under load)
+- ``GET  /healthz``   -> ``{"ok": true, "docs": N, "warming": bool}``
+  (doc count cached ~1 s so health probes never add store queries under
+  load; ``warming`` is true while the background f32-mirror upload runs)
 - ``GET  /stats``     -> KB phase timings + server batching counters
 - ``POST /retrieve``  -> ``{"query": str | "queries": [str], "n": int,
   "meta_filter"?: {key: value}}`` -> one result list per query; each hit
@@ -361,7 +362,17 @@ def make_app(
             async with kb.bulk_query_docs() as q:
                 docs = await q.count()
             health_cache[:] = [(docs, now + HEALTH_CACHE_S)]
-        return web.json_response({"ok": True, "docs": docs})
+        return web.json_response(
+            {
+                "ok": True,
+                "docs": docs,
+                # true while the background f32-mirror upload is still in
+                # flight: results are exact either way, but batched
+                # latency improves once it lands — load balancers can
+                # prefer non-warming replicas.
+                "warming": kb.engine.mirror_uploading,
+            }
+        )
 
     async def stats(request: "web.Request") -> "web.Response":
         return web.json_response(

@@ -94,6 +94,26 @@ END;
     for op in ("INSERT", "UPDATE", "DELETE")
 )
 
+# Trigger-maintained embeddings row count: COUNT(*) walks the table
+# b-tree (~30-80 s on an uncached 8 GB store at 1M rows), which sat on
+# every cold open's fingerprint.  Like the generation counter, the
+# triggers live in the FILE, so any writer — including the reference
+# package — keeps the count exact.  UPDATE-only bodies on purpose: a
+# missing key stays missing (readers fall back to COUNT(*)) until
+# ``Database.__init__`` initializes it under BEGIN IMMEDIATE, so the
+# counter can never start from a mid-stream zero.
+_EMB_COUNT_KEY = "svs_tpu_emb_count"
+_COUNT_DDL = f"""
+CREATE TRIGGER IF NOT EXISTS svs_tpu_emb_cnt_insert AFTER INSERT ON embeddings
+BEGIN
+    UPDATE keyval SET val = val + 1 WHERE key = '{_EMB_COUNT_KEY}';
+END;
+CREATE TRIGGER IF NOT EXISTS svs_tpu_emb_cnt_delete AFTER DELETE ON embeddings
+BEGIN
+    UPDATE keyval SET val = val - 1 WHERE key = '{_EMB_COUNT_KEY}';
+END;
+"""
+
 # STRICT tables require SQLite >= 3.37; older builds get the plain flavor.
 SQLITE_IS_STRICT = sqlite3.sqlite_version_info >= (3, 37, 0)
 if not SQLITE_IS_STRICT:  # pragma: no cover - depends on host sqlite
@@ -115,8 +135,9 @@ class Database:
         )
         try:
             try:
-                conn.executescript(_DDL + _GENERATION_DDL)
+                conn.executescript(_DDL + _GENERATION_DDL + _COUNT_DDL)
                 conn.commit()
+                self._init_emb_count(conn)
             except sqlite3.OperationalError as exc:
                 # Read-only media (baked image, ro-mount): a pre-existing
                 # database can still be SERVED — no one can write it, so
@@ -141,6 +162,35 @@ class Database:
             conn.close()
             raise
         self.conn: Optional[sqlite3.Connection] = conn
+
+    @staticmethod
+    def _init_emb_count(conn: sqlite3.Connection) -> None:
+        """Seed the trigger-maintained embeddings count for stores that
+        predate it (reference-created, or written by older versions of
+        this package).  BEGIN IMMEDIATE holds the write lock across the
+        check + COUNT + insert, so a concurrent writer can't slip a row
+        between the count and the commit; once the key exists this is a
+        single O(1) SELECT per open."""
+        row = conn.execute(
+            "SELECT 1 FROM keyval WHERE key = ?;", (_EMB_COUNT_KEY,)
+        ).fetchone()
+        if row is not None:
+            return
+        conn.execute("BEGIN IMMEDIATE;")
+        try:
+            row = conn.execute(
+                "SELECT 1 FROM keyval WHERE key = ?;", (_EMB_COUNT_KEY,)
+            ).fetchone()
+            if row is None:
+                conn.execute(
+                    "INSERT INTO keyval (key, val) "
+                    "VALUES (?, (SELECT COUNT(*) FROM embeddings));",
+                    (_EMB_COUNT_KEY,),
+                )
+            conn.execute("COMMIT;")
+        except BaseException:
+            conn.execute("ROLLBACK;")
+            raise
 
     def transaction(self) -> "Transaction":
         """One atomic unit of work: ``with db.transaction() as tx: ...``.

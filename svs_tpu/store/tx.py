@@ -484,13 +484,24 @@ class Tx:
         don't bump the counter.  The generation term comes from triggers
         that fire on ANY embeddings write (see ``db._GENERATION_DDL``), so
         a foreign DELETE+INSERT that reuses the max rowid — invisible to
-        count/max — still changes the fingerprint.  COUNT(*) walks the
-        table b-tree — O(n); callers gate it behind the O(1)
-        :meth:`data_version` check."""
-        count, max_id = self._conn.execute(
-            "SELECT COUNT(*), COALESCE(MAX(id), 0) FROM embeddings;"
+        count/max — still changes the fingerprint.
+
+        All three terms are O(log n): the count comes from the
+        trigger-maintained ``svs_tpu_emb_count`` key (seeded at open —
+        ``db.Database._init_emb_count``; exact for ANY writer because the
+        triggers live in the file), MAX(id) is a rightmost b-tree seek on
+        the INTEGER PRIMARY KEY, and the generation is a keyval read.
+        The COUNT(*) fallback only runs for read-only opens of stores
+        that never had the key seeded (~30-80 s uncached at 1M rows —
+        the cost this design removes from every cold open)."""
+        row = self._conn.execute(
+            "SELECT val FROM keyval WHERE key = 'svs_tpu_emb_count';"
         ).fetchone()
-        return int(count), int(max_id), self.embeddings_generation()
+        count = int(row[0]) if row is not None else self.count_embeddings()
+        (max_id,) = self._conn.execute(
+            "SELECT COALESCE(MAX(id), 0) FROM embeddings;"
+        ).fetchone()
+        return count, int(max_id), self.embeddings_generation()
 
     def embedding_ids(self) -> np.ndarray:
         """All embedding ids as int64 in id order — the incremental-delete

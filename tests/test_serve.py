@@ -38,7 +38,7 @@ async def test_healthz_and_retrieve_single(db_path):
     try:
         r = await client.get("/healthz")
         assert r.status == 200
-        assert await r.json() == {"ok": True, "docs": 12}
+        assert await r.json() == {"ok": True, "docs": 12, "warming": False}
 
         r = await client.post("/retrieve", json={"query": "vec:3", "n": 2})
         assert r.status == 200

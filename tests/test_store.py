@@ -275,6 +275,72 @@ def test_generation_fires_for_foreign_connections(db_path):
     db.close()
 
 
+def test_emb_count_stays_exact_without_full_scans(db_path):
+    """The trigger-maintained count (what lets the fingerprint skip the
+    O(n) COUNT(*) on every cold open) tracks adds AND deletes exactly,
+    for our own writes and for raw foreign connections."""
+    import sqlite3
+
+    db = Database(db_path)
+    with db.transaction() as tx:
+        for name in ("a", "b", "c", "d"):
+            tx.add_doc(name, None, None, embedding_to_bytes([1.0]))
+        assert tx.embeddings_fingerprint()[0] == 4
+
+    # foreign writer: triggers live in the file, so the count follows
+    foreign = sqlite3.connect(db_path)
+    foreign.execute("UPDATE docs SET embedding = NULL WHERE id = 2;")
+    foreign.execute("DELETE FROM embeddings WHERE id = 2;")
+    foreign.execute(
+        "INSERT INTO embeddings (embedding) VALUES (?);",
+        (embedding_to_bytes([0.5]),),
+    )
+    foreign.commit()
+    foreign.close()
+
+    with db.transaction() as tx:
+        count = tx.embeddings_fingerprint()[0]
+        (true_count,) = tx._conn.execute(
+            "SELECT COUNT(*) FROM embeddings;"
+        ).fetchone()
+    assert count == true_count == 4
+    db.close()
+
+
+def test_emb_count_seeded_for_preexisting_stores(db_path):
+    """Stores that predate the counter (reference-created, or written by
+    an older version of this package) get the key seeded at open with the
+    TRUE row count — and a rolled-back seed transaction can't leave a
+    wrong value behind."""
+    import sqlite3
+
+    db = Database(db_path)
+    with db.transaction() as tx:
+        for name in ("a", "b", "c"):
+            tx.add_doc(name, None, None, embedding_to_bytes([1.0]))
+    db.close()
+
+    # simulate a pre-counter store: drop the key (and the triggers, as a
+    # reference-created file would lack them)
+    raw = sqlite3.connect(db_path)
+    raw.execute("DELETE FROM keyval WHERE key = 'svs_tpu_emb_count';")
+    raw.execute("DROP TRIGGER svs_tpu_emb_cnt_insert;")
+    raw.execute("DROP TRIGGER svs_tpu_emb_cnt_delete;")
+    raw.execute(
+        "INSERT INTO embeddings (embedding) VALUES (?);",
+        (embedding_to_bytes([0.25]),),
+    )
+    raw.commit()
+    raw.close()
+
+    db2 = Database(db_path)  # re-open: triggers re-created, count seeded
+    with db2.transaction() as tx:
+        assert tx.embeddings_fingerprint()[0] == 4
+        tx.add_doc("e", None, None, embedding_to_bytes([1.0]))
+        assert tx.embeddings_fingerprint()[0] == 5
+    db2.close()
+
+
 def test_open_readonly_media_existing_db(tmp_path):
     """A pre-existing database on read-only media must open (the trigger
     DDL is a write, but nothing can write the file anyway)."""
