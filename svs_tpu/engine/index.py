@@ -543,7 +543,8 @@ class RetrievalEngine:
         self._mirror_thread = None
         # The engine can be queried again after close() (the replica pool
         # pattern does this) — a fresh event re-arms future uploads; a
-        # straggler thread still holds the old, permanently-set one.
+        # straggler thread keeps the old, permanently-set one, which it
+        # captured at spawn time (it never re-reads this attribute).
         self._mirror_stop = threading.Event()
 
     # -- freshness ----------------------------------------------------------
@@ -1221,10 +1222,17 @@ class RetrievalEngine:
             if t is not None and t.is_alive():
                 return
 
+            # Capture the CURRENT stop event: shutdown() re-arms the
+            # attribute after its join attempt, so a straggler thread
+            # reading ``self._mirror_stop`` would see the fresh, unset
+            # event and keep uploading past the close.
+            stop = self._mirror_stop
+
             def work() -> None:
                 try:
                     self._upload_and_publish_mirror(
-                        corpus, cache_f32, row_map, check_current=True
+                        corpus, cache_f32, row_map,
+                        check_current=True, stop=stop,
                     )
                 except Exception:
                     log.debug("device mirror upload failed", exc_info=True)
@@ -1241,16 +1249,21 @@ class RetrievalEngine:
         cache_f32: np.ndarray,
         row_map: Optional[np.ndarray],
         check_current: bool = False,
+        stop: Optional[threading.Event] = None,
     ) -> None:
         """Upload the f32 mirror (+ int32 row map) and publish both on
         ``corpus``.  ``check_current`` (the background path) re-reads
         ``self._corpus`` at publish time so a mirror built for a
-        superseded pack is discarded instead of attached."""
+        superseded pack is discarded instead of attached; ``stop`` is the
+        shutdown event captured at spawn time (NOT re-read from the
+        engine, which re-arms the attribute after a timed-out join)."""
         log.info(
             "uploading f32 rescore mirror to device (%.2f GB)",
             cache_f32.nbytes / 1e9,
         )
-        dev = self._upload_f32_mirror(cache_f32, background=check_current)
+        dev = self._upload_f32_mirror(
+            cache_f32, background=check_current, stop=stop
+        )
         dev_map = (
             jax.device_put(row_map.astype(np.int32), self.device)
             if row_map is not None
@@ -1285,7 +1298,10 @@ class RetrievalEngine:
         object.__setattr__(corpus, "dev_rescore", (dev, dev_map))
 
     def _upload_f32_mirror(
-        self, cache_f32: np.ndarray, background: bool = False
+        self,
+        cache_f32: np.ndarray,
+        background: bool = False,
+        stop: Optional[threading.Event] = None,
     ) -> jax.Array:
         """Stage the f32 cache onto the device in chunks — see
         :func:`packing.staged_device_put` for why a direct ``device_put``
@@ -1296,11 +1312,15 @@ class RetrievalEngine:
 
         if cache_f32.dtype != np.float32:  # defensive; caches are f32
             cache_f32 = np.asarray(cache_f32, dtype=np.float32)
+        throttle = None
+        if background:
+            ev = stop if stop is not None else self._mirror_stop
+            throttle = functools.partial(self._mirror_throttle, ev)
         return staged_device_put(
             cache_f32,
             self.device,
             chunk_bytes=_MIRROR_CHUNK_BYTES,
-            throttle=self._mirror_throttle if background else None,
+            throttle=throttle,
         )
 
     @property
@@ -1321,16 +1341,16 @@ class RetrievalEngine:
             return not t.is_alive()
         return True
 
-    def _mirror_throttle(self) -> None:
+    def _mirror_throttle(self, stop: threading.Event) -> None:
         """Called between background-upload chunks: wait until no query
         is in flight AND arrivals have a 250 ms quiet gap, so the upload
         never starves live traffic on a slow device link — but never
         defer a single chunk past 60 s (progress guarantee under
-        sustained load).  Aborts when shutdown() is stopping the
-        engine."""
+        sustained load).  Aborts when ``stop`` (the shutdown event
+        captured when this upload was spawned) is set."""
         deadline = time.monotonic() + 60.0
         while True:
-            if self._mirror_stop.is_set():
+            if stop.is_set():
                 raise _MirrorUploadAborted()
             if time.monotonic() >= deadline:
                 return

@@ -870,6 +870,42 @@ def test_mirror_background_publish_skips_superseded_corpus(
     db.close()
 
 
+def test_mirror_straggler_honors_spawn_time_stop_event(
+    db_path, unit_rows, monkeypatch
+):
+    """shutdown() re-arms _mirror_stop with a fresh Event after its join
+    attempt; an upload thread that outlives the join must still abort on
+    the OLD event it captured at spawn time — if it re-read the engine
+    attribute it would see the new, unset event and keep uploading past
+    the close."""
+    import threading
+
+    import svs_tpu.engine.index as index_mod
+
+    monkeypatch.setattr(index_mod, "_MIRROR_SYNC_MAX_BYTES", 0)
+    # Force many chunks so the throttle runs between them.
+    monkeypatch.setattr(index_mod, "_MIRROR_CHUNK_BYTES", 7 * 24 * 4)
+    m = unit_rows(300, 24)
+    db = _fill(db_path, m)
+    eng = RetrievalEngine(precision="bf16")
+    # Hold the throttle open: pretend a query is always in flight so the
+    # uploader parks in _mirror_throttle instead of finishing instantly.
+    eng._inflight = 1
+    corpus = eng.ensure_fresh(db)
+    t = eng._mirror_thread
+    assert t is not None and t.is_alive()
+    old_stop = eng._mirror_stop
+    # Simulate the post-timeout re-arm WITHOUT waiting out the 30 s join:
+    # swap in a fresh event first, then set the old one.
+    eng._mirror_stop = threading.Event()
+    old_stop.set()
+    t.join(timeout=10)
+    assert not t.is_alive()  # aborted on the captured event
+    assert corpus.dev_rescore is None  # nothing published after abort
+    eng._inflight = 0
+    db.close()
+
+
 def test_device_rescore_f32_reuses_pack(db_path, unit_rows):
     """f32 corpora rescore by default (the rescore stage owns the tie
     rule), and their device gather source is the PACK ITSELF — no second
