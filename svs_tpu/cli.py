@@ -5,6 +5,7 @@ Commands:
     pack   <db>             - pre-pack the corpus and write the sidecar
     query  <db> <text>      - retrieve top-n documents for a query
     pairs  <db>             - top pairwise-similar documents
+    selfcheck <db>          - integrity audit incl. device-vs-oracle parity
     gzip   <db>             - publish the shareable .gz artifact
     serve  <db>             - HTTP server with request micro-batching
     bench  [...]            - run the benchmark harness (see bench.py)
@@ -152,6 +153,24 @@ def cmd_reembed(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_selfcheck(args: argparse.Namespace) -> int:
+    from .tools import selfcheck
+
+    try:
+        report = selfcheck(
+            args.db,
+            queries=args.queries,
+            n=args.n,
+            precision=args.precision,
+            seed=args.seed,
+        )
+    except FileNotFoundError:
+        print(f"error: no such database: {args.db}", file=sys.stderr)
+        return 1
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
 def cmd_gzip(args: argparse.Namespace) -> int:
     kb = _open_kb(args)
     # the artifact lands next to the RESOLVED local file (a .gz or URL
@@ -251,6 +270,22 @@ def main(argv: Optional[list] = None) -> int:
         help='JSON, e.g. \'{"provider": "ollama", "model": "nomic-embed-text"}\'',
     )
     p.set_defaults(fn=cmd_reembed)
+
+    p = sub.add_parser(
+        "selfcheck",
+        help="integrity audit: store invariants, embedding integrity, "
+        "sidecar freshness, device-vs-oracle retrieval parity",
+    )
+    p.add_argument("db")
+    p.add_argument("-q", "--queries", type=int, default=8,
+                   help="stored vectors replayed through the full "
+                   "retrieval pipeline for the parity check")
+    p.add_argument("-n", type=int, default=10,
+                   help="top-n compared per replayed query")
+    p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
+                   default="bf16")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_selfcheck)
 
     p = sub.add_parser("gzip", help="publish the .gz artifact")
     p.add_argument("db")

@@ -127,3 +127,153 @@ def test_reembed_faithful_with_mixed_edges(tmp_path):
             rows = [(w, d) for _, _, _, w, d in tx.iter_edges()]
         db.close()
         assert rows == [(0.5, False), (2.0, True)], (path, rows)
+
+
+# -- selfcheck --------------------------------------------------------------
+
+
+def _build_kb(tmp_path, n_docs=30, dim=16):
+    path = tmp_path / "check.sqlite"
+    kb = KB(path, make_angle_embedder())
+    with kb.bulk_add_docs() as add:
+        root = add("angle:0", meta={"kind": "root"})
+        for i in range(1, n_docs):
+            add(f"angle:{i * 7 % 360}", parent_id=root if i % 3 else None)
+    kb.close()
+    return path
+
+
+def test_selfcheck_clean_kb_passes(tmp_path):
+    from svs_tpu.tools import selfcheck
+
+    path = _build_kb(tmp_path)
+    report = selfcheck(path, queries=4, n=5)
+    assert report["ok"], report
+    names = set(report["checks"])
+    assert names == {
+        "sqlite", "schema", "counts", "levels", "embeddings",
+        "sidecar", "retrieval",
+    }
+    assert report["checks"]["retrieval"]["mismatches"] == []
+
+
+def test_selfcheck_catches_orphan_embedding(tmp_path):
+    import sqlite3
+
+    from svs_tpu.store.blob import embedding_to_bytes
+    from svs_tpu.tools import selfcheck
+
+    path = _build_kb(tmp_path)
+    conn = sqlite3.connect(path)
+    conn.execute(
+        "INSERT INTO embeddings (embedding) VALUES (?);",
+        (embedding_to_bytes([1.0, 0.0]),),
+    )
+    conn.commit()
+    conn.close()
+    report = selfcheck(path, queries=2, n=3)
+    assert not report["ok"]
+    assert not report["checks"]["counts"]["ok"]
+    assert report["checks"]["counts"]["orphan_embeddings"] == 1
+
+
+def test_selfcheck_catches_level_and_magnitude_corruption(tmp_path):
+    import sqlite3
+
+    from svs_tpu.store.blob import embedding_to_bytes
+    from svs_tpu.tools import selfcheck
+
+    path = _build_kb(tmp_path)
+    conn = sqlite3.connect(path)
+    conn.execute("UPDATE docs SET level = 5 WHERE parent_id IS NULL;")
+    # non-unit blob (double a stored vector)
+    conn.execute(
+        "UPDATE embeddings SET embedding = ? WHERE id = 1;",
+        (embedding_to_bytes([2.0, 0.0]),),
+    )
+    conn.commit()
+    conn.close()
+    report = selfcheck(path, queries=0)
+    assert not report["ok"]
+    assert not report["checks"]["levels"]["ok"]
+    assert report["checks"]["levels"]["bad_roots"] > 0
+    assert not report["checks"]["embeddings"]["ok"]
+    assert report["checks"]["embeddings"]["max_magnitude_deviation"] > 0.5
+
+
+def test_selfcheck_catches_dangling_refs_and_bad_maintained_count(tmp_path):
+    import sqlite3
+
+    from svs_tpu.tools import selfcheck
+
+    path = _build_kb(tmp_path)
+    conn = sqlite3.connect(path)
+    # break the trigger-maintained count, then dangle a doc->embedding ref
+    # (drop the triggers first so the count stays broken)
+    conn.execute("DROP TRIGGER svs_tpu_emb_cnt_insert;")
+    conn.execute("DROP TRIGGER svs_tpu_emb_cnt_delete;")
+    conn.execute(
+        "UPDATE keyval SET val = val + 7 WHERE key = 'svs_tpu_emb_count';"
+    )
+    conn.execute(
+        "UPDATE docs SET embedding = 999999 WHERE id = "
+        "(SELECT MAX(id) FROM docs WHERE embedding IS NOT NULL);"
+    )
+    conn.commit()
+    conn.close()
+    report = selfcheck(path, queries=0)
+    assert not report["ok"]
+    assert not report["checks"]["sqlite"]["ok"]
+    assert report["checks"]["sqlite"]["dangling_embedding_refs"] == 1
+    assert not report["checks"]["counts"]["ok"]
+
+
+def test_selfcheck_sidecar_states(tmp_path):
+    import sqlite3
+
+    from svs_tpu.store.blob import embedding_to_bytes
+    from svs_tpu.tools import selfcheck
+
+    path = _build_kb(tmp_path)
+    report = selfcheck(path, queries=0)
+    assert report["checks"]["sidecar"]["status"] == "absent"
+
+    kb = KB(path, make_angle_embedder(), sidecar=True)
+    kb.load()
+    kb.close()
+    report = selfcheck(path, queries=0)
+    assert report["checks"]["sidecar"]["status"] == "fresh"
+
+    # foreign write -> fingerprint moves on -> sidecar reported stale
+    conn = sqlite3.connect(path)
+    conn.execute(
+        "INSERT INTO embeddings (embedding) VALUES (?);",
+        (embedding_to_bytes([1.0, 0.0]),),
+    )
+    conn.execute(
+        "INSERT INTO docs (parent_id, level, text, embedding, meta) "
+        "VALUES (NULL, 0, 'foreign', last_insert_rowid(), NULL);"
+    )
+    conn.commit()
+    conn.close()
+    report = selfcheck(path, queries=0)
+    assert report["checks"]["sidecar"]["status"] == "stale"
+    assert report["checks"]["sidecar"]["ok"]  # stale is not a failure
+    assert report["ok"]
+
+
+def test_selfcheck_cli_exit_codes(tmp_path, capsys):
+    import json
+    import sqlite3
+
+    path = _build_kb(tmp_path)
+    assert main(["selfcheck", str(path), "-q", "2", "-n", "3"]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["ok"]
+
+    conn = sqlite3.connect(path)
+    conn.execute("UPDATE docs SET level = 9 WHERE parent_id IS NULL;")
+    conn.commit()
+    conn.close()
+    assert main(["selfcheck", str(path), "-q", "0"]) == 1
+    assert main(["selfcheck", str(tmp_path / "missing.sqlite")]) == 1
