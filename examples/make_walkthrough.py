@@ -196,6 +196,25 @@ for p in sorted(Path(".").glob("walkthrough.sqlite*")):
 """
     ),
     md(
+        "## Audit before shipping\n"
+        "`svs-tpu selfcheck` (library form below) verifies the artifact "
+        "end-to-end: store invariants, embedding integrity, sidecar "
+        "freshness, and — the part no SQL query can check — that the "
+        "device engine returns exactly what an exact NumPy scan of the "
+        "store says it should."
+    ),
+    code(
+        """
+from svs_tpu.tools import selfcheck
+
+report = selfcheck("walkthrough.sqlite", queries=4, n=5)
+print("ok:", report["ok"])
+for name, c in report["checks"].items():
+    detail = {k: v for k, v in c.items() if k not in ("ok", "path")}
+    print(f"  {name:10} {'PASS' if c['ok'] else 'FAIL'}  {detail}")
+"""
+    ),
+    md(
         "## Consume from a URL\n"
         "Anyone can now open the published KB straight from HTTP — the "
         "download is cached content-addressed, the sidecar sibling is "

@@ -164,7 +164,20 @@ def selfcheck(
     from .utils import resolve_to_local_uncompressed_file
     from .utils.topk_np import top_k_numpy
 
-    local = asyncio.run(resolve_to_local_uncompressed_file(str(path)))
+    try:
+        asyncio.get_running_loop()
+    except RuntimeError:
+        local = asyncio.run(resolve_to_local_uncompressed_file(str(path)))
+    else:
+        # called from inside a running loop (notebook kernels): resolve on
+        # a scratch loop thread, same pattern as the sync KB facade
+        from .utils.aio import EventLoopThread
+
+        lt = EventLoopThread("svs-tpu-selfcheck")
+        try:
+            local = lt.run(resolve_to_local_uncompressed_file(str(path)))
+        finally:
+            lt.stop()
     if not Path(local).exists():
         raise FileNotFoundError(local)
 
@@ -303,7 +316,19 @@ def selfcheck(
         k_wide = min(n_rows, k + 256)
         TIE = 2e-5
 
-        kb = KB(local, replay, precision=precision)
+        # The replay embedder is deliberately ephemeral; the handshake's
+        # "cannot store this function" warning is expected noise here and
+        # would pollute every audit log — drop exactly that one record.
+        kb_log = logging.getLogger("svs_tpu.kb")
+        flt = logging.Filter()
+        flt.filter = (  # type: ignore[method-assign]
+            lambda rec: "Cannot store" not in rec.getMessage()
+        )
+        kb_log.addFilter(flt)
+        try:
+            kb = KB(local, replay, precision=precision)
+        finally:
+            kb_log.removeFilter(flt)
         try:
             if n_rows <= 1_000_000:
                 doc_of_emb = {}
