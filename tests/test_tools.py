@@ -143,11 +143,12 @@ def _build_kb(tmp_path, n_docs=30, dim=16):
     return path
 
 
-def test_selfcheck_clean_kb_passes(tmp_path):
+@pytest.mark.parametrize("precision", ["bf16", "int8", "f32"])
+def test_selfcheck_clean_kb_passes(tmp_path, precision):
     from svs_tpu.tools import selfcheck
 
     path = _build_kb(tmp_path)
-    report = selfcheck(path, queries=4, n=5)
+    report = selfcheck(path, queries=4, n=5, precision=precision)
     assert report["ok"], report
     names = set(report["checks"])
     assert names == {
