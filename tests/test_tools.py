@@ -229,6 +229,58 @@ def test_selfcheck_catches_dangling_refs_and_bad_maintained_count(tmp_path):
     assert not report["checks"]["counts"]["ok"]
 
 
+def test_selfcheck_fails_when_retrieval_pipeline_crashes(tmp_path, monkeypatch):
+    """A retrieve_batch crash must surface as ok=False — the except
+    branch's error record must not be overwritten by the (vacuous,
+    zero-comparison) parity record afterwards."""
+    from svs_tpu import kb as kb_mod
+    from svs_tpu.tools import selfcheck
+
+    path = _build_kb(tmp_path)
+
+    def boom(self, queries, n=10, **kw):
+        raise RuntimeError("hydration failed on corrupt row")
+
+    monkeypatch.setattr(kb_mod.KB, "retrieve_batch", boom)
+    report = selfcheck(path, queries=2, n=3)
+    assert not report["ok"], report
+    retrieval = report["checks"]["retrieval"]
+    assert not retrieval["ok"]
+    assert "hydration failed" in retrieval["error"]
+
+
+def test_selfcheck_tie_cluster_reorder_is_not_a_mismatch(tmp_path):
+    """Two docs whose scores differ by (1e-5, TIE] form one tie cluster;
+    returning them in either order must pass the audit (the positional
+    score check uses the cluster range, not a strict 1e-5)."""
+    import math
+
+    from svs_tpu.tools import selfcheck
+
+    # Embedder with two nearly-tied directions: angle 0 and a tiny angle
+    # eps such that cos(0)=1 vs cos(eps)≈1-1.5e-5 — inside the TIE=2e-5
+    # cluster but outside the strict 1e-5 tolerance relative to each
+    # other when reordered.
+    eps = math.acos(1 - 1.5e-5)
+
+    async def embed(batch):
+        out = []
+        for t in batch:
+            a = eps if t.endswith("b") else 0.0
+            out.append([math.cos(a), math.sin(a)])
+        return out
+
+    path = tmp_path / "ties.sqlite"
+    kb = KB(path, embed)
+    with kb.bulk_add_docs() as add:
+        add("doc a")
+        add("doc b")
+        add("doc a2")
+    kb.close()
+    report = selfcheck(path, queries=3, n=3)
+    assert report["ok"], report["checks"]["retrieval"]
+
+
 def test_selfcheck_sidecar_states(tmp_path):
     import sqlite3
 
