@@ -8,6 +8,12 @@ JAX device and prints ONE JSON line to stdout:
 number on the same configuration (0.24 s at 1M x 1536,
 ``/root/reference/README.md:129``); >1 means faster than the reference.
 
+The default ``--precision auto`` measures the engine's actual default
+dispatch: int8 prescore kernels under the verified exact f32 rescore.
+On the headline preset it additionally records a bf16 batched row (the
+same data the engine's ``precision='bf16'`` mode runs) so both headline
+kernels are captured in one run.
+
 Reported timings (details on stderr):
 
 - ``e2e``: dispatch -> host fetch — what a client over a tunneled link
@@ -22,11 +28,20 @@ Reported timings (details on stderr):
   f32.  Single-query sub-millisecond latency at this size is physically
   impossible on one chip; batching amortizes the corpus read.
 
+Resilience contract (the driver parses stdout): this script ALWAYS emits
+one JSON line.  Corpus materialization is chunked into preallocated
+donated buffers (peak HBM = corpus + ~200 MB, not a 6 GB f32
+intermediate); on RESOURCE_EXHAUSTED it drops buffers, clears jit
+caches, backs off and retries; if the headline shape still will not fit
+it degrades the corpus size and marks the result ``"degraded": true``;
+any other error produces a parsed error line, and a watchdog converts a
+wedged device link into a parsed timeout line.
+
 Timing is fetch-based (``np.asarray``) — on tunneled setups
 ``block_until_ready`` can return before execution completes.
 
 Usage:
-    python bench.py                  # headline: 1M x 1536 bf16 top-100
+    python bench.py                  # headline: 1M x 1536, engine default
     python bench.py --preset smoke   # tiny CPU-safe sanity run
     python bench.py --batch 256      # batched-throughput variant
 """
@@ -34,6 +49,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
+import gc
 import json
 import sys
 import time
@@ -92,6 +109,12 @@ PRESETS = {
     "smoke": (10_000, 256, 10, None),
 }
 
+# If the headline corpus will not fit (shared chip, other tenants
+# holding HBM), shrink rather than die.  The reference's warm query is a
+# linear exact scan, so its latency scales ~linearly with corpus size —
+# the scaled ref numbers keep vs_baseline fair and are marked as scaled.
+HEADLINE_DEGRADE_CHAIN = [1_000_000, 500_000, 250_000, 100_000]
+
 # v5e per-chip peaks (public spec); other devices report utilization as
 # n/a rather than guessing.
 V5E_BF16_FLOPS = 197e12
@@ -109,10 +132,11 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--preset", choices=PRESETS, default="headline")
     parser.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
-                        default="bf16",
+                        default="auto",
                         help="'auto' = the engine's default dispatch: int8 "
                         "prescore kernels (device phases) + the verified "
-                        "exact f32 rescore (full-stack phase)")
+                        "exact f32 rescore (full-stack phase); on the "
+                        "headline preset a bf16 batched row is also recorded")
     parser.add_argument("--batch", type=int, default=1,
                         help="queries per retrieval step")
     parser.add_argument(
@@ -167,7 +191,6 @@ def main() -> None:
         score_topk_fused_packed,
     )
     from svs_tpu.ops.quant import (
-        quantize_rows_int8,
         score_topk_int8_extract_packed,
         score_topk_int8_packed,
     )
@@ -178,404 +201,613 @@ def main() -> None:
         unpack_vals_idx,
     )
 
-    n, dim, k_default, ref_s = PRESETS[args.preset]
+    preset_n, dim, k_default, _preset_ref = PRESETS[args.preset]
     k = args.k or k_default
     dev = jax.devices()[0]
     on_cpu = jax.default_backend() == "cpu"
+    is_v5e = "v5" in str(dev).lower()
 
     # 'auto' is the engine's default dispatch: int8 prescore storage under
     # the verified exact f32 rescore (see RetrievalEngine).  Device phases
     # here measure the int8 prescore kernels; the full-stack phase passes
     # 'auto' through to the real KB, which includes the rescore chain.
     precision_label = args.precision
-    if args.precision == "auto":
-        args.precision = "int8"
+    device_precision = "int8" if args.precision == "auto" else args.precision
 
-    # Padding mirrors the engine: block-aligned when the extraction kernel
-    # is in play, 256 otherwise.
-    use_extract = args.kernel in ("auto", "extract")
-    row_multiple = BLOCK_N if (use_extract and n >= BLOCK_N) else 256
-    n_pad = ((n + row_multiple - 1) // row_multiple) * row_multiple
-    if use_extract and not extract_supported(n_pad, args.batch, k):
-        use_extract = False
-        log("extraction unsupported for this shape; falling back to topk")
-    kernel_name = "extract" if use_extract else (
-        args.kernel if args.kernel in ("topk", "fast") else "topk"
-    )
-    log(f"device: {dev} | corpus {n}x{dim} {args.precision} (padded {n_pad})"
-        f" | top-{k} | batch {args.batch} | kernel {kernel_name}")
-
-    t0 = time.perf_counter()
-
-    def synth(_):
-        # Hash-style pseudo-random rows (decorrelated: a plain sin over the
-        # row index produces lockstep near-duplicate rows, which is both
-        # unrealistic and adversarial for tile-sparse selection).
-        r = jax.lax.broadcasted_iota(jnp.float32, (n_pad, dim), 0)
-        c = jax.lax.broadcasted_iota(jnp.float32, (n_pad, dim), 1)
-        x = jnp.sin(r * 12.9898 + c * 78.233) * 43758.5453
-        x = x - jnp.floor(x) - 0.5
-        x = x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
-        dtype = jnp.bfloat16 if args.precision != "f32" else jnp.float32
-        return x.astype(dtype)
-
-    # The first materialization of the corpus moves GBs through the dev
-    # tunnel over several minutes — long enough to hit transient tunnel
-    # errors (observed: FAILED_PRECONDITION mid-fetch).  Retry with a
-    # fresh buffer; a failed fetch can leave the old one poisoned.
-    docs = row_scales = None
-    for attempt in range(3):
-        try:
-            docs = jax.jit(synth)(attempt)
-            row_scales = None
-            if args.precision == "int8":
-                docs, row_scales = jax.jit(quantize_rows_int8)(docs)
-            _ = np.asarray(docs[0, :1])  # force materialization
-            break
-        except Exception as exc:
-            if attempt == 2:
-                raise
-            log(f"corpus materialization failed ({exc}); retrying")
-    corpus_bytes = docs.size * docs.dtype.itemsize
-    log(f"corpus generation+pack: {time.perf_counter() - t0:.2f}s "
-        f"({corpus_bytes / 1e9:.2f} GB on device)")
-
-    n_valid = jnp.int32(n)
-    is_v5e = "v5" in str(dev).lower()
-
-    def measure(batch: int, iters: int) -> dict:
-        """One full measurement (compile, e2e p50/p99, isolated device
-        time, utilization) at the given batch size over the shared
-        on-device corpus."""
-        phase_extract = args.kernel in ("auto", "extract") and (
-            extract_supported(n_pad, batch, k)
-        )
-        phase_v2 = phase_extract and fused2_supported(n_pad, dim, batch, k)
-        # v3 (guarded) wins for batched selection (b >= GUARD_MIN_BATCH,
-        # benchmarks/tpu_v3_prod.py); its fused3_supported floor keeps
-        # solo queries on v2
-        phase_v3 = phase_extract and fused3_supported(n_pad, dim, batch, k)
-        phase_kernel = (
-            "extract3" if phase_v3 else ("extract2" if phase_v2 else "extract")
-        ) if phase_extract else (
+    def run_sized(n: int, ref_s, degraded: bool) -> dict:
+        """One full bench at corpus size ``n``; raises on unrecoverable
+        device errors (the degrade chain in the caller handles those)."""
+        # Padding mirrors the engine: block-aligned when the extraction
+        # kernel is in play, 256 otherwise.
+        use_extract = args.kernel in ("auto", "extract")
+        row_multiple = BLOCK_N if (use_extract and n >= BLOCK_N) else 256
+        n_pad = ((n + row_multiple - 1) // row_multiple) * row_multiple
+        if use_extract and not extract_supported(n_pad, args.batch, k):
+            use_extract = False
+            log("extraction unsupported for this shape; falling back to topk")
+        kernel_name = "extract" if use_extract else (
             args.kernel if args.kernel in ("topk", "fast") else "topk"
         )
-        # unit-norm queries: scores are genuine cosines in [-1, 1], the
-        # domain the engine guarantees (magnitude guard at insert+query)
-        def unit_q(i):
-            v = jax.random.normal(
-                jax.random.PRNGKey(100 + i), (batch, dim), dtype=jnp.float32
+        log(f"device: {dev} | corpus {n}x{dim} {precision_label} "
+            f"(padded {n_pad}) | top-{k} | batch {args.batch} "
+            f"| kernel {kernel_name}" + (" | DEGRADED" if degraded else ""))
+
+        n_valid = jnp.int32(n)
+
+        # ---- corpus materialization (chunked, OOM-resilient) ----
+
+        def _pick_chunk(n_rows: int, multiple: int,
+                        target: int = 65536) -> int:
+            """Largest power-of-two multiple of ``multiple`` that divides
+            ``n_rows`` and stays <= ``target`` rows (so the f32 synth
+            intermediate is ~200 MB, not ~6 GB)."""
+            best = multiple
+            m = multiple
+            while m <= target:
+                if n_rows % m == 0:
+                    best = m
+                m *= 2
+            return best
+
+        chunk = _pick_chunk(n_pad, row_multiple)
+
+        def _synth_chunk(start):
+            # Hash-style pseudo-random rows (decorrelated: a plain sin
+            # over the row index produces lockstep near-duplicate rows —
+            # unrealistic and adversarial for tile-sparse selection).
+            # ``start`` is a traced scalar: every chunk shares one
+            # compiled program.
+            r = jax.lax.broadcasted_iota(jnp.float32, (chunk, dim), 0)
+            r = r + start.astype(jnp.float32)
+            c = jax.lax.broadcasted_iota(jnp.float32, (chunk, dim), 1)
+            x = jnp.sin(r * 12.9898 + c * 78.233) * 43758.5453
+            x = x - jnp.floor(x) - 0.5
+            return x / jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+
+        def _quant_chunk(x):
+            absmax = jnp.max(jnp.abs(x), axis=1)
+            scales = jnp.maximum(absmax, 1e-12) / 127.0
+            q = jnp.clip(
+                jnp.round(x / scales[:, None]), -127, 127
+            ).astype(jnp.int8)
+            return q, scales
+
+        def materialize(precision: str):
+            """Build the on-device corpus chunk-by-chunk into
+            preallocated buffers (donated each step, so peak HBM =
+            final corpus + one ~200 MB chunk — the round-3 bench OOM'd
+            because it materialized a full [n_pad, dim] f32
+            intermediate, ~6.2 GB, on a shared 16 GB chip)."""
+            if precision == "int8":
+                @functools.partial(jax.jit, donate_argnums=(0, 1))
+                def fill_q(qbuf, sbuf, start):
+                    q, s = _quant_chunk(_synth_chunk(start))
+                    return (
+                        jax.lax.dynamic_update_slice(qbuf, q, (start, 0)),
+                        jax.lax.dynamic_update_slice(sbuf, s, (start,)),
+                    )
+
+                qbuf = jnp.zeros((n_pad, dim), jnp.int8)
+                sbuf = jnp.zeros((n_pad,), jnp.float32)
+                for s in range(0, n_pad, chunk):
+                    qbuf, sbuf = fill_q(qbuf, sbuf, jnp.int32(s))
+                _ = np.asarray(qbuf[0, :1])  # force materialization
+                return qbuf, sbuf
+
+            dtype = jnp.bfloat16 if precision != "f32" else jnp.float32
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def fill(buf, start):
+                x = _synth_chunk(start).astype(dtype)
+                return jax.lax.dynamic_update_slice(buf, x, (start, 0))
+
+            buf = jnp.zeros((n_pad, dim), dtype)
+            for s in range(0, n_pad, chunk):
+                buf = fill(buf, jnp.int32(s))
+            _ = np.asarray(buf[0, :1])
+            return buf, None
+
+        def quantize_from(docs_any):
+            """Chunked bf16 -> int8 requantization of an existing
+            on-device corpus (reads slices; never materializes a full
+            f32 copy)."""
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def fill_q(src, qbuf, sbuf, start):
+                x = jax.lax.dynamic_slice(
+                    src, (start, 0), (chunk, dim)
+                ).astype(jnp.float32)
+                q, s = _quant_chunk(x)
+                return (
+                    jax.lax.dynamic_update_slice(qbuf, q, (start, 0)),
+                    jax.lax.dynamic_update_slice(sbuf, s, (start,)),
+                )
+
+            qbuf = jnp.zeros((n_pad, dim), jnp.int8)
+            sbuf = jnp.zeros((n_pad,), jnp.float32)
+            for s in range(0, n_pad, chunk):
+                qbuf, sbuf = fill_q(docs_any, qbuf, sbuf, jnp.int32(s))
+            _ = np.asarray(qbuf[0, :1])
+            return qbuf, sbuf
+
+        def with_retries(fn):
+            """The first materialization moves GBs on a shared chip —
+            long enough to hit transient tunnel errors
+            (FAILED_PRECONDITION mid-fetch) or RESOURCE_EXHAUSTED if
+            another tenant holds HBM.  On failure: drop every reference
+            (a failed fetch can leave the buffer poisoned), clear jit
+            caches, back off, retry.  Raises after the last attempt —
+            the caller's degrade chain takes over."""
+            for attempt in range(4):
+                try:
+                    return fn()
+                except Exception as exc:
+                    gc.collect()
+                    jax.clear_caches()
+                    if attempt == 3:
+                        raise
+                    delay = 5.0 * (attempt + 1)
+                    log(f"corpus materialization failed ({exc}); "
+                        f"cleared caches, retrying in {delay:.0f}s")
+                    time.sleep(delay)
+
+        # ---- measurement ----
+
+        def measure(batch: int, iters: int, precision: str,
+                    docs, row_scales) -> dict:
+            """One full measurement (compile, e2e p50/p99, isolated
+            device time, utilization) at the given batch size over the
+            given on-device corpus."""
+            phase_extract = args.kernel in ("auto", "extract") and (
+                extract_supported(n_pad, batch, k)
             )
-            return v / jnp.linalg.norm(v, axis=1, keepdims=True)
+            phase_v2 = phase_extract and fused2_supported(n_pad, dim, batch, k)
+            # v3 (guarded) wins for batched selection (b >=
+            # GUARD_MIN_BATCH, benchmarks/tpu_v3_prod.py); its
+            # fused3_supported floor keeps solo queries on v2
+            phase_v3 = phase_extract and fused3_supported(n_pad, dim, batch, k)
+            phase_kernel = (
+                "extract3" if phase_v3
+                else ("extract2" if phase_v2 else "extract")
+            ) if phase_extract else (
+                args.kernel if args.kernel in ("topk", "fast") else "topk"
+            )
 
-        queries = [jax.jit(unit_q)(i) for i in range(8)]
+            # unit-norm queries: scores are genuine cosines in [-1, 1],
+            # the domain the engine guarantees (magnitude guard at
+            # insert+query)
+            def unit_q(i):
+                v = jax.random.normal(
+                    jax.random.PRNGKey(100 + i), (batch, dim),
+                    dtype=jnp.float32,
+                )
+                return v / jnp.linalg.norm(v, axis=1, keepdims=True)
 
-        # The corpus is an explicit argument (NOT a closure capture):
-        # captured device constants get embedded in the lowered program —
-        # 3 GB of constant upload per compile on remote setups.
-        # batched runs prefer the keyed (v2) kernels: quantized prescores
-        # within KEY_EPS, fastest measured selection (shootout 7)
-        use_v2 = phase_v2
-        use_v3 = phase_v3
+            queries = [jax.jit(unit_q)(i) for i in range(8)]
 
-        def step_fn(corpus, scales, q, nvv):
-            if args.precision == "int8":
-                if phase_extract:
-                    if use_v3:
-                        return score_topk_fused3_int8_packed(
+            # The corpus is an explicit argument (NOT a closure
+            # capture): captured device constants get embedded in the
+            # lowered program — 3 GB of constant upload per compile on
+            # remote setups.
+            def step_fn(corpus, scales, q, nvv):
+                if precision == "int8":
+                    if phase_extract:
+                        if phase_v3:
+                            return score_topk_fused3_int8_packed(
+                                corpus, scales, q, nvv, k, interpret=on_cpu
+                            )
+                        if phase_v2:
+                            return score_topk_fused2_int8_packed(
+                                corpus, scales, q, nvv, k, interpret=on_cpu
+                            )
+                        if fused_supported(n_pad, dim, batch, k):
+                            return score_topk_fused_int8_packed(
+                                corpus, scales, q, nvv, k, interpret=on_cpu
+                            )
+                        return score_topk_int8_extract_packed(
                             corpus, scales, q, nvv, k, interpret=on_cpu
                         )
-                    if use_v2:
-                        return score_topk_fused2_int8_packed(
-                            corpus, scales, q, nvv, k, interpret=on_cpu
+                    if phase_kernel == "fast":
+                        from svs_tpu.ops.quant import score_topk_int8_fast
+
+                        return pack_vals_idx(
+                            *score_topk_int8_fast(corpus, scales, q, nvv, k)
+                        )
+                    return score_topk_int8_packed(corpus, scales, q, nvv, k)
+                if phase_extract:
+                    if phase_v3:
+                        return score_topk_fused3_packed(
+                            corpus, q, nvv, k, interpret=on_cpu
+                        )
+                    if phase_v2:
+                        return score_topk_fused2_packed(
+                            corpus, q, nvv, k, interpret=on_cpu
                         )
                     if fused_supported(n_pad, dim, batch, k):
-                        return score_topk_fused_int8_packed(
-                            corpus, scales, q, nvv, k, interpret=on_cpu
+                        return score_topk_fused_packed(
+                            corpus, q, nvv, k, interpret=on_cpu
                         )
-                    return score_topk_int8_extract_packed(
-                        corpus, scales, q, nvv, k, interpret=on_cpu
+                    return score_topk_extract_packed(
+                        corpus, q, nvv, k, interpret=on_cpu
                     )
                 if phase_kernel == "fast":
-                    from svs_tpu.ops.quant import score_topk_int8_fast
+                    return pack_vals_idx(*score_topk_fast(corpus, q, nvv, k))
+                return score_topk_packed(corpus, q, nvv, k)
 
-                    return pack_vals_idx(
-                        *score_topk_int8_fast(corpus, scales, q, nvv, k)
-                    )
-                return score_topk_int8_packed(corpus, scales, q, nvv, k)
-            if phase_extract:
-                if use_v3:
-                    return score_topk_fused3_packed(
-                        corpus, q, nvv, k, interpret=on_cpu
-                    )
-                if use_v2:
-                    return score_topk_fused2_packed(
-                        corpus, q, nvv, k, interpret=on_cpu
-                    )
-                if fused_supported(n_pad, dim, batch, k):
-                    return score_topk_fused_packed(
-                        corpus, q, nvv, k, interpret=on_cpu
-                    )
-                return score_topk_extract_packed(
-                    corpus, q, nvv, k, interpret=on_cpu
-                )
-            if phase_kernel == "fast":
-                return pack_vals_idx(*score_topk_fast(corpus, q, nvv, k))
-            return score_topk_packed(corpus, q, nvv, k)
+            step = jax.jit(step_fn)
 
-        step = jax.jit(step_fn)
-
-        # warmup / compile
-        t0 = time.perf_counter()
-        _ = np.asarray(step(docs, row_scales, queries[0], n_valid))
-        log(f"[batch {batch}] compile+first query: "
-            f"{time.perf_counter() - t0:.2f}s (kernel {phase_kernel})")
-
-        # e2e: each iteration is one full query -> host-visible result
-        times = []
-        for i in range(iters):
+            # warmup / compile
             t0 = time.perf_counter()
-            packed = np.asarray(
-                step(docs, row_scales, queries[i % len(queries)], n_valid)
-            )
-            times.append(time.perf_counter() - t0)
-        vals, idx = unpack_vals_idx(packed, k)
-        assert (idx >= 0).all() and (idx < n).all(), "padding leaked into top-k"
-        assert len(np.unique(idx[0])) == k, "duplicate/corrupted indices"
+            _ = np.asarray(step(docs, row_scales, queries[0], n_valid))
+            log(f"[{precision} batch {batch}] compile+first query: "
+                f"{time.perf_counter() - t0:.2f}s (kernel {phase_kernel})")
 
-        p50 = _percentile(times, 0.50)
-        p99 = _percentile(times, 0.99)
-
-        # device time: chained iterations, fetch once
-        def chained(length):
-            @jax.jit
-            def run(corpus, scales, q, nvv):
-                def body(i, qc):
-                    out = step_fn(corpus, scales, qc, nvv)
-                    return qc + 0.0 * out[0, 0].astype(qc.dtype)
-
-                qf = jax.lax.fori_loop(0, length, body, q)
-                return step_fn(corpus, scales, qf, nvv)
-
-            return run
-
-        short, long_ = chained(1), chained(args.chain)
-        np.asarray(short(docs, row_scales, queries[0], n_valid))
-        np.asarray(long_(docs, row_scales, queries[0], n_valid))
-        # Run-to-run spread, reported honestly (median + min..max over
-        # independent chained measurements) instead of quoting the single
-        # best pair — see BASELINE.md "scoreboard honesty".
-        device_runs = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(short(docs, row_scales, queries[0], n_valid))
-            ts_i = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            np.asarray(long_(docs, row_scales, queries[0], n_valid))
-            tl_i = time.perf_counter() - t0
-            device_runs.append(max(0.0, (tl_i - ts_i) / (args.chain - 1)))
-        device_s = _percentile(device_runs, 0.50)
-        device_spread = (min(device_runs), max(device_runs))
-
-        # utilization
-        mfu = hbm_frac = None
-        if device_s > 0 and is_v5e:
-            flops = 2.0 * batch * n_pad * dim
-            peak = V5E_INT8_OPS if args.precision == "int8" else V5E_BF16_FLOPS
-            if args.precision == "f32":
-                peak = V5E_BF16_FLOPS / 2
-            mfu = flops / device_s / peak
-            hbm_frac = corpus_bytes / device_s / V5E_HBM_BYTES_S
-
-        per_query_e2e = p50 / batch
-        per_query_dev = device_s / batch if device_s else None
-        log(f"[batch {batch}] e2e p50 {p50 * 1e3:.3f} ms | "
-            f"p99 {p99 * 1e3:.3f} ms | per-query "
-            f"{per_query_e2e * 1e3:.4f} ms | QPS {batch / p50:,.0f}")
-        log(f"[batch {batch}] device {device_s * 1e3:.3f} ms/step "
-            f"(spread {device_spread[0] * 1e3:.3f}-"
-            f"{device_spread[1] * 1e3:.3f}) | "
-            f"per-query {device_s / batch * 1e3:.4f} ms"
-            + (f" | MFU {mfu * 100:.1f}% | HBM {hbm_frac * 100:.1f}%"
-               if mfu is not None else ""))
-        return {
-            "batch": batch,
-            "p50_ms": round(p50 * 1e3, 4),
-            "p99_ms": round(p99 * 1e3, 4),
-            "per_query_ms": round(per_query_e2e * 1e3, 4),
-            "qps": round(batch / p50, 1),
-            "vs_baseline": round(ref_s / per_query_e2e, 1) if ref_s else None,
-            "device_ms": round(device_s * 1e3, 4),
-            "device_ms_spread": [
-                round(device_spread[0] * 1e3, 4),
-                round(device_spread[1] * 1e3, 4),
-            ],
-            "device_per_query_ms": (
-                round(per_query_dev * 1e3, 4) if per_query_dev else None
-            ),
-            "device_vs_baseline": (
-                round(ref_s / per_query_dev, 1)
-                if (ref_s and per_query_dev) else None
-            ),
-            "mfu": round(mfu, 4) if mfu is not None else None,
-            "hbm_frac": round(hbm_frac, 4) if hbm_frac is not None else None,
-            "kernel": phase_kernel,
-        }
-
-    def measure_full_stack(batch: int, k: int) -> dict:
-        """End-to-end through the REAL KB: embed -> device search ->
-        verified f32 rescore -> hydration, against an on-disk store (the
-        kernel phases above synthesize their corpus on-device and skip
-        the host side entirely — which round 2 showed is where
-        end-to-end throughput actually goes).
-
-        Reports BOTH sequential latency (await each batch) and pipelined
-        throughput (2 batches in flight: batch r+1's device phase
-        overlaps batch r's host finalize — the micro-batching server's
-        natural operating mode)."""
-        import asyncio
-        import sys
-        from pathlib import Path
-
-        sys.path.insert(0, str(Path(__file__).parent / "benchmarks"))
-        from corpus import ensure_bench_kb, query_embedder
-
-        from svs_tpu import AsyncKB
-
-        path = ensure_bench_kb(n, dim)
-
-        async def run() -> dict:
-            t0 = time.perf_counter()
-            kb = AsyncKB(
-                path, query_embedder(dim),
-                precision=(
-                    "auto" if precision_label == "auto"
-                    else args.precision if args.precision != "f32"
-                    else "bf16"
-                ),
-                sidecar=True,
-            )
-            await kb.load()
-            log(f"[full-stack] open+pack: {time.perf_counter() - t0:.1f}s")
-            n_sets = 12
-            queries = [[f"q:{r * batch + i}" for i in range(batch)]
-                       for r in range(n_sets)]
-            for w in range(2):  # warmup: compile + caches
-                await kb.retrieve_batch(queries[w], k)
+            # e2e: each iteration is one full query -> host-visible result
             times = []
-            for r in range(6):
+            for i in range(iters):
                 t0 = time.perf_counter()
-                res = await kb.retrieve_batch(queries[r], k)
+                packed = np.asarray(
+                    step(docs, row_scales, queries[i % len(queries)], n_valid)
+                )
                 times.append(time.perf_counter() - t0)
-            assert len(res) == batch and len(res[0]) == k
-            stats = kb.stats()
+            vals, idx = unpack_vals_idx(packed, k)
+            assert (idx >= 0).all() and (idx < n).all(), \
+                "padding leaked into top-k"
+            assert len(np.unique(idx[0])) == k, "duplicate/corrupted indices"
 
-            # pipelined: keep D batches in flight over fresh query sets —
-            # batch r+1's upload/device/fetch (IO waits on the link)
-            # overlaps batch r's host finalize; measure depth 2 and 3 and
-            # report the better (host-core count bounds useful depth)
-            async def run_depth(depth: int) -> float:
-                sem = asyncio.Semaphore(depth)
-
-                async def one(r: int) -> None:
-                    async with sem:
-                        await kb.retrieve_batch(queries[r % n_sets], k)
-
-                t0 = time.perf_counter()
-                await asyncio.gather(*(one(r) for r in range(10)))
-                return (time.perf_counter() - t0) / 10
-
-            by_depth = {d: await run_depth(d) for d in (2, 3)}
-            pipelined_depth = min(by_depth, key=by_depth.get)
-            pipelined_s = by_depth[pipelined_depth]
-            await kb.close(write_sidecar=False)
             p50 = _percentile(times, 0.50)
-            log(f"[full-stack] batch {batch} top-{k}: p50 {p50 * 1e3:.1f} ms "
-                f"({p50 / batch * 1e3:.3f} ms/query, {batch / p50:,.0f} QPS) "
-                f"| spread {min(times) * 1e3:.0f}-{max(times) * 1e3:.0f} ms")
-            log(f"[full-stack] pipelined ({pipelined_depth} in flight): "
-                f"{pipelined_s * 1e3:.1f} ms/batch "
-                f"({pipelined_s / batch * 1e3:.3f} ms/query, "
-                f"{batch / pipelined_s:,.0f} QPS) "
-                f"[depths: " + ", ".join(
-                    f"{d}={v * 1e3:.0f}ms" for d, v in by_depth.items()
-                ) + "]")
-            log(f"[full-stack] stages: " + ", ".join(
-                f"{name} p50 {st.get('p50_s', 0) * 1e3:.1f}ms"
-                for name, st in sorted(stats.items()) if isinstance(st, dict)
-            ))
+            p99 = _percentile(times, 0.99)
+
+            # device time: chained iterations, fetch once
+            def chained(length):
+                @jax.jit
+                def run(corpus, scales, q, nvv):
+                    def body(i, qc):
+                        out = step_fn(corpus, scales, qc, nvv)
+                        return qc + 0.0 * out[0, 0].astype(qc.dtype)
+
+                    qf = jax.lax.fori_loop(0, length, body, q)
+                    return step_fn(corpus, scales, qf, nvv)
+
+                return run
+
+            short, long_ = chained(1), chained(args.chain)
+            np.asarray(short(docs, row_scales, queries[0], n_valid))
+            np.asarray(long_(docs, row_scales, queries[0], n_valid))
+            # Run-to-run spread, reported honestly (median + min..max
+            # over independent chained measurements) instead of quoting
+            # the single best pair — see BASELINE.md "scoreboard
+            # honesty".
+            device_runs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(short(docs, row_scales, queries[0], n_valid))
+                ts_i = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                np.asarray(long_(docs, row_scales, queries[0], n_valid))
+                tl_i = time.perf_counter() - t0
+                device_runs.append(
+                    max(0.0, (tl_i - ts_i) / (args.chain - 1))
+                )
+            device_s = _percentile(device_runs, 0.50)
+            device_spread = (min(device_runs), max(device_runs))
+
+            # utilization
+            mfu = hbm_frac = None
+            if device_s > 0 and is_v5e:
+                flops = 2.0 * batch * n_pad * dim
+                peak = (V5E_INT8_OPS if precision == "int8"
+                        else V5E_BF16_FLOPS)
+                if precision == "f32":
+                    peak = V5E_BF16_FLOPS / 2
+                mfu = flops / device_s / peak
+                corpus_bytes = docs.size * docs.dtype.itemsize
+                hbm_frac = corpus_bytes / device_s / V5E_HBM_BYTES_S
+
+            per_query_e2e = p50 / batch
+            per_query_dev = device_s / batch if device_s else None
+            log(f"[{precision} batch {batch}] e2e p50 {p50 * 1e3:.3f} ms | "
+                f"p99 {p99 * 1e3:.3f} ms | per-query "
+                f"{per_query_e2e * 1e3:.4f} ms | QPS {batch / p50:,.0f}")
+            log(f"[{precision} batch {batch}] device "
+                f"{device_s * 1e3:.3f} ms/step "
+                f"(spread {device_spread[0] * 1e3:.3f}-"
+                f"{device_spread[1] * 1e3:.3f}) | "
+                f"per-query {device_s / batch * 1e3:.4f} ms"
+                + (f" | MFU {mfu * 100:.1f}% | HBM {hbm_frac * 100:.1f}%"
+                   if mfu is not None else ""))
             return {
                 "batch": batch,
-                "k": k,
-                "p50_ms": round(p50 * 1e3, 3),
-                "spread_ms": [round(min(times) * 1e3, 3),
-                              round(max(times) * 1e3, 3)],
-                "per_query_ms": round(p50 / batch * 1e3, 4),
+                "precision": precision,
+                "p50_ms": round(p50 * 1e3, 4),
+                "p99_ms": round(p99 * 1e3, 4),
+                "per_query_ms": round(per_query_e2e * 1e3, 4),
                 "qps": round(batch / p50, 1),
-                "pipelined_ms": round(pipelined_s * 1e3, 3),
-                "pipelined_depth": pipelined_depth,
-                "pipelined_per_query_ms": round(
-                    pipelined_s / batch * 1e3, 4
+                "vs_baseline": (
+                    round(ref_s / per_query_e2e, 1) if ref_s else None
                 ),
-                "pipelined_qps": round(batch / pipelined_s, 1),
-                "stages": {
-                    name: st
-                    for name, st in stats.items() if isinstance(st, dict)
-                },
+                "device_ms": round(device_s * 1e3, 4),
+                "device_ms_spread": [
+                    round(device_spread[0] * 1e3, 4),
+                    round(device_spread[1] * 1e3, 4),
+                ],
+                "device_per_query_ms": (
+                    round(per_query_dev * 1e3, 4) if per_query_dev else None
+                ),
+                "device_vs_baseline": (
+                    round(ref_s / per_query_dev, 1)
+                    if (ref_s and per_query_dev) else None
+                ),
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "hbm_frac": (
+                    round(hbm_frac, 4) if hbm_frac is not None else None
+                ),
+                "kernel": phase_kernel,
             }
 
-        return asyncio.run(run())
+        def measure_full_stack(batch: int, k: int) -> dict:
+            """End-to-end through the REAL KB: embed -> device search ->
+            verified f32 rescore -> hydration, against an on-disk store
+            (the kernel phases above synthesize their corpus on-device
+            and skip the host side entirely — which round 2 showed is
+            where end-to-end throughput actually goes).
 
-    primary = measure(args.batch, args.iters)
+            Reports BOTH sequential latency (await each batch) and
+            pipelined throughput (batches in flight: batch r+1's device
+            phase overlaps batch r's host finalize — the micro-batching
+            server's natural operating mode)."""
+            import asyncio
+            from pathlib import Path
 
-    # Batched-throughput phase on the same corpus: one corpus read serves
-    # the whole batch, which is where the per-query targets live
-    # (BASELINE.md).  On by default for the 1M presets.
-    batched_n = args.batched_phase
-    if batched_n is None:
-        batched_n = 256 if (args.preset == "headline" and args.batch == 1) else 0
-    batched = None
-    if batched_n and batched_n != args.batch:
-        batched = measure(batched_n, max(10, args.iters // 3))
+            sys.path.insert(0, str(Path(__file__).parent / "benchmarks"))
+            from corpus import ensure_bench_kb, query_embedder
 
-    # Full-stack phase: on by default for the 1M presets (off on the CPU
-    # smoke preset, where a 1M-row device matmul is impractical).
-    full_stack = None
-    do_full = args.full_stack if args.full_stack is not None else (
-        args.preset == "headline" and not on_cpu
-    )
-    if do_full:
+            from svs_tpu import AsyncKB
+
+            path = ensure_bench_kb(n, dim)
+
+            async def run() -> dict:
+                t0 = time.perf_counter()
+                kb = AsyncKB(
+                    path, query_embedder(dim),
+                    precision=(
+                        "auto" if precision_label == "auto"
+                        else device_precision
+                        if device_precision != "f32" else "bf16"
+                    ),
+                    sidecar=True,
+                )
+                await kb.load()
+                log(f"[full-stack] open+pack: "
+                    f"{time.perf_counter() - t0:.1f}s")
+                # Steady-state measurement: the background f32 rescore
+                # mirror decides whether the rescore chain runs on-device
+                # (compact wire) or falls back to host gathers (~630 MB
+                # of candidate traffic per 256-batch at 1M x 1536).
+                # Measuring mid-upload mixes the two regimes.
+                t0 = time.perf_counter()
+                import asyncio as _aio
+
+                loop = _aio.get_running_loop()
+                ready = await loop.run_in_executor(
+                    None, lambda: kb.engine.wait_for_mirror(timeout=480)
+                )
+                log(f"[full-stack] rescore mirror: "
+                    f"{'ready' if ready else 'NOT ready (timed out)'} "
+                    f"after {time.perf_counter() - t0:.1f}s")
+                n_sets = 12
+                queries = [[f"q:{r * batch + i}" for i in range(batch)]
+                           for r in range(n_sets)]
+                for w in range(2):  # warmup: compile + caches
+                    await kb.retrieve_batch(queries[w], k)
+                times = []
+                for r in range(6):
+                    t0 = time.perf_counter()
+                    res = await kb.retrieve_batch(queries[r], k)
+                    times.append(time.perf_counter() - t0)
+                assert len(res) == batch and len(res[0]) == k
+                stats = kb.stats()
+
+                # pipelined: keep D batches in flight over fresh query
+                # sets — batch r+1's upload/device/fetch (IO waits on
+                # the link) overlaps batch r's host finalize; measure
+                # depth 2 and 3 and report the better (host-core count
+                # bounds useful depth)
+                async def run_depth(depth: int) -> float:
+                    sem = asyncio.Semaphore(depth)
+
+                    async def one(r: int) -> None:
+                        async with sem:
+                            await kb.retrieve_batch(queries[r % n_sets], k)
+
+                    t0 = time.perf_counter()
+                    await asyncio.gather(*(one(r) for r in range(10)))
+                    return (time.perf_counter() - t0) / 10
+
+                by_depth = {d: await run_depth(d) for d in (2, 3)}
+                pipelined_depth = min(by_depth, key=by_depth.get)
+                pipelined_s = by_depth[pipelined_depth]
+                await kb.close(write_sidecar=False)
+                p50 = _percentile(times, 0.50)
+                log(f"[full-stack] batch {batch} top-{k}: p50 "
+                    f"{p50 * 1e3:.1f} ms "
+                    f"({p50 / batch * 1e3:.3f} ms/query, "
+                    f"{batch / p50:,.0f} QPS) "
+                    f"| spread {min(times) * 1e3:.0f}-"
+                    f"{max(times) * 1e3:.0f} ms")
+                log(f"[full-stack] pipelined ({pipelined_depth} in "
+                    f"flight): {pipelined_s * 1e3:.1f} ms/batch "
+                    f"({pipelined_s / batch * 1e3:.3f} ms/query, "
+                    f"{batch / pipelined_s:,.0f} QPS) "
+                    f"[depths: " + ", ".join(
+                        f"{d}={v * 1e3:.0f}ms" for d, v in by_depth.items()
+                    ) + "]")
+                log(f"[full-stack] stages: " + ", ".join(
+                    f"{name} p50 {st.get('p50_s', 0) * 1e3:.1f}ms"
+                    for name, st in sorted(stats.items())
+                    if isinstance(st, dict)
+                ))
+                return {
+                    "batch": batch,
+                    "k": k,
+                    "p50_ms": round(p50 * 1e3, 3),
+                    "spread_ms": [round(min(times) * 1e3, 3),
+                                  round(max(times) * 1e3, 3)],
+                    "per_query_ms": round(p50 / batch * 1e3, 4),
+                    "qps": round(batch / p50, 1),
+                    "pipelined_ms": round(pipelined_s * 1e3, 3),
+                    "pipelined_depth": pipelined_depth,
+                    "pipelined_per_query_ms": round(
+                        pipelined_s / batch * 1e3, 4
+                    ),
+                    "pipelined_qps": round(batch / pipelined_s, 1),
+                    "stages": {
+                        name: st
+                        for name, st in stats.items() if isinstance(st, dict)
+                    },
+                }
+
+            return asyncio.run(run())
+
+        # ---- phase orchestration ----
+
+        batched_n = args.batched_phase
+        if batched_n is None:
+            batched_n = 256 if (
+                args.preset == "headline" and args.batch == 1
+            ) else 0
+
+        bf16_batched = None
+        if precision_label == "auto" and args.preset == "headline":
+            # bf16 batched row first (it needs the bf16 corpus), then
+            # requantize the same data to int8 for the auto phases —
+            # peak HBM ~4.7 GB (3.1 bf16 + 1.5 int8 + one chunk).
+            docs16, _ = with_retries(lambda: materialize("bf16"))
+            if batched_n:
+                bf16_batched = measure(
+                    batched_n, max(10, args.iters // 3), "bf16", docs16, None
+                )
+            docs, row_scales = with_retries(lambda: quantize_from(docs16))
+            del docs16
+            gc.collect()
+        else:
+            docs, row_scales = with_retries(
+                lambda: materialize(device_precision)
+            )
+
+        primary = measure(
+            args.batch, args.iters, device_precision, docs, row_scales
+        )
+
+        # Batched-throughput phase on the same corpus: one corpus read
+        # serves the whole batch, which is where the per-query targets
+        # live (BASELINE.md).  On by default for the 1M presets.
+        batched = None
+        if batched_n and batched_n != args.batch:
+            try:
+                batched = measure(
+                    batched_n, max(10, args.iters // 3),
+                    device_precision, docs, row_scales,
+                )
+            except Exception:
+                import traceback
+
+                log("batched phase failed (primary unaffected):")
+                log(traceback.format_exc())
+
+        # Full-stack phase: on by default for the 1M presets (off on
+        # the CPU smoke preset, where a 1M-row device matmul is
+        # impractical; off when degraded — the on-disk bench KB exists
+        # at the headline size only).
+        full_stack = None
+        do_full = args.full_stack if args.full_stack is not None else (
+            args.preset == "headline" and not on_cpu and not degraded
+        )
+        if do_full:
+            try:
+                full_stack = measure_full_stack(256, k)
+            except Exception:
+                import traceback
+
+                log("full-stack phase failed (kernel numbers unaffected):")
+                log(traceback.format_exc())
+
+        result = {
+            "metric": (
+                f"p50 exact cosine top-{k} over {n}x{dim} "
+                f"({'auto=int8+f32-rescore' if precision_label == 'auto' else device_precision}, "
+                f"batch={args.batch}, end-to-end incl. "
+                f"host round-trip)"
+            ),
+            "value": primary["p50_ms"],
+            "unit": "ms",
+            "vs_baseline": primary["vs_baseline"],
+            **{kk: primary[kk] for kk in (
+                "per_query_ms", "qps", "p99_ms", "device_ms",
+                "device_per_query_ms", "device_vs_baseline", "mfu",
+                "hbm_frac", "kernel",
+            )},
+            "device": str(dev),
+        }
+        if degraded:
+            result["degraded"] = True
+            result["degraded_n"] = n
+            result["ref_scaled"] = True
+        if bf16_batched is not None:
+            result["bf16_batched"] = bf16_batched
+        if batched is not None:
+            result["batched"] = batched
+        if full_stack is not None:
+            result["full_stack"] = full_stack
+        return result
+
+    # Degrade chain: the headline shape shares a 16 GB chip with other
+    # tenants; if it will not fit after retries, shrink the corpus and
+    # mark the row degraded instead of dying with rc!=0.
+    if args.preset == "headline":
+        chain = [
+            (cand, REF_WARM_1M_S * cand / 1_000_000)
+            for cand in HEADLINE_DEGRADE_CHAIN
+            if cand <= preset_n
+        ]
+    else:
+        chain = [(preset_n, _preset_ref)]
+    result = None
+    for i, (cand_n, cand_ref) in enumerate(chain):
         try:
-            full_stack = measure_full_stack(256, k)
-        except Exception:
-            import traceback
-
-            log("full-stack phase failed (kernel numbers unaffected):")
-            log(traceback.format_exc())
-
-    result = {
-        "metric": (
-            f"p50 exact cosine top-{k} over {n}x{dim} "
-            f"({'auto=int8+f32-rescore' if precision_label == 'auto' else args.precision}, "
-            f"batch={args.batch}, end-to-end incl. "
-            f"host round-trip)"
-        ),
-        "value": primary["p50_ms"],
-        "unit": "ms",
-        "vs_baseline": primary["vs_baseline"],
-        **{kk: primary[kk] for kk in (
-            "per_query_ms", "qps", "p99_ms", "device_ms",
-            "device_per_query_ms", "device_vs_baseline", "mfu",
-            "hbm_frac", "kernel",
-        )},
-        "device": str(dev),
-    }
-    if batched is not None:
-        result["batched"] = batched
-    if full_stack is not None:
-        result["full_stack"] = full_stack
+            result = run_sized(cand_n, cand_ref, degraded=i > 0)
+            break
+        except Exception as exc:
+            gc.collect()
+            try:
+                jax.clear_caches()
+            except Exception:
+                pass
+            if i == len(chain) - 1:
+                raise
+            log(f"bench at n={cand_n} failed "
+                f"({type(exc).__name__}: {exc}); degrading corpus size")
     print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as exc:  # noqa: BLE001 — contract: always emit JSON
+        import traceback
+
+        log(traceback.format_exc())
+        print(
+            json.dumps(
+                {
+                    "metric": "bench failed",
+                    "value": None,
+                    "unit": "error",
+                    "vs_baseline": None,
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(0)

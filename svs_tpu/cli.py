@@ -22,7 +22,7 @@ from typing import Any, List, Optional
 def _open_kb(args: argparse.Namespace, **kw: Any) -> "Any":
     from .kb import KB
 
-    kw.setdefault("precision", getattr(args, "precision", "bf16"))
+    kw.setdefault("precision", getattr(args, "precision", "auto"))
     kw.setdefault("sidecar", "auto")
     return KB(args.db, **kw)
 
@@ -237,7 +237,7 @@ def main(argv: Optional[list] = None) -> int:
     p = sub.add_parser("pack", help="pre-pack the corpus + write sidecar")
     p.add_argument("db")
     p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
-                   default="bf16")
+                   default="auto")
     p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("query", help="retrieve top-n documents")
@@ -245,7 +245,7 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("text")
     p.add_argument("-n", type=int, default=10)
     p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
-                   default="bf16")
+                   default="auto")
     p.add_argument("--meta-filter", default=None, metavar="JSON",
                    help="JSON object of meta-key -> required-value "
                    "equalities (exact filtered retrieval)")
@@ -283,7 +283,7 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("-n", type=int, default=10,
                    help="top-n compared per replayed query")
     p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
-                   default="bf16")
+                   default="auto")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_selfcheck)
 
@@ -308,7 +308,7 @@ def main(argv: Optional[list] = None) -> int:
                    help="pending-request bound before 429 shedding "
                    "(default: 16 x max-batch)")
     p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
-                   default="bf16")
+                   default="auto")
     p.add_argument("--replicas", type=int, default=None,
                    help="replicate the corpus to the first N devices and "
                    "split each micro-batch across them (throughput mode; "

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import hashlib
 import logging
+import os
 import threading
 import time
 from pathlib import Path
@@ -79,6 +80,18 @@ _MIRROR_SYNC_MAX_BYTES = 256 * 1024 * 1024
 #: Staged-copy granularity for mirror uploads (see
 #: ``RetrievalEngine._upload_f32_mirror``).
 _MIRROR_CHUNK_BYTES = 64 * 1024 * 1024
+
+#: Host-dispatch guard: ceiling on the ``[B, n_valid]`` f32 score matrix
+#: the host exact scan materializes.  Bounds batch x corpus at the sizes
+#: where the host can win anyway (small corpora / small batches).
+_HOST_SCAN_MAX_SCORE_BYTES = 256 * 1024 * 1024
+
+#: Prior for the host's exact-scan bandwidth (bytes/s the per-query
+#: ``np.dot`` matvec sustains over the f32 cache).  Deliberately
+#: conservative for 1-vCPU-class hosts; refined in place by an EWMA of
+#: measured scans (``RetrievalEngine.host_topk_exact``).  Env override:
+#: ``SVS_TPU_HOST_SCAN_BW``.
+_HOST_SCAN_BW_PRIOR = 6e9
 
 
 @jax.jit
@@ -387,7 +400,7 @@ class RetrievalEngine:
 
     def __init__(
         self,
-        precision: str = "bf16",
+        precision: str = "auto",
         rescore: Optional[bool] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         data_axis: str = "data",
@@ -479,6 +492,35 @@ class RetrievalEngine:
                 else "bf16"
             )
         self.device = device
+        #: Automatic host-path dispatch: 'auto' answers solo/small-batch
+        #: queries straight from the host f32 cache when the measured
+        #: device round-trip floor exceeds the estimated host exact-scan
+        #: cost — on tunneled deployments every device call pays a ~30 ms
+        #: RPC, so a 10k-doc corpus is faster to scan on the host (the
+        #: reference wins exactly these otherwise,
+        #: ``/root/reference/README.md:128``).  Results are identical by
+        #: construction: the host scan IS the engine's definition of
+        #: exact (np.dot matvec + reference tie rule).  'off' / 'force'
+        #: override; env ``SVS_TPU_HOST_DISPATCH``.
+        self.host_dispatch = os.environ.get("SVS_TPU_HOST_DISPATCH", "auto")
+        if self.host_dispatch not in ("auto", "off", "force"):
+            log.warning("ignoring SVS_TPU_HOST_DISPATCH=%r "
+                        "(want auto/off/force)", self.host_dispatch)
+            self.host_dispatch = "auto"
+        from ..utils.env import env_float
+
+        #: Learned host-scan bandwidth (bytes/s); EWMA-updated by every
+        #: host scan so the dispatch rule tracks the actual machine.
+        self._host_scan_bw = env_float(
+            "SVS_TPU_HOST_SCAN_BW", _HOST_SCAN_BW_PRIOR
+        )
+        self._rpc_floor: Optional[float] = None
+        #: Sticky per-engine kernel-dispatch decisions (shape-class key
+        #: -> 'v2'/'v3').  Frozen at first use of each shape so the
+        #: prescore-error bound and the actual dispatch can never
+        #: diverge mid-flight, even if a background calibration probe
+        #: lands a different winner (new engines pick it up).
+        self._calib_sticky: Dict[str, str] = {}
         self._corpus: Optional[PackedCorpus] = None
         self._fingerprint: Optional[Tuple[int, int, int, int]] = None
         self._quick_token: Optional[Tuple[int, int]] = None
@@ -1424,6 +1466,99 @@ class RetrievalEngine:
         )
         object.__setattr__(corpus, "dev_emb", dev_emb)
 
+    # -- host-path dispatch --------------------------------------------------
+
+    def device_rpc_floor(self) -> float:
+        """Measured round-trip floor of one minimal dispatch+fetch on
+        this engine's device: ~30 ms on tunneled deployments, ~0.1 ms
+        locally.  Measured lazily once per engine (min of 3 runs of a
+        pre-compiled 8-element reduction — the time is all RPC)."""
+        if self._rpc_floor is None:
+            try:
+                dev = self.device
+                if dev is None and self.mesh is not None:
+                    dev = next(iter(self.mesh.devices.flat))
+                x = jax.device_put(np.zeros(8, np.float32), dev)
+                f = jax.jit(jnp.sum)
+                np.asarray(f(x))  # compile outside the timed runs
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    np.asarray(f(x))
+                    best = min(best, time.perf_counter() - t0)
+            except Exception:  # no device at all -> host always wins
+                best = float("inf")
+            self._rpc_floor = best
+            log.info("device RPC floor: %.2f ms", best * 1e3)
+        return self._rpc_floor
+
+    def host_route(self, corpus: PackedCorpus, batch: int) -> bool:
+        """The dispatch rule: answer from the host f32 cache when the
+        estimated host exact-scan cost (batch x cache bytes / learned
+        host bandwidth) beats the measured device round-trip floor.
+
+        Never routes to the host when the exactness machinery there is
+        unavailable (no host cache, rescore opted out) — and never at
+        batch x corpus sizes whose score matrix would not be small
+        (``_HOST_SCAN_MAX_SCORE_BYTES``): the device wins those anyway.
+        """
+        if (
+            self.host_dispatch == "off"
+            or not self.rescore
+            or corpus.host_f32 is None
+            or corpus.n_valid == 0
+        ):
+            return False
+        if self.host_dispatch == "force":
+            return True
+        if batch * corpus.n_valid * 4 > _HOST_SCAN_MAX_SCORE_BYTES:
+            return False
+        # Per-query matvec re-reads the cache once per query (kept for
+        # reference-bit-identical accumulation), so host cost scales
+        # with the batch; one device RPC serves the whole batch.
+        host_s = batch * corpus.host_f32.nbytes / self._host_scan_bw
+        return host_s < self.device_rpc_floor()
+
+    def host_topk_exact(
+        self, corpus: PackedCorpus, queries: np.ndarray, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-``k`` over the WHOLE corpus on the host: per-query
+        ``np.dot`` matvec over the f32 cache (the reference's exact
+        accumulation, ``svs/kb.py:1185``) + the reference tie rule.
+
+        This is the small-corpus fast path ``host_route`` dispatches to —
+        identical results to the device path by construction (same exact
+        scores, same tie rule; no margin proof needed, every document is
+        scored in f32).  Returns ``(emb_ids int64 [B, k'], scores f32
+        [B, k'])`` with ``k' = min(k, n_valid)``.  Also feeds the
+        measured scan bandwidth back into the dispatch rule's EWMA."""
+        hf, rm = corpus.host_f32, corpus.host_row_map
+        assert hf is not None, "host_topk_exact requires the host f32 cache"
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        b = queries.shape[0]
+        k_eff = min(int(k), corpus.n_valid)
+        if k_eff <= 0:
+            return (
+                np.zeros((b, 0), dtype=np.int64),
+                np.zeros((b, 0), dtype=np.float32),
+            )
+        if rm is None:
+            emb_hf = corpus.emb_ids
+        else:
+            # hf row rm[p] holds pack row p's vector -> emb id of hf row
+            emb_hf = np.empty_like(corpus.emb_ids)
+            emb_hf[rm] = corpus.emb_ids
+        t0 = time.perf_counter()
+        exact = np.empty((b, hf.shape[0]), dtype=np.float32)
+        for i in range(b):
+            exact[i] = hf @ queries[i]
+        elapsed = time.perf_counter() - t0
+        if elapsed > 1e-5:
+            measured = b * hf.nbytes / elapsed
+            self._host_scan_bw = 0.5 * self._host_scan_bw + 0.5 * measured
+        emb, scores = _subset_select_np(exact, emb_hf, k_eff)
+        return emb, scores
+
     @_marks_inflight
     def topk_with_rescore(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
@@ -1986,7 +2121,89 @@ class RetrievalEngine:
             )
             if c > (nb_shard - dead_blocks_worst) * GUARD_KEYS:
                 return False
-        return fused3_supported(n_rows, corpus.dim_padded, b, c)
+            # Mesh shards keep the static prior: probes run the
+            # single-chip kernels, which say nothing about the
+            # shard_map crossover.
+            return fused3_supported(n_rows, corpus.dim_padded, b, c)
+        from ..ops.pallas_extract import fused3_shape_ok
+
+        if not fused3_shape_ok(n_rows, corpus.dim_padded, b, c):
+            return False
+        if not self._keyed_selection_possible(corpus, b, k):
+            # no v2 at this shape -> nothing to calibrate against; the
+            # static rule is the only sound choice
+            return fused3_supported(n_rows, corpus.dim_padded, b, c)
+        return self._calib_winner(corpus, n_rows, b, c) == "v3"
+
+    def _calib_winner(
+        self, corpus: PackedCorpus, n_rows: int, b: int, c: int
+    ) -> str:
+        """The v2-vs-v3 winner for this shape class: the persisted
+        calibration measurement when one exists, else the static prior
+        (``GUARD_MIN_BATCH``, the one-v5e point measurement) — and in
+        that case a one-time background probe is spawned to measure the
+        real crossover on this chip (``engine.calibrate``).  Sticky per
+        engine instance (see ``_calib_sticky``)."""
+        from ..ops.pallas_extract import GUARD_MIN_BATCH
+        from .calibrate import dispatch_key, get_calibrator
+
+        kind = "cpu"
+        try:
+            dev = self.device
+            if dev is None:
+                dev = jax.devices()[0]
+            kind = str(dev.device_kind).replace(" ", "_")
+        except Exception:
+            pass
+        key = dispatch_key(
+            kind, corpus.precision, n_rows, corpus.dim_padded, b, c
+        )
+        winner = self._calib_sticky.get(key)
+        if winner is None:
+            winner = get_calibrator().decide(key)
+            if winner is None:
+                winner = "v3" if b >= GUARD_MIN_BATCH else "v2"
+                self._maybe_spawn_dispatch_probe(corpus, b, c, key)
+            self._calib_sticky[key] = winner
+        return winner
+
+    def _maybe_spawn_dispatch_probe(
+        self, corpus: PackedCorpus, b: int, c: int, key: str
+    ) -> None:
+        """Measure v2 vs v3 at the live shape on the live corpus, once
+        per shape class, in a daemon thread (first-query latency never
+        waits on the ~15 s of probe compiles).  The probe's winner is
+        persisted for future engines/processes; THIS engine keeps its
+        prior (sticky decisions)."""
+        from .calibrate import get_calibrator, probing_enabled, time_kernel_pair
+
+        if not probing_enabled():
+            return
+        cal = get_calibrator()
+        if not cal.claim_probe(key):
+            return
+
+        def work() -> None:
+            try:
+                rng = np.random.default_rng(0)
+                q_np = rng.standard_normal(
+                    (b, corpus.dim_padded)
+                ).astype(np.float32)
+                q_np /= np.linalg.norm(q_np, axis=1, keepdims=True)
+                q = jax.device_put(q_np, self.device)
+                wide = corpus.n_padded >= WIDE_INDEX_MIN_ROWS
+                v2_s, v3_s = time_kernel_pair(
+                    corpus, q, corpus.n_valid_device(), c, wide
+                )
+                cal.record(key, "v2" if v2_s <= v3_s else "v3", v2_s, v3_s)
+            except Exception as exc:
+                cal.release_probe(key)
+                log.warning("dispatch probe %s failed (%s); keeping the "
+                            "static prior", key, exc)
+
+        threading.Thread(
+            target=work, name="svs-tpu-dispatch-probe", daemon=True
+        ).start()
 
     def _scores_over_budget(self, corpus: PackedCorpus, b: int) -> bool:
         """Whether a materializing exact path's ``[B, N]`` f32 score

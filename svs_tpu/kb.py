@@ -909,10 +909,10 @@ class AsyncKB:
     once into ``./.remote_cache/``).  The database opens lazily on first
     use, or eagerly via :meth:`load` (which also warms the device corpus).
 
-    Engine knobs (all optional): ``precision`` ('bf16' default, 'f32',
-    'int8', or 'auto' — the fastest storage whose results stay exact:
-    int8 prescore under the verified f32 rescore, bf16 where the int8
-    path doesn't apply), ``rescore`` (verified-exact f32 re-ranking with the
+    Engine knobs (all optional): ``precision`` ('auto' default — the
+    fastest storage whose results stay exact: int8 prescore under the
+    verified f32 rescore, bf16 where the int8 path doesn't apply; or an
+    explicit 'f32'/'bf16'/'int8'), ``rescore`` (verified-exact f32 re-ranking with the
     reference tie rule; default on for every precision — ``False`` is a
     raw-prescore opt-out whose ordering among exactly tied scores is
     the device's), ``mesh`` (a ``jax.sharding.Mesh`` to shard the corpus
@@ -929,7 +929,7 @@ class AsyncKB:
         embedding_func: Optional[EmbeddingFunc] = None,
         force_fresh_db: bool = False,
         *,
-        precision: str = "bf16",
+        precision: str = "auto",
         rescore: Optional[bool] = None,
         mesh: Optional[Any] = None,
         device: Optional[Any] = None,
@@ -1576,6 +1576,26 @@ class AsyncKB:
         """Verified-exact top-``n`` device search + hydration for embedded
         query ``vectors`` (the widen-on-insufficient-margin loop)."""
         loop = asyncio.get_running_loop()
+        if self.engine.host_route(corpus, vectors.shape[0]):
+            # Small corpus / small batch on a high-RPC-floor device: the
+            # host exact scan beats the device round trip (identical
+            # results by construction).  ``host_search`` in kb.stats()
+            # says this engine answered.
+            with phase("host_search", self._stats):
+                emb, scores = await loop.run_in_executor(
+                    None, self.engine.host_topk_exact, corpus, vectors, n
+                )
+            with phase("finalize", self._stats):
+                async with self._get_lock():
+                    db = await self._ensure_db()
+
+                    def hydrate() -> List[List[Retrieval]]:
+                        with db.transaction() as tx:
+                            return _hydrate_and_mint(
+                                tx, emb, scores, self._doc_cache
+                            )
+
+                    return await loop.run_in_executor(None, hydrate)
         c = c0 = self.engine.initial_candidates(n, corpus.n_valid)
         pre_eps = (
             self.engine.prescore_eps(corpus, vectors, c)
@@ -1774,7 +1794,7 @@ class KB:
         embedding_func: Optional[EmbeddingFunc] = None,
         force_fresh_db: bool = False,
         *,
-        precision: str = "bf16",
+        precision: str = "auto",
         rescore: Optional[bool] = None,
         mesh: Optional[Any] = None,
         device: Optional[Any] = None,
@@ -2212,6 +2232,17 @@ class KB:
     def _search_hydrated(
         self, corpus: PackedCorpus, vectors: np.ndarray, n: int
     ) -> List[List[Retrieval]]:
+        if self.engine.host_route(corpus, vectors.shape[0]):
+            # see AsyncKB._search_hydrated: host exact scan beats the
+            # device round trip at this corpus x batch size
+            with phase("host_search", self._stats):
+                emb, scores = self.engine.host_topk_exact(
+                    corpus, vectors, n
+                )
+            with phase("finalize", self._stats), self._lock:
+                db = self._require_db()
+                with db.transaction() as tx:
+                    return _hydrate_and_mint(tx, emb, scores, self._doc_cache)
         c = c0 = self.engine.initial_candidates(n, corpus.n_valid)
         pre_eps = (
             self.engine.prescore_eps(corpus, vectors, c)

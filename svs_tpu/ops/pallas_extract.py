@@ -1283,11 +1283,23 @@ def fused3_supported(n: int, d: int, b: int, c: int) -> bool:
     staged reduce, and v3 then wins every measured shape through
     nb=4100 (13-35% bf16, 21-42% int8; benchmarks/tpu_v2v3_cross.py,
     BENCHMARKS.md 2026-08-19)."""
+    return fused3_shape_ok(n, d, b, c) and b >= GUARD_MIN_BATCH
+
+
+def fused3_shape_ok(n: int, d: int, b: int, c: int) -> bool:
+    """STRUCTURAL v3 support: every soundness/layout requirement of
+    :func:`fused3_supported` except the ``GUARD_MIN_BATCH`` batch floor —
+    which is a pure performance crossover (point-measured on one v5e,
+    see the constant's comment), not a correctness constraint.  The
+    engine's auto-calibration (``engine.calibrate``) measures the live
+    v2-vs-v3 crossover per (chip, shape-class) and may promote v3 below
+    the static floor or demote it above; this predicate is the envelope
+    those measured decisions must stay inside."""
     nb = n // FUSED_BLOCK_N
     return (
         n % FUSED_BLOCK_N == 0
         and d % DIM_CHUNK == 0
-        and GUARD_MIN_BATCH <= b <= FUSED_MAX_BATCH
+        and 0 < b <= FUSED_MAX_BATCH
         and nb >= 16
         and 0 < c <= min(GUARD_MAX_C, (nb - 2) * GUARD_KEYS)
     )

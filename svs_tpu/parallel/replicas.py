@@ -66,7 +66,7 @@ class ReplicaEngine(RetrievalEngine):
 
     def __init__(
         self,
-        precision: str = "bf16",
+        precision: str = "auto",
         rescore: Optional[bool] = None,
         devices: Optional[Sequence[jax.Device]] = None,
         n_replicas: Optional[int] = None,

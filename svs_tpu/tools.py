@@ -115,7 +115,7 @@ def selfcheck(
     path: Union[str, Path],
     queries: int = 8,
     n: int = 10,
-    precision: str = "bf16",
+    precision: str = "auto",
     seed: int = 0,
 ) -> Dict[str, object]:
     """Integrity audit of a knowledge base: store invariants, embedding

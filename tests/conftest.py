@@ -25,6 +25,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# On the CPU test backend the "device" RPC floor is host-function-call
+# time, so the automatic host-path dispatch would route most tiny test
+# corpora to the host scan and silently strip device-kernel coverage
+# from every KB-level test.  Default it off here; the dedicated
+# host-dispatch tests turn it on explicitly.
+os.environ.setdefault("SVS_TPU_HOST_DISPATCH", "off")
+
 import asyncio
 import inspect
 

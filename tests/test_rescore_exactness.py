@@ -236,6 +236,12 @@ def test_guarded_kernel_cluster_exact_end_to_end(db_path, caplog, monkeypatch):
         )
 
     monkeypatch.setattr(pe, "fused3_supported", small_ok)
+    # the engine's non-mesh dispatch now splits the structural check
+    # (fused3_shape_ok) from the batch-crossover prior (GUARD_MIN_BATCH,
+    # overridable by calibration — see engine.calibrate); relax both so
+    # the b=1 drive below still lands on the guarded kernel
+    monkeypatch.setattr(pe, "fused3_shape_ok", small_ok)
+    monkeypatch.setattr(pe, "GUARD_MIN_BATCH", 1)
     v3_calls = []
     real_v3 = pe.score_topk_fused3_packed
 
