@@ -49,7 +49,22 @@ WORK = Path("/tmp/svs_tpu_stress")
 
 import os
 
-if os.environ.get("SVS_STRESS_SMOKE"):
+if os.environ.get("SVS_STRESS_MICRO"):
+    # Default-suite tier (seconds on a 1-vCPU CPU backend): the full
+    # KB pipeline oracle — adversarial ties, margin widen, hints,
+    # hydration — at shapes below the pallas kernels' block floor, so
+    # the XLA dispatch routes run.  The kernel routes are covered by
+    # their own default-suite miniatures (tests/test_pallas_extract.py,
+    # tests/test_ops.py); the SMOKE tier (weekly) runs the kernels
+    # inside this same harness at block-aligned shapes.
+    CORPORA = [
+        ("bf16", 2_048 + 117, 64, None),
+        ("f32", 1_024 + 33, 64, None),
+        ("int8", 1_024 + 33, 64, None),
+    ]
+    COMBOS = [(1, 5), (8, 9)]
+    DRAWS, REPEATS = 1, 1
+elif os.environ.get("SVS_STRESS_SMOKE"):
     # f32 included: its rescore path (device gather from the pack
     # itself) regressed tie order in round 3 and only this harness
     # caught it — the smoke must keep covering all three precisions'
@@ -92,20 +107,26 @@ SCORE_ATOL = 2e-6  # device f32 dot vs np.dot
 def build_matrix(rng: np.random.Generator, n: int, dim: int) -> np.ndarray:
     m = rng.standard_normal((n, dim)).astype(np.float32)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
-    # exact-duplicate block: rows 100..119 all equal row 100
-    m[100:120] = m[100]
+    # Adversary positions scale down for the MICRO tier's small corpora
+    # (fixed rows assume n > 8291); semantics unchanged at full size.
+    big = n > 8292
+    dup = 100 if big else n // 10
+    tie = 600 if big else n // 4
+    hot0 = 8192 if big else (2 * n) // 3
+    # exact-duplicate block: 20 rows all equal the first
+    m[dup : dup + 20] = m[dup]
     # near-ties: 30 rows = one direction + 1e-4 jitters, re-normalized
-    base = m[500] + 0.0
+    base = m[tie - 100 if big else tie - 1] + 0.0
     for i in range(30):
         v = base + 1e-4 * rng.standard_normal(dim).astype(np.float32)
-        m[600 + i] = v / np.linalg.norm(v)
-    # HOT subtile: rows 8192..8291 are jittered copies of one direction —
-    # 100 near-top docs inside ~one extraction subtile
+        m[tie + i] = v / np.linalg.norm(v)
+    # HOT subtile: jittered copies of one direction — near-top docs
+    # packed inside ~one extraction subtile
     hot = rng.standard_normal(dim).astype(np.float32)
     hot /= np.linalg.norm(hot)
-    for i in range(100):
+    for i in range(min(100, n - hot0 - 1)):
         v = hot + 3e-3 * rng.standard_normal(dim).astype(np.float32)
-        m[8192 + i] = v / np.linalg.norm(v)
+        m[hot0 + i] = v / np.linalg.norm(v)
     return m
 
 
@@ -138,15 +159,19 @@ def draw_queries(
     rng: np.random.Generator, m: np.ndarray, b: int, tag: str, qvecs: dict
 ) -> list:
     dim = m.shape[1]
+    n = m.shape[0]
+    big = n > 8292  # mirror build_matrix's scaled adversary positions
+    dup = 100 if big else n // 10
+    hot0 = 8192 if big else (2 * n) // 3
     names = []
     for i in range(b):
         mode = rng.integers(0, 4)
         if mode == 0:  # exact corpus row (likely unique top-1)
             v = m[int(rng.integers(0, m.shape[0]))] + 0.0
         elif mode == 1:  # the duplicate-block direction (exact ties at top)
-            v = m[100] + 0.0
+            v = m[dup] + 0.0
         elif mode == 2:  # the hot direction (margin stress)
-            v = m[8192] + 0.0
+            v = m[hot0] + 0.0
         else:  # noise
             v = rng.standard_normal(dim).astype(np.float32)
             v /= np.linalg.norm(v)

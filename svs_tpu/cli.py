@@ -222,7 +222,7 @@ def cmd_bench(argv: List[str]) -> int:
     return 0
 
 
-def main(argv: Optional[list] = None) -> int:
+def main(argv: "Optional[List[str]]" = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "bench":
         return cmd_bench(argv[1:])

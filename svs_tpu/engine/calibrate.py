@@ -30,7 +30,12 @@ import logging
 import os
 import threading
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import TYPE_CHECKING, Callable, Dict, Optional, Tuple
+
+if TYPE_CHECKING:  # pragma: no cover - annotations only
+    import jax
+
+    from .packing import PackedCorpus
 
 log = logging.getLogger(__name__)
 
@@ -180,7 +185,11 @@ def probing_enabled() -> bool:
 
 
 def time_kernel_pair(
-    corpus, q, n_valid_dev, c: int, wide: bool
+    corpus: "PackedCorpus",
+    q: "jax.Array",
+    n_valid_dev: "jax.Array",
+    c: int,
+    wide: bool,
 ) -> Tuple[float, float]:
     """Median-of-3 (after one warmup/compile) wall time of the v2 and v3
     selection kernels at the live shape, on the live corpus.  Fetch-based
@@ -198,7 +207,7 @@ def time_kernel_pair(
 
     int8 = corpus.precision == "int8"
 
-    def run_v2():
+    def run_v2() -> "jax.Array":
         if int8:
             return score_topk_fused2_int8_packed(
                 corpus.data, corpus.row_scales, q, n_valid_dev, c, wide=wide
@@ -207,7 +216,7 @@ def time_kernel_pair(
             corpus.data, q, n_valid_dev, c, wide=wide
         )
 
-    def run_v3():
+    def run_v3() -> "jax.Array":
         if int8:
             return score_topk_fused3_int8_packed(
                 corpus.data, corpus.row_scales, q, n_valid_dev, c, wide=wide
@@ -216,7 +225,7 @@ def time_kernel_pair(
             corpus.data, q, n_valid_dev, c, wide=wide
         )
 
-    def median_time(fn) -> float:
+    def median_time(fn: "Callable[[], jax.Array]") -> float:
         np.asarray(fn())  # warmup + compile
         times = []
         for _ in range(3):

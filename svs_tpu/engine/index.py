@@ -537,6 +537,10 @@ class RetrievalEngine:
         #: Background uploader for large f32 rescore mirrors (joinable —
         #: tests and clean shutdown); spawn bookkeeping under _mirror_lock.
         self._mirror_thread: Optional[threading.Thread] = None
+        #: Deferred PACK uploader (see ``_spawn_pack_upload``): runs
+        #: before any mirror upload for the same corpus; spawn
+        #: bookkeeping under ``_mirror_lock`` like the mirror thread.
+        self._pack_thread: Optional[threading.Thread] = None
         self._mirror_lock = threading.Lock()
         #: Monotonic time of the last query arrival plus an in-flight
         #: count — the background mirror uploader yields the device link
@@ -579,10 +583,11 @@ class RetrievalEngine:
         The replica engine extends this to stop its fan-out pool.
         Called by ``KB.close()``/``AsyncKB.close()``."""
         self._mirror_stop.set()
-        t = self._mirror_thread
-        if t is not None and t.is_alive():
-            t.join(timeout=30.0)
-        self._mirror_thread = None
+        for attr in ("_pack_thread", "_mirror_thread"):
+            t = getattr(self, attr)
+            if t is not None and t.is_alive():
+                t.join(timeout=30.0)
+            setattr(self, attr, None)
         # The engine can be queried again after close() (the replica pool
         # pattern does this) — a fresh event re-arms future uploads; a
         # straggler thread keeps the old, permanently-set one, which it
@@ -685,6 +690,8 @@ class RetrievalEngine:
                 corpus = self._try_sidecar(sidecar_path, fingerprint)
                 if corpus is not None:
                     self.pack_events["sidecar"] += 1
+                    if not corpus.device_ready:
+                        self._spawn_pack_upload(corpus)
                     self._spawn_rescore_cache_rebuild(
                         db.path, corpus, fingerprint
                     )
@@ -703,12 +710,21 @@ class RetrievalEngine:
                     row_multiple=self._row_multiple(matrix.shape[0]),
                     dim_multiple=self._dim_multiple(),
                     keep_host=True,
+                    # Large single-chip packs upload in the background:
+                    # queries answer exactly from the host f32 cache
+                    # meanwhile, so the cold first query is bounded by
+                    # the host scan — not the multi-GB device transfer
+                    # (measured 67-274 s over a shared tunnel).
+                    defer_upload=self.mesh is None,
                 )
+                if not corpus.device_ready:
+                    self._spawn_pack_upload(corpus)
             self._corpus = corpus
             self._fingerprint = fingerprint
             self._quick_token = quick
-            corpus.n_valid_device()  # warm the device scalar with the pack
-            self._maybe_build_device_rescore(corpus)
+            if corpus.device_ready:
+                corpus.n_valid_device()  # warm the device scalar w/ the pack
+                self._maybe_build_device_rescore(corpus)
             return corpus
 
     def _try_incremental_append(
@@ -747,6 +763,7 @@ class RetrievalEngine:
         ):
             return None
         log.info("incremental append: +%d docs (no full repack)", added)
+        old.wait_device()  # a deferred cold-start upload must land first
 
         padded_new = np.zeros((added, old.dim_padded), dtype=np.float32)
         padded_new[:, : new_rows.shape[1]] = new_rows
@@ -903,6 +920,7 @@ class RetrievalEngine:
         emb_ids[dead_below] = emb_ids[live_tail]
         emb_ids = emb_ids[:new_n]
 
+        old.wait_device()  # a deferred cold-start upload must land first
         if dead_below.size:
             src = jnp.asarray(live_tail, dtype=jnp.int32)
             dst = jnp.asarray(dead_below, dtype=jnp.int32)
@@ -1050,14 +1068,8 @@ class RetrievalEngine:
             return None
         placement = self._placement()
         log.info("loading corpus from sidecar %s", path)
-        from .packing import _put, _scales_placement
+        from .packing import DEFER_MIN_BYTES, _put, _scales_placement
 
-        device_data = _put(np.asarray(data), placement)
-        scales_arr = None
-        if row_scales is not None:
-            scales_arr = _put(
-                np.asarray(row_scales), _scales_placement(placement)
-            )
         # The mmap'd file bytes double as the host pack: a later sidecar
         # write (to another path) can stream them without touching the
         # device, and a write to *this* path is skipped entirely.
@@ -1084,6 +1096,29 @@ class RetrievalEngine:
                 np.asarray(data)[:n_valid, : header["dim"]],
                 None,
             )
+        # Same deferral as the scan path (ensure_fresh): when the
+        # sidecar carries an exact host cache, queries can answer from
+        # it immediately — the multi-GB device upload moves to the
+        # background instead of sitting on the cold first query.
+        defer = (
+            self.mesh is None
+            and np.asarray(data).nbytes >= DEFER_MIN_BYTES
+            and host_cache is not None
+        )
+        ready: Optional[threading.Event] = None
+        if defer:
+            device_data: "jax.Array" = np.asarray(data)  # type: ignore[assignment]
+            scales_arr = (
+                np.asarray(row_scales) if row_scales is not None else None
+            )
+            ready = threading.Event()
+        else:
+            device_data = _put(np.asarray(data), placement)
+            scales_arr = None
+            if row_scales is not None:
+                scales_arr = _put(
+                    np.asarray(row_scales), _scales_placement(placement)
+                )
         return PackedCorpus(
             data=device_data,
             row_scales=scales_arr,
@@ -1096,6 +1131,7 @@ class RetrievalEngine:
                 row_scales is not None and n_valid > 0
             ) else 0.0,
             host_cache=host_cache,
+            _device_ready=ready,
         )
 
     def write_sidecar(self, path: Union[str, Path]) -> None:
@@ -1191,6 +1227,92 @@ class RetrievalEngine:
 
     # -- device rescore mirror ------------------------------------------------
 
+    def _spawn_pack_upload(self, corpus: PackedCorpus) -> None:
+        """Background uploader for a deferred pack
+        (``pack_corpus(defer_upload=True)``): stage the host pack onto
+        the device (yielding the link to live queries between chunks),
+        publish the device arrays on the corpus, then kick the rescore
+        mirror build.  While it runs, ``host_route`` answers queries
+        from the host f32 cache; device-only paths block in
+        ``wait_device``.
+
+        Failure policy: transient link errors retry with cleared jit
+        caches; a permanent failure publishes the HOST arrays instead —
+        device calls then pay an implicit per-call upload (correct, slow,
+        loudly logged) rather than deadlocking waiters."""
+        with self._mirror_lock:
+            t = self._pack_thread
+            if t is not None and t.is_alive():
+                return
+            stop = self._mirror_stop
+            host_data = corpus.data
+            host_scales = corpus.row_scales
+
+            def work() -> None:
+                from .packing import staged_device_put
+
+                published = False
+                try:
+                    throttle = functools.partial(
+                        self._mirror_throttle, stop, 5.0
+                    )
+                    log.info(
+                        "uploading pack to device in background (%.2f GB); "
+                        "queries answer from the host cache meanwhile",
+                        host_data.nbytes / 1e9,
+                    )
+                    for attempt in range(3):
+                        try:
+                            dev = staged_device_put(
+                                np.asarray(host_data), self.device,
+                                throttle=throttle,
+                            )
+                            sc = (
+                                jax.device_put(host_scales, self.device)
+                                if host_scales is not None else None
+                            )
+                            dev.block_until_ready()
+                            corpus.publish_device(dev, sc)
+                            published = True
+                            log.info("pack live on device")
+                            self._maybe_build_device_rescore(corpus)
+                            return
+                        except _MirrorUploadAborted:
+                            return
+                        except Exception as exc:
+                            jax.clear_caches()
+                            if attempt == 2:
+                                raise
+                            log.warning(
+                                "pack upload failed (%s); retrying", exc
+                            )
+                            time.sleep(2.0 * (attempt + 1))
+                except Exception:
+                    log.warning(
+                        "background pack upload failed permanently; "
+                        "device calls will pay per-call uploads",
+                        exc_info=True,
+                    )
+                finally:
+                    if not published:
+                        # release waiters even on abort/failure — the
+                        # host arrays stay (correct; device paths
+                        # implicitly upload per call)
+                        corpus.publish_device(host_data, host_scales)
+
+            t = threading.Thread(
+                target=work, name="svs-tpu-pack-upload", daemon=True
+            )
+            t.start()
+            self._pack_thread = t
+
+    @property
+    def pack_uploading(self) -> bool:
+        """True while a deferred pack upload is in flight (cold start:
+        queries answer from the host cache, exactly)."""
+        t = self._pack_thread
+        return t is not None and t.is_alive()
+
     def _maybe_build_device_rescore(self, corpus: PackedCorpus) -> None:
         """Upload the f32 rescore cache to HBM (policy-gated) so batched
         rescores gather on-device instead of dragging ~O(B*C*d) candidate
@@ -1208,6 +1330,7 @@ class RetrievalEngine:
         """
         if (
             corpus.dev_rescore is not None
+            or not corpus.device_ready  # pack uploader calls back after
             or not self.rescore
             or self.device_rescore == "host"
             or corpus.n_valid == 0
@@ -1374,23 +1497,38 @@ class RetrievalEngine:
         return t is not None and t.is_alive()
 
     def wait_for_mirror(self, timeout: Optional[float] = None) -> bool:
-        """Block until any background mirror upload finishes (benchmarks
-        and tests that want steady-state behavior).  Returns False if a
-        timeout elapsed first."""
-        t = self._mirror_thread
-        if t is not None:
-            t.join(timeout)
-            return not t.is_alive()
+        """Block until background uploads finish — the deferred pack
+        upload first (it spawns the mirror build when it lands), then
+        the f32 mirror (benchmarks and tests that want steady-state
+        behavior).  Returns False if a timeout elapsed first."""
+        deadline = (
+            None if timeout is None else time.monotonic() + timeout
+        )
+        for attr in ("_pack_thread", "_mirror_thread"):
+            t = getattr(self, attr)
+            if t is None:
+                continue
+            left = (
+                None if deadline is None
+                else max(0.0, deadline - time.monotonic())
+            )
+            t.join(left)
+            if t.is_alive():
+                return False
         return True
 
-    def _mirror_throttle(self, stop: threading.Event) -> None:
+    def _mirror_throttle(
+        self, stop: threading.Event, max_defer: float = 60.0
+    ) -> None:
         """Called between background-upload chunks: wait until no query
         is in flight AND arrivals have a 250 ms quiet gap, so the upload
         never starves live traffic on a slow device link — but never
-        defer a single chunk past 60 s (progress guarantee under
-        sustained load).  Aborts when ``stop`` (the shutdown event
-        captured when this upload was spawned) is set."""
-        deadline = time.monotonic() + 60.0
+        defer a single chunk past ``max_defer`` seconds (progress
+        guarantee under sustained load; the PACK upload uses a tight
+        bound — finishing it is what ends the slower host-answering
+        phase).  Aborts when ``stop`` (the shutdown event captured when
+        this upload was spawned) is set."""
+        deadline = time.monotonic() + max_defer
         while True:
             if stop.is_set():
                 raise _MirrorUploadAborted()
@@ -1509,29 +1647,46 @@ class RetrievalEngine:
             or corpus.n_valid == 0
         ):
             return False
+        if not corpus.device_ready:
+            # Pre-upload cold start: the pack is still crossing the
+            # device link in the background — the host exact scan
+            # (sub-second at 1M) beats waiting out a multi-GB upload at
+            # ANY batch size, so no score-matrix guard here
+            # (host_topk_exact slabs the batch to bound memory).
+            return True
         if self.host_dispatch == "force":
             return True
         if batch * corpus.n_valid * 4 > _HOST_SCAN_MAX_SCORE_BYTES:
             return False
-        # Per-query matvec re-reads the cache once per query (kept for
-        # reference-bit-identical accumulation), so host cost scales
-        # with the batch; one device RPC serves the whole batch.
-        host_s = batch * corpus.host_f32.nbytes / self._host_scan_bw
+        # One GEMM pass per query slab (host_topk_exact); one device RPC
+        # serves the whole batch.
+        slab = max(
+            1, _HOST_SCAN_MAX_SCORE_BYTES // max(1, corpus.n_valid * 4)
+        )
+        passes = -(-batch // slab)
+        host_s = passes * corpus.host_f32.nbytes / self._host_scan_bw
         return host_s < self.device_rpc_floor()
 
     def host_topk_exact(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact top-``k`` over the WHOLE corpus on the host: per-query
-        ``np.dot`` matvec over the f32 cache (the reference's exact
-        accumulation, ``svs/kb.py:1185``) + the reference tie rule.
+        """Exact top-``k`` over the WHOLE corpus on the host + the
+        reference tie rule.  Solo queries use a ``np.dot`` matvec (the
+        reference's exact accumulation, ``svs/kb.py:1185`` —
+        bit-identical scores); batches use ONE BLAS GEMM per query slab
+        so the cache is read once per slab, not once per query (a
+        256-query pre-upload batch over a 6.1 GB cache measured ~560 s
+        as per-query matvecs vs seconds as a GEMM).  GEMM accumulation
+        can differ from the matvec in the last ulp — the same contract
+        as the default on-device rescore (``device_rescore='auto'``).
 
-        This is the small-corpus fast path ``host_route`` dispatches to —
-        identical results to the device path by construction (same exact
-        scores, same tie rule; no margin proof needed, every document is
-        scored in f32).  Returns ``(emb_ids int64 [B, k'], scores f32
-        [B, k'])`` with ``k' = min(k, n_valid)``.  Also feeds the
-        measured scan bandwidth back into the dispatch rule's EWMA."""
+        This is the small-corpus fast path ``host_route`` dispatches to
+        (and the pre-upload cold-start path) — same exact f32 scores,
+        same tie rule as the device path; no margin proof needed, every
+        document is scored in f32.  Returns ``(emb_ids int64 [B, k'],
+        scores f32 [B, k'])`` with ``k' = min(k, n_valid)``.  Also feeds
+        the measured scan bandwidth back into the dispatch rule's
+        EWMA."""
         hf, rm = corpus.host_f32, corpus.host_row_map
         assert hf is not None, "host_topk_exact requires the host f32 cache"
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
@@ -1549,15 +1704,29 @@ class RetrievalEngine:
             emb_hf = np.empty_like(corpus.emb_ids)
             emb_hf[rm] = corpus.emb_ids
         t0 = time.perf_counter()
-        exact = np.empty((b, hf.shape[0]), dtype=np.float32)
-        for i in range(b):
-            exact[i] = hf @ queries[i]
+        # Slab the batch so the [B, n] score matrix stays bounded (the
+        # pre-upload path routes ANY batch size here).
+        slab = max(1, _HOST_SCAN_MAX_SCORE_BYTES // max(1, hf.shape[0] * 4))
+        emb_out = np.empty((b, k_eff), dtype=np.int64)
+        score_out = np.empty((b, k_eff), dtype=np.float32)
+        passes = 0
+        for lo in range(0, b, slab):
+            hi = min(b, lo + slab)
+            passes += 1
+            if hi - lo == 1:
+                # matvec: the reference's exact accumulation order
+                exact = (hf @ queries[lo])[None, :]
+            else:
+                # one GEMM: single pass over the cache for the slab
+                exact = queries[lo:hi] @ hf.T
+            emb_out[lo:hi], score_out[lo:hi] = _subset_select_np(
+                exact, emb_hf, k_eff
+            )
         elapsed = time.perf_counter() - t0
         if elapsed > 1e-5:
-            measured = b * hf.nbytes / elapsed
+            measured = passes * hf.nbytes / elapsed
             self._host_scan_bw = 0.5 * self._host_scan_bw + 0.5 * measured
-        emb, scores = _subset_select_np(exact, emb_hf, k_eff)
-        return emb, scores
+        return emb_out, score_out
 
     @_marks_inflight
     def topk_with_rescore(
@@ -2383,6 +2552,7 @@ class RetrievalEngine:
         handle they would cross the host->device link TWICE per batch
         (1.5 MB each at B=256 d=1536; tunnel links measure tens of ms/MB).
         """
+        corpus.wait_device()  # deferred cold-start packs finish uploading
         q = (
             q_dev
             if q_dev is not None
@@ -2559,6 +2729,7 @@ class RetrievalEngine:
         instead) — sound either way."""
         if self.mesh is not None:
             return None
+        corpus.wait_device()  # deferred cold-start packs finish uploading
         f = int(rows.size)
         f_pad = max(-(-f // ROW_MULTIPLE) * ROW_MULTIPLE, ROW_MULTIPLE)
         rows_p = np.zeros(f_pad, dtype=np.int32)
@@ -2613,6 +2784,7 @@ class RetrievalEngine:
         if k_eff <= 0:
             empty_i = np.zeros((0,), dtype=np.int64)
             return np.zeros((0,), dtype=np.float32), empty_i, empty_i
+        corpus.wait_device()  # deferred cold-start packs finish uploading
 
         if self.mesh is not None:
             from ..parallel.pairwise_sharded import sharded_pairwise_topk

@@ -21,6 +21,7 @@ Precision modes:
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Callable, Optional, Tuple, Union
 
 import jax
@@ -275,6 +276,15 @@ class PackedCorpus:
     _emb_sort: Optional[Tuple[np.ndarray, np.ndarray]] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    #: Deferred-upload gate: ``None`` = the pack was born on device; an
+    #: Event = ``data``/``row_scales`` are HOST arrays until a background
+    #: upload publishes the device copies and sets it
+    #: (``RetrievalEngine._spawn_pack_upload``).  While unset, queries
+    #: answer exactly from the host f32 cache (``host_route``) — cold
+    #: start is bounded by the host scan, not the multi-GB upload.
+    _device_ready: Optional[threading.Event] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
     #: Replica-mode clones of this pack on other devices (one per
     #: secondary device, set by ``parallel.replicas.ReplicaEngine``).
     #: Attached to the CORPUS — not to engine state — so an in-flight
@@ -285,6 +295,34 @@ class PackedCorpus:
     replica_clones: Optional[Tuple["PackedCorpus", ...]] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+
+    @property
+    def device_ready(self) -> bool:
+        """Whether ``data``/``row_scales`` are live device arrays (True
+        for every non-deferred pack)."""
+        ev = self._device_ready
+        return ev is None or ev.is_set()
+
+    def wait_device(self, timeout: Optional[float] = None) -> bool:
+        """Block until the background pack upload publishes the device
+        arrays; device-path entry points call this so a query that needs
+        the device (big batch, pairwise) waits instead of touching host
+        arrays."""
+        ev = self._device_ready
+        return True if ev is None else bool(ev.wait(timeout))
+
+    def publish_device(
+        self,
+        data: "Union[jax.Array, np.ndarray]",
+        row_scales: "Optional[Union[jax.Array, np.ndarray]]",
+    ) -> None:
+        """Swap the host arrays for their device copies and release
+        waiters (called exactly once, by the engine's uploader thread)."""
+        object.__setattr__(self, "data", data)
+        object.__setattr__(self, "row_scales", row_scales)
+        ev = self._device_ready
+        if ev is not None:
+            ev.set()
 
     @property
     def host_f32(self) -> Optional[np.ndarray]:
@@ -429,6 +467,15 @@ def pack_host(
     return host_data, host_scales, emb_ids, matrix, host_row_map, n, d
 
 
+#: Packs at/above this many device bytes may defer their upload to a
+#: background thread (``pack_corpus(defer_upload=True)``): the corpus
+#: publishes immediately with HOST arrays + an unset ``_device_ready``
+#: event, queries answer exactly from the host f32 cache meanwhile, and
+#: the engine's uploader swaps in the device copies.  Below it the
+#: upload is cheaper than the machinery.
+DEFER_MIN_BYTES = STAGE_CHUNK_BYTES
+
+
 def pack_corpus(
     matrix: np.ndarray,
     emb_ids: np.ndarray,
@@ -438,6 +485,7 @@ def pack_corpus(
     row_multiple: int = ROW_MULTIPLE,
     dim_multiple: int = DIM_MULTIPLE,
     keep_host: bool = False,
+    defer_upload: bool = False,
 ) -> "Union[PackedCorpus, Tuple[PackedCorpus, HostPack]]":
     """Pack a host f32 ``[n, d]`` matrix for device search.
 
@@ -446,6 +494,15 @@ def pack_corpus(
     also return the host-side packed arrays (same bytes that went to the
     device) so a sidecar write never has to pull them back off the device
     — a 3 GB device->host read costs minutes on tunneled setups.
+
+    ``defer_upload`` (single-device placements, packs past
+    ``DEFER_MIN_BYTES``, host f32 cache retained): skip the device
+    upload entirely — ``data``/``row_scales`` hold the HOST pack and
+    ``_device_ready`` is an unset event.  The caller owns getting the
+    bytes to the device (``RetrievalEngine._spawn_pack_upload``) and
+    publishing via :meth:`PackedCorpus.publish_device`; until then the
+    engine answers queries from the host cache, so a cold first query
+    costs one host scan instead of waiting out a multi-GB upload.
     """
     (
         host_data,
@@ -462,12 +519,25 @@ def pack_corpus(
         row_multiple=row_multiple,
         dim_multiple=dim_multiple,
     )
-    data = _put(host_data, placement)
-    row_scales = (
-        _put(host_scales, _scales_placement(placement))
-        if host_scales is not None
-        else None
+    keep_cache = matrix.nbytes <= rescore_cache_limit()
+    defer = (
+        defer_upload
+        and not isinstance(placement, jax.sharding.Sharding)
+        and host_data.nbytes >= DEFER_MIN_BYTES
+        and keep_cache  # no host cache -> nothing to answer from; upload now
     )
+    if defer:
+        data: "jax.Array" = host_data  # type: ignore[assignment]
+        row_scales = host_scales  # type: ignore[assignment]
+        ready: Optional[threading.Event] = threading.Event()
+    else:
+        data = _put(host_data, placement)
+        row_scales = (
+            _put(host_scales, _scales_placement(placement))
+            if host_scales is not None
+            else None
+        )
+        ready = None
 
     corpus = PackedCorpus(
         data=data,
@@ -484,9 +554,10 @@ def pack_corpus(
         # just residency
         host_cache=(
             (np.asarray(matrix, dtype=np.float32), host_row_map)
-            if matrix.nbytes <= rescore_cache_limit()
+            if keep_cache
             else None
         ),
+        _device_ready=ready,
     )
     if keep_host:
         return corpus, HostPack(data=host_data, row_scales=host_scales)

@@ -38,7 +38,7 @@ import logging
 import os
 import struct
 from pathlib import Path
-from typing import TYPE_CHECKING, Optional, Sequence, Tuple, Union
+from typing import TYPE_CHECKING, Any, Dict, List, Optional, Sequence, Tuple, Union
 
 if TYPE_CHECKING:  # avoid a runtime import cycle with .packing
     from .packing import HostPack, PackedCorpus
@@ -170,7 +170,7 @@ def save_sidecar_arrays(
     )
 
 
-def sidecar_fingerprint(path: Union[str, Path]) -> Optional[list]:
+def sidecar_fingerprint(path: Union[str, Path]) -> "Optional[List[int]]":
     """The stored fingerprint of the sidecar at ``path`` (header-only
     read), or ``None`` when missing/unreadable.  Lets publish-time writes
     skip rewriting an already-current file without mapping its data."""
@@ -191,7 +191,7 @@ def sidecar_fingerprint(path: Union[str, Path]) -> Optional[list]:
 def load_sidecar(
     path: Union[str, Path],
     expected_version: Union[int, Sequence[int], None] = None,
-) -> Optional[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray, dict]]:
+) -> "Optional[Tuple[np.ndarray, Optional[np.ndarray], np.ndarray, Dict[str, Any]]]":
     """Load a sidecar as memory-mapped arrays.
 
     Returns ``(data, row_scales, emb_ids, header)`` or ``None`` when the

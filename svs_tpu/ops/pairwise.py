@@ -26,7 +26,7 @@ selection ~100x).
 from __future__ import annotations
 
 import functools
-from typing import Any, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ _FORCE_EXTRACT_INTERPRET = False
 _ESCALATION = (64, 1024)
 
 
-def escalation_widths(k: int, n_rows_total: int, width_cap: int) -> list:
+def escalation_widths(k: int, n_rows_total: int, width_cap: int) -> "List[int]":
     """The per-row widths to attempt: escalation stages capped at
     ``width_cap`` (the per-row maximum), skipping widths whose total
     selected lanes (``n_rows_total * m``) could not even hold ``k``

@@ -167,6 +167,9 @@ class ReplicaEngine(RetrievalEngine):
         with self._clone_lock:
             clones = corpus.replica_clones
             if clones is None:
+                # a deferred cold-start pack must land on the primary
+                # before clones copy device->device
+                corpus.wait_device()
                 log.info(
                     "cloning pack to %d replica device(s)",
                     len(self._secondaries),

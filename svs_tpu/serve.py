@@ -21,7 +21,8 @@ Routes (JSON in/out):
 
 - ``GET  /healthz``   -> ``{"ok": true, "docs": N, "warming": bool}``
   (doc count cached ~1 s so health probes never add store queries under
-  load; ``warming`` is true while the background f32-mirror upload runs)
+  load; ``warming`` is true while a background pack or f32-mirror
+  upload runs)
 - ``GET  /stats``     -> KB phase timings + server batching counters
 - ``POST /retrieve``  -> ``{"query": str | "queries": [str], "n": int,
   "meta_filter"?: {key: value}}`` -> one result list per query; each hit
@@ -370,7 +371,8 @@ def make_app(
                 # flight: results are exact either way, but batched
                 # latency improves once it lands — load balancers can
                 # prefer non-warming replicas.
-                "warming": kb.engine.mirror_uploading,
+                "warming": (kb.engine.pack_uploading
+                            or kb.engine.mirror_uploading),
             }
         )
 

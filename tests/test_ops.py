@@ -413,6 +413,32 @@ def test_pairwise_blocked_drives_selection_through_shared_seam(
     ]
 
 
+def test_select_rows_topm_extraction_route_miniature(monkeypatch):
+    """Default-suite representative execution of the pairwise
+    extraction routing (``select_rows_topm`` -> pad columns to the
+    kernel block -> ``extract_topk`` under interpret): a handful of
+    rows over one 8192-column block runs in seconds, vs the weekly
+    full-corpus drive below (minutes at [4096, 8192]).  Route-pinned:
+    the dispatch predicate must actually choose extraction here."""
+    import svs_tpu.ops.pairwise as pairwise_mod
+    from svs_tpu.ops.pairwise import extraction_route_chosen, select_rows_topm
+
+    monkeypatch.setattr(pairwise_mod, "_FORCE_EXTRACT_INTERPRET", True)
+    rows, n, m = 8, 9000, 9
+    assert extraction_route_chosen(n, rows, m)
+    rng = np.random.default_rng(5)
+    scores = (rng.random((rows, n)) * 2.0 - 1.0).astype(np.float32)
+    vals, idx = select_rows_topm(jnp.asarray(scores), m)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for r in range(rows):
+        oracle = np.sort(scores[r])[::-1][:m]
+        np.testing.assert_allclose(vals[r], oracle, atol=2.0**-12)
+        assert (idx[r] < n).all(), "column padding leaked"
+        np.testing.assert_allclose(
+            scores[r][idx[r]], oracle, atol=2.0**-12
+        )
+
+
 @pytest.mark.skipif(
     not os.environ.get("SVS_TPU_SLOW_TESTS"),
     reason="interpret-mode pairwise extraction takes minutes; "
@@ -510,9 +536,31 @@ def test_pairwise_huge_k_skips_too_narrow_widths(unit_rows):
     )
 
 
+def test_stress_oracle_micro(monkeypatch, tmp_path):
+    """Default-suite miniature of the randomized end-to-end oracle
+    stress: the full KB retrieve pipeline (XLA prescore dispatch,
+    device/host rescore, margin widen, hints, hydration) against the
+    exhaustive NumPy oracle with planted ties / near-ties, at shapes
+    that run in seconds.  The weekly SMOKE tier runs the same harness
+    at block-aligned shapes where the pallas kernels engage."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    monkeypatch.setenv("SVS_STRESS_MICRO", "1")
+    monkeypatch.delenv("SVS_STRESS_SMOKE", raising=False)
+    import importlib
+
+    import benchmarks.tpu_stress_oracle as stress
+
+    importlib.reload(stress)  # re-read the MICRO env gate
+    monkeypatch.setattr(stress, "WORK", tmp_path)
+    stress.main(seed=3)
+
+
 @pytest.mark.skipif(
     not os.environ.get("SVS_TPU_SLOW_TESTS"),
-    reason="full-pipeline oracle stress takes ~a minute on the CPU "
+    reason="full-pipeline oracle stress takes ~10 minutes on the CPU "
     "backend; set SVS_TPU_SLOW_TESTS=1 to run",
 )
 def test_stress_oracle_smoke(monkeypatch, tmp_path):

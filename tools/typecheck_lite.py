@@ -11,6 +11,12 @@ executes in CI and in the default test suite (``tests/test_typing.py``):
   (except ``self``/``cls``) AND its return type;
 - ``disallow_untyped_decorators`` is approximated by the same rule
   applied to nested/decorated defs;
+- ``disallow_any_generics``: a bare generic in a signature annotation
+  (``List``, ``Dict``, ``Callable``, builtin ``list``/``dict``/...)
+  types as ``Any`` parameters under strict mypy — every generic in a
+  def signature must be parameterized;
+- ``ignore-without-code``: every ``# type: ignore`` must carry an error
+  code (``# type: ignore[attr-defined]``) so suppressions stay narrow;
 - lambdas are exempt (as in mypy).
 
 Part 2 is the typeguard runtime check (``tests/test_typing.py``), which
@@ -66,9 +72,61 @@ def _iter_defs(
     yield from v.out
 
 
+#: Generic types that are ``Any``-parameterized when written bare in an
+#: annotation (mypy strict: ``disallow_any_generics``).  ``type`` is
+#: excluded: bare ``type`` is a valid non-generic annotation.
+_BARE_GENERICS = {
+    "List", "Dict", "Tuple", "Set", "FrozenSet", "Deque", "DefaultDict",
+    "OrderedDict", "Counter", "Iterator", "Iterable", "Sequence",
+    "Mapping", "MutableMapping", "Callable", "Awaitable", "Coroutine",
+    "AsyncIterator", "AsyncIterable", "Generator", "AsyncGenerator",
+    "list", "dict", "tuple", "set", "frozenset",
+}
+
+_IGNORE_RE = __import__("re").compile(
+    r"#\s*type:\s*ignore(?!\[)"
+)
+
+
+def _bare_generics_in(annotation: ast.AST) -> Iterator[str]:
+    """Names from ``_BARE_GENERICS`` appearing UNPARAMETERIZED anywhere
+    in an annotation expression (a Subscript's value is parameterized —
+    its slice is walked for nested bare generics)."""
+    if isinstance(annotation, ast.Subscript):
+        yield from _bare_generics_in(annotation.slice)
+        return
+    if isinstance(annotation, ast.Name):
+        if annotation.id in _BARE_GENERICS:
+            yield annotation.id
+        return
+    if isinstance(annotation, ast.Attribute):
+        if annotation.attr in _BARE_GENERICS:
+            yield annotation.attr
+        return
+    if isinstance(annotation, ast.Constant):
+        # string annotation: parse and recurse (from __future__
+        # annotations makes these rare but they exist)
+        if isinstance(annotation.value, str):
+            try:
+                sub = ast.parse(annotation.value, mode="eval").body
+            except SyntaxError:
+                return
+            yield from _bare_generics_in(sub)
+        return
+    for child in ast.iter_child_nodes(annotation):
+        yield from _bare_generics_in(child)
+
+
 def check_file(path: Path) -> List[str]:
-    tree = ast.parse(path.read_text(), filename=str(path))
+    src = path.read_text()
+    tree = ast.parse(src, filename=str(path))
     problems: List[str] = []
+    for lineno, line in enumerate(src.splitlines(), 1):
+        if _IGNORE_RE.search(line):
+            problems.append(
+                f"{path}:{lineno}: bare '# type: ignore' (add an error "
+                f"code: '# type: ignore[code]')"
+            )
     for node, is_method in _iter_defs(tree):
         assert isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
         args = node.args
@@ -90,11 +148,24 @@ def check_file(path: Path) -> List[str]:
                     f"{path}:{node.lineno}: def {node.name}: parameter "
                     f"{a.arg!r} missing annotation"
                 )
+            else:
+                for g in _bare_generics_in(a.annotation):
+                    problems.append(
+                        f"{path}:{node.lineno}: def {node.name}: parameter "
+                        f"{a.arg!r} uses bare generic {g!r} "
+                        f"(disallow_any_generics)"
+                    )
         if node.returns is None:
             problems.append(
                 f"{path}:{node.lineno}: def {node.name}: missing return "
                 f"annotation"
             )
+        else:
+            for g in _bare_generics_in(node.returns):
+                problems.append(
+                    f"{path}:{node.lineno}: def {node.name}: return uses "
+                    f"bare generic {g!r} (disallow_any_generics)"
+                )
     return problems
 
 
