@@ -176,6 +176,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from svs_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs reuse kernel binaries
+
     from svs_tpu.ops.pallas_extract import (
         BLOCK_N,
         extract_supported,

@@ -152,6 +152,7 @@ def run_tpu(args: argparse.Namespace) -> dict:
 
     sidecar_used = Path(f"{path}.svsx").exists()
     agree = _agreement_ids(kb, args.k)
+    stats = kb.stats()
     kb.close()
     return {
         "system": f"svs_tpu {svs_tpu.__version__}",
@@ -163,6 +164,14 @@ def run_tpu(args: argparse.Namespace) -> dict:
         "warm_query": warm,
         "batch": batch,
         "agreement_ids": agree,
+        # which engine answered the solo warm queries: the automatic
+        # host-path dispatch serves small corpora from the host f32
+        # cache when the device RPC floor exceeds the scan cost
+        # (``RetrievalEngine.host_route``)
+        "host_search_count": stats.get("host_search", {}).get("count", 0),
+        "device_search_count": (
+            stats.get("device_search", {}).get("count", 0)
+        ),
     }
 
 

@@ -43,7 +43,22 @@ async def run() -> None:
     t0 = time.perf_counter()
     await kb.load()
     print(f"load {time.perf_counter() - t0:.1f}s", flush=True)
+    # steady-state measurement: the deferred pack + f32 mirror uploads
+    # contend for the device link and the (single) host core
+    t0 = time.perf_counter()
+    ok = await asyncio.get_running_loop().run_in_executor(
+        None, lambda: kb.engine.wait_for_mirror(900)
+    )
+    print(f"uploads settled={ok} {time.perf_counter() - t0:.1f}s", flush=True)
 
+    t0 = time.perf_counter()
+    # warm only the buckets this closed-loop load reaches (1 and the
+    # full CLIENTS bucket) at the n BUCKET the batcher will run
+    from svs_tpu.serve import _n_bucket
+
+    buckets = sorted({1, min(256, 1 << (CLIENTS - 1).bit_length())})
+    await kb.warmup(buckets, n=_n_bucket(TOP_N))
+    print(f"shape warmup {time.perf_counter() - t0:.1f}s", flush=True)
     app = make_app(kb)
     runner = web.AppRunner(app)
     await runner.setup()
@@ -77,12 +92,26 @@ async def run() -> None:
     async with aiohttp.ClientSession(
         timeout=aiohttp.ClientTimeout(total=None)
     ) as session:
-        # warm the device pipeline (compile) before the timed window
+        # warm the device pipeline (compile) before the timed window —
+        # including the BATCHED shapes the window will hit: the batcher
+        # buckets coalesced batch sizes to powers of two, so a few
+        # full-concurrency bursts compile every bucket the load will use
         async with session.post(
             url, json={"query": "warmup", "n": TOP_N}
         ) as resp:
             await resp.json()
             assert resp.status == 200
+
+        async def one_warm(i: int) -> None:
+            async with session.post(
+                url, json={"query": f"warm {i}", "n": TOP_N}
+            ) as resp:
+                await resp.json()
+
+        t0 = time.perf_counter()
+        for _ in range(3):
+            await asyncio.gather(*(one_warm(i) for i in range(CLIENTS)))
+        print(f"batched warmup {time.perf_counter() - t0:.1f}s", flush=True)
         stop = time.perf_counter() + SECONDS
         t0 = time.perf_counter()
         await asyncio.gather(*(client(c, session) for c in range(CLIENTS)))
@@ -112,6 +141,14 @@ async def run() -> None:
             f"avg_batch {srv['avg_batch']:.1f}  shed {srv['shed']}",
             flush=True,
         )
+        kb_stages = stats.get("kb", {})
+        if isinstance(kb_stages, dict):
+            print("  " + "  ".join(
+                f"{name}: p50 {st['p50_s'] * 1e3:.1f}ms mean "
+                f"{st['mean_s'] * 1e3:.1f}ms x{st['count']}"
+                for name, st in sorted(kb_stages.items())
+                if isinstance(st, dict) and "p50_s" in st
+            ), flush=True)
 
 
 def main() -> None:

@@ -194,6 +194,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         max_batch=args.max_batch,
         window_ms=args.batch_window_ms,
         max_queue=args.max_queue,
+        warm=not args.no_warm,
         precision=args.precision,
         sidecar="auto",
         replicas=args.replicas,
@@ -313,6 +314,9 @@ def main(argv: "Optional[List[str]]" = None) -> int:
                    help="replicate the corpus to the first N devices and "
                    "split each micro-batch across them (throughput mode; "
                    "corpus must fit one chip)")
+    p.add_argument("--no-warm", action="store_true",
+                   help="skip pre-compiling the batcher's batch shapes "
+                   "at startup (early requests then pay jit compiles)")
     p.set_defaults(fn=cmd_serve)
 
     sub.add_parser("bench", help="run the benchmark harness (see bench.py)")

@@ -93,6 +93,14 @@ _HOST_SCAN_MAX_SCORE_BYTES = 256 * 1024 * 1024
 #: ``SVS_TPU_HOST_SCAN_BW``.
 _HOST_SCAN_BW_PRIOR = 6e9
 
+#: Prior for the device round-trip floor, used until a clean measurement
+#: lands (tunneled deployments measure ~25-30 ms; local PCIe <1 ms).
+#: The floor must NOT be measured while uploads or queries are in
+#: flight: a tiny probe queued behind a 600 MB mirror chunk measured
+#: 50 s and poisoned the dispatch into host scans under load.  Env
+#: override: ``SVS_TPU_RPC_FLOOR``.
+_RPC_FLOOR_PRIOR = 0.030
+
 
 @jax.jit
 def _write_rows(buf: jax.Array, new: jax.Array, n0: jax.Array) -> jax.Array:
@@ -409,6 +417,9 @@ class RetrievalEngine:
         kernel: str = "auto",
         device_rescore: str = "auto",
     ) -> None:
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         if precision not in ("auto", "f32", "bf16", "int8"):
             raise ValueError(f"unknown precision: {precision!r}")
         if device_rescore not in ("auto", "host"):
@@ -1610,24 +1621,38 @@ class RetrievalEngine:
         """Measured round-trip floor of one minimal dispatch+fetch on
         this engine's device: ~30 ms on tunneled deployments, ~0.1 ms
         locally.  Measured lazily once per engine (min of 3 runs of a
-        pre-compiled 8-element reduction — the time is all RPC)."""
-        if self._rpc_floor is None:
-            try:
-                dev = self.device
-                if dev is None and self.mesh is not None:
-                    dev = next(iter(self.mesh.devices.flat))
-                x = jax.device_put(np.zeros(8, np.float32), dev)
-                f = jax.jit(jnp.sum)
-                np.asarray(f(x))  # compile outside the timed runs
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    np.asarray(f(x))
-                    best = min(best, time.perf_counter() - t0)
-            except Exception:  # no device at all -> host always wins
-                best = float("inf")
-            self._rpc_floor = best
-            log.info("device RPC floor: %.2f ms", best * 1e3)
+        pre-compiled 8-element reduction — the time is all RPC).
+
+        Never measured while uploads or searches are in flight: the
+        probe would queue behind them (a 600 MB mirror chunk held one
+        probe for ~50 s) and the inflated floor would mis-route load to
+        host scans.  Until a quiet moment arrives, the prior stands
+        (``SVS_TPU_RPC_FLOOR``, default 30 ms)."""
+        if self._rpc_floor is not None:
+            return self._rpc_floor
+        from ..utils.env import env_float
+
+        prior = env_float("SVS_TPU_RPC_FLOOR", _RPC_FLOOR_PRIOR)
+        with self._inflight_lock:
+            busy = self._inflight > 0
+        if busy or self.pack_uploading or self.mirror_uploading:
+            return prior  # uncached: re-attempt at the next quiet call
+        try:
+            dev = self.device
+            if dev is None and self.mesh is not None:
+                dev = next(iter(self.mesh.devices.flat))
+            x = jax.device_put(np.zeros(8, np.float32), dev)
+            f = jax.jit(jnp.sum)
+            np.asarray(f(x))  # compile outside the timed runs
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(f(x))
+                best = min(best, time.perf_counter() - t0)
+        except Exception:  # no device at all -> host always wins
+            best = float("inf")
+        self._rpc_floor = best
+        log.info("device RPC floor: %.2f ms", best * 1e3)
         return self._rpc_floor
 
     def host_route(self, corpus: PackedCorpus, batch: int) -> bool:

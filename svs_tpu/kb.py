@@ -1030,6 +1030,42 @@ class AsyncKB:
             if warmed:
                 log.info("hydration cache prewarmed (%d rows)", warmed)
 
+    async def warmup(
+        self,
+        batch_sizes: Sequence[int] = (1,),
+        n: int = 16,
+        rounds: int = 2,
+    ) -> None:
+        """Pre-compile the search pipeline for the given batch sizes.
+
+        Every distinct batch size is a distinct jit shape; at 1M x 1536
+        each compile costs 5-20 s on a tunneled device, so a server that
+        coalesces variable-size bursts pays multi-second tail latencies
+        until every bucket it uses has compiled (measured: 36 s p99
+        through a whole serve load window).  This drives one synthetic
+        random-unit-vector batch per size through the REAL search +
+        hydration path (results discarded), so steady state starts warm.
+        ``serve`` calls it on startup with the micro-batcher's bucket
+        ladder and its ``n`` BUCKET (the compiled shape depends on the
+        bucketed n, not the client's raw n).  ``rounds=2`` (default)
+        repeats each size so the second pass runs at the LEARNED
+        candidate width — margin-driven widening otherwise compiles a
+        fresh width on the first live batch."""
+        corpus = await self._ensure_engine_fresh()
+        if corpus.n_valid == 0 or corpus.dim == 0:
+            return
+        rng = np.random.default_rng(0)
+        for b in batch_sizes:
+            for _ in range(max(1, rounds)):
+                v = rng.standard_normal(
+                    (int(b), corpus.dim)
+                ).astype(np.float32)
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                with phase("warmup", self._stats):
+                    await self._search_hydrated(
+                        corpus, v, min(n, corpus.n_valid)
+                    )
+
     async def close(
         self,
         vacuum: bool = False,
@@ -1872,6 +1908,27 @@ class KB:
                 warmed = self._doc_cache.prewarm(tx)
             if warmed:
                 log.info("hydration cache prewarmed (%d rows)", warmed)
+
+    def warmup(
+        self,
+        batch_sizes: Sequence[int] = (1,),
+        n: int = 16,
+        rounds: int = 2,
+    ) -> None:
+        """Sync mirror of :meth:`AsyncKB.warmup` (pre-compile the search
+        pipeline for the given batch sizes)."""
+        corpus = self._ensure_engine_fresh()
+        if corpus.n_valid == 0 or corpus.dim == 0:
+            return
+        rng = np.random.default_rng(0)
+        for b in batch_sizes:
+            for _ in range(max(1, rounds)):
+                v = rng.standard_normal(
+                    (int(b), corpus.dim)
+                ).astype(np.float32)
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                with phase("warmup", self._stats):
+                    self._search_hydrated(corpus, v, min(n, corpus.n_valid))
 
     def close(
         self,

@@ -616,3 +616,93 @@ async def test_retrieve_meta_filter(db_path):
     finally:
         await client.close()
         await kb.close()
+
+
+async def test_fragment_cache_meta_update_invalidates(db_path):
+    """/retrieve responses assemble from preserialized doc fragments; a
+    meta update (a store write -> new freshness epoch) must invalidate
+    them, and repeated identical requests must serve from the cache."""
+    kb = await _make_kb(db_path)
+    client = await _client(kb, writable=True)
+    try:
+        r = await client.post("/retrieve", json={"query": "vec:5", "n": 1})
+        doc = (await r.json())["results"][0]["doc"]
+        assert doc["meta"] is None
+        doc_id = doc["id"]
+
+        # cache warm: identical request, identical payload
+        r2 = await client.post("/retrieve", json={"query": "vec:5", "n": 1})
+        assert (await r2.json())["results"][0]["doc"] == doc
+
+        r = await client.put(f"/doc/{doc_id}/meta", json={"tag": "fresh"})
+        assert r.status == 200
+        r3 = await client.post("/retrieve", json={"query": "vec:5", "n": 1})
+        got = (await r3.json())["results"][0]["doc"]
+        assert got["meta"] == {"tag": "fresh"}
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_fragment_render_matches_json_dumps(db_path):
+    """Byte-assembled responses must parse to exactly what the
+    dict+json.dumps path produced (scores as shortest-repr floats,
+    unicode intact, embedding as presence boolean)."""
+    import json as _json
+
+    kb = AsyncKB(db_path, make_onehot_embedder(), force_fresh_db=True)
+    async with kb.bulk_add_docs() as add:
+        await add("vec:1", meta={"u": "héllo ☃", "n": [1, 2.5, None]})
+        await add("vec:2")
+        await add("vec:3")
+    client = await _client(kb)
+    try:
+        r = await client.post(
+            "/retrieve", json={"queries": ["vec:1", "vec:2"], "n": 3}
+        )
+        body = _json.loads(await r.text())
+        results = body["results"]
+        assert len(results) == 2 and len(results[0]) == 3
+        by_text = {h["doc"]["text"]: h for h in results[0]}
+        assert by_text["vec:1"]["doc"]["meta"] == {
+            "u": "héllo ☃", "n": [1, 2.5, None]
+        }
+        assert by_text["vec:1"]["doc"]["embedding"] is True
+        assert isinstance(by_text["vec:1"]["score"], float)
+    finally:
+        await client.close()
+        await kb.close()
+
+
+async def test_warm_bucket_ladder_and_kb_warmup(db_path):
+    from svs_tpu.serve import warm_bucket_ladder
+
+    assert warm_bucket_ladder(256) == [1, 2, 4, 8, 16, 32, 64, 128, 256]
+    assert warm_bucket_ladder(1) == [1]
+    assert warm_bucket_ladder(48) == [1, 2, 4, 8, 16, 32, 48]
+
+    kb = await _make_kb(db_path)
+    try:
+        await kb.warmup([1, 4], n=3)
+        stats = kb.stats()
+        assert stats["warmup"]["count"] == 4  # 2 sizes x 2 rounds
+        # warmup must not disturb results
+        hits = await kb.retrieve("vec:2", 2)
+        assert hits[0]["doc"]["text"] == "vec:2"
+    finally:
+        await kb.close()
+
+
+def test_sync_kb_warmup(db_path):
+    from svs_tpu import KB
+    from tests.kb_helpers import make_onehot_embedder as _mk
+
+    kb = KB(db_path, _mk(), force_fresh_db=True)
+    try:
+        with kb.bulk_add_docs() as add:
+            for i in range(8):
+                add(f"vec:{i}")
+        kb.warmup([1, 2], n=2, rounds=1)
+        assert kb.stats()["warmup"]["count"] == 2
+    finally:
+        kb.close()
