@@ -73,9 +73,12 @@ _DEVICE_GATHER_MAX_BYTES = 4_000_000_000
 #: f32 rescore mirrors up to this size upload synchronously inside
 #: ``ensure_fresh`` (deterministic for small corpora and tests); larger
 #: ones move to a background thread so the cold first query never waits
-#: on a multi-GB device transfer — rescore rides the host cache until
-#: the mirror publishes.
-_MIRROR_SYNC_MAX_BYTES = 256 * 1024 * 1024
+#: on the device transfer — rescore rides the host cache until the
+#: mirror publishes.  32 MB: big enough that every test corpus stays
+#: deterministic, small enough that a 10k x 1536 cold start (61 MB
+#: mirror, ~2 s over a tunneled link) answers its first query from the
+#: host path instead of waiting out the upload.
+_MIRROR_SYNC_MAX_BYTES = 32 * 1024 * 1024
 
 #: Staged-copy granularity for mirror uploads (see
 #: ``RetrievalEngine._upload_f32_mirror``).
@@ -1107,6 +1110,23 @@ class RetrievalEngine:
                 np.asarray(data)[:n_valid, : header["dim"]],
                 None,
             )
+        # Small host caches materialize into RAM: BLAS over the sidecar
+        # mmap measures 4-5x slower than over RAM even when page-warm
+        # (24 vs 5.5 ms per 61 MB matvec on the bench host), and small
+        # corpora are exactly where the host dispatch serves whole
+        # queries from this cache.  Large caches stay mmap'd (rescore
+        # GATHERS touch only candidate rows; duplicating 6 GB of RAM to
+        # speed a path the device wins anyway would be a bad trade).
+        if host_cache is not None:
+            from ..utils.env import env_int
+            from .packing import _is_mmap_backed
+
+            cache_arr, rmap = host_cache
+            ram_max = env_int(
+                "SVS_TPU_HOST_CACHE_RAM_MAX", _HOST_SCAN_MAX_SCORE_BYTES
+            )
+            if _is_mmap_backed(cache_arr) and cache_arr.nbytes <= ram_max:
+                host_cache = (np.array(cache_arr, copy=True), rmap)
         # Same deferral as the scan path (ensure_fresh): when the
         # sidecar carries an exact host cache, queries can answer from
         # it immediately — the multi-GB device upload moves to the
