@@ -41,6 +41,13 @@ def enable_compilation_cache() -> None:
         try:
             import jax
 
+            if not raw and jax.default_backend() == "cpu":
+                # XLA:CPU AOT cache entries embed compile-machine
+                # feature sets that the loader cross-checks against the
+                # host (mismatches log SIGILL warnings and can crash);
+                # CPU compiles are fast anyway.  An explicit env path
+                # opts in.
+                return
             path.mkdir(parents=True, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", str(path))
             # cache everything that took meaningful compile time; the
