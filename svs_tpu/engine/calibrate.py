@@ -53,10 +53,14 @@ def dispatch_key(
 ) -> str:
     """Shape-class key: device kind + precision + bucketed rows/batch/
     candidates + exact dim (dim changes the kernel's inner loop shape
-    directly)."""
+    directly).  The trailing ``m2`` versions the MEASUREMENT method
+    (chained-iteration device-time isolation): entries recorded by the
+    earlier fetch-based probe — whose ~30 ms RPC noise swamped the
+    1-3 ms kernel deltas on tunneled links — never match and get
+    re-measured."""
     return (
         f"{device_kind}|{precision}|n{_bucket_pow2(n_rows)}"
-        f"|d{d}|b{_bucket_pow2(b)}|c{_bucket_pow2(c)}"
+        f"|d{d}|b{_bucket_pow2(b)}|c{_bucket_pow2(c)}|m2"
     )
 
 
@@ -184,6 +188,13 @@ def probing_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
+#: Chained kernel iterations per timed probe run: the fetch RPC (tens
+#: of ms on tunneled links — larger than the 1-6 ms kernel steps being
+#: compared) amortizes over the chain and cancels between the two
+#: kernels.
+_PROBE_CHAIN = 8
+
+
 def time_kernel_pair(
     corpus: "PackedCorpus",
     q: "jax.Array",
@@ -191,11 +202,15 @@ def time_kernel_pair(
     c: int,
     wide: bool,
 ) -> Tuple[float, float]:
-    """Median-of-3 (after one warmup/compile) wall time of the v2 and v3
-    selection kernels at the live shape, on the live corpus.  Fetch-based
-    timing (``np.asarray``), same rationale as bench.py."""
+    """Median-of-3 wall time (after one warmup/compile) of
+    ``_PROBE_CHAIN`` dependent iterations of the v2 and v3 selection
+    kernels at the live shape, on the live corpus.  The corpus rides as
+    a jit ARGUMENT (a closure capture would embed it as a multi-GB
+    constant in the lowered program — see bench.py)."""
+    import functools as _ft
     import time as _time
 
+    import jax as _jax
     import numpy as np
 
     from ..ops.pallas_extract import (
@@ -207,31 +222,36 @@ def time_kernel_pair(
 
     int8 = corpus.precision == "int8"
 
-    def run_v2() -> "jax.Array":
+    def step(kernel_v3: bool, data, scales, qq, nv):  # type: ignore[no-untyped-def]
         if int8:
-            return score_topk_fused2_int8_packed(
-                corpus.data, corpus.row_scales, q, n_valid_dev, c, wide=wide
+            fn = (
+                score_topk_fused3_int8_packed
+                if kernel_v3 else score_topk_fused2_int8_packed
             )
-        return score_topk_fused2_packed(
-            corpus.data, q, n_valid_dev, c, wide=wide
+            return fn(data, scales, qq, nv, c, wide=wide)
+        fn = (
+            score_topk_fused3_packed if kernel_v3
+            else score_topk_fused2_packed
         )
+        return fn(data, qq, nv, c, wide=wide)
 
-    def run_v3() -> "jax.Array":
-        if int8:
-            return score_topk_fused3_int8_packed(
-                corpus.data, corpus.row_scales, q, n_valid_dev, c, wide=wide
-            )
-        return score_topk_fused3_packed(
-            corpus.data, q, n_valid_dev, c, wide=wide
-        )
+    @_ft.partial(_jax.jit, static_argnums=(0,))
+    def chained(kernel_v3: bool, data, scales, qq, nv):  # type: ignore[no-untyped-def]
+        def body(i, qc):  # type: ignore[no-untyped-def]
+            out = step(kernel_v3, data, scales, qc, nv)
+            return qc + 0.0 * out[0, 0].astype(qc.dtype)
 
-    def median_time(fn: "Callable[[], jax.Array]") -> float:
-        np.asarray(fn())  # warmup + compile
+        qf = _jax.lax.fori_loop(0, _PROBE_CHAIN, body, qq)
+        return step(kernel_v3, data, scales, qf, nv)
+
+    def median_time(kernel_v3: bool) -> float:
+        args = (corpus.data, corpus.row_scales, q, n_valid_dev)
+        np.asarray(chained(kernel_v3, *args))  # warmup + compile
         times = []
         for _ in range(3):
             t0 = _time.perf_counter()
-            np.asarray(fn())
+            np.asarray(chained(kernel_v3, *args))
             times.append(_time.perf_counter() - t0)
         return sorted(times)[1]
 
-    return median_time(run_v2), median_time(run_v3)
+    return median_time(False), median_time(True)
