@@ -183,6 +183,34 @@ def cmd_gzip(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_warm(args: argparse.Namespace) -> int:
+    """Bring a node to steady state before putting it in service: pack
+    (sidecar when present), pre-compile the search pipeline for the
+    requested batch shapes, wait out the background pack/mirror uploads,
+    and leave any dispatch-calibration probes persisted."""
+    import time as _time
+
+    from .serve import warm_bucket_ladder
+
+    batches = (
+        [int(b) for b in args.batches.split(",")]
+        if args.batches else warm_bucket_ladder(args.max_batch)
+    )
+    t0 = _time.perf_counter()
+    kb = _open_kb(args, sidecar=True)
+    kb.load()
+    print(f"pack: {_time.perf_counter() - t0:.1f}s")
+    t0 = _time.perf_counter()
+    kb.warmup(batches, n=args.n)
+    print(f"warmup ({len(batches)} batch shapes x2 rounds): "
+          f"{_time.perf_counter() - t0:.1f}s")
+    t0 = _time.perf_counter()
+    ok = kb.engine.wait_for_mirror(args.timeout)
+    print(f"uploads settled: {ok} ({_time.perf_counter() - t0:.1f}s)")
+    kb.close(write_sidecar=None)
+    return 0 if ok else 1
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     from .serve import run_server
 
@@ -291,6 +319,24 @@ def main(argv: "Optional[List[str]]" = None) -> int:
     p = sub.add_parser("gzip", help="publish the .gz artifact")
     p.add_argument("db")
     p.set_defaults(fn=cmd_gzip)
+
+    p = sub.add_parser(
+        "warm",
+        help="pre-compile search shapes + settle uploads (run before "
+        "putting a node in service; persists compile + calibration "
+        "caches for every later process)",
+    )
+    p.add_argument("db")
+    p.add_argument("--batches", default=None,
+                   help="comma-separated batch sizes (default: the serve "
+                   "bucket ladder up to --max-batch)")
+    p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("-n", type=int, default=16,
+                   help="top-n bucket to warm (compiled shapes depend on it)")
+    p.add_argument("--timeout", type=float, default=900.0)
+    p.add_argument("--precision", choices=["auto", "f32", "bf16", "int8"],
+                   default="auto")
+    p.set_defaults(fn=cmd_warm)
 
     p = sub.add_parser(
         "serve",

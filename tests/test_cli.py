@@ -90,3 +90,20 @@ def test_pairs_meta_filter(db_path, capsys):
     assert main([
         "pairs", str(db_path), "--meta-filter", 'nope',
     ]) == 2
+
+
+def test_cli_warm(tmp_path, capsys):
+    from svs_tpu import KB
+    from svs_tpu.cli import main
+    from tests.kb_helpers import make_onehot_embedder
+
+    path = tmp_path / "warm.sqlite"
+    kb = KB(path, make_onehot_embedder(), force_fresh_db=True)
+    with kb.bulk_add_docs() as add:
+        for i in range(12):
+            add(f"vec:{i}")
+    kb.close()
+    assert main(["warm", str(path), "--batches", "1,2", "-n", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "warmup (2 batch shapes" in out
+    assert "uploads settled: True" in out
