@@ -53,8 +53,9 @@ class Model:
         return scored[:n]
 
 
+@pytest.mark.parametrize("engine_mode", ["device", "host"])
 @pytest.mark.parametrize("seed", [7, 99])
-def test_random_operation_sequences(db_path, seed):
+def test_random_operation_sequences(db_path, seed, engine_mode):
     rng = np.random.default_rng(seed)
     dim = 8
 
@@ -65,6 +66,11 @@ def test_random_operation_sequences(db_path, seed):
 
     kb = KB(db_path, _embedder(dim), precision="f32", rescore=True,
             force_fresh_db=True)
+    if engine_mode == "host":
+        # the automatic host-path dispatch must stay exact across every
+        # mutation (adds invalidating packs, cascade deletes, meta
+        # updates) — same oracle, forced host engine
+        kb.engine.host_dispatch = "force"
     model = Model(sync_vec)
     next_text = 0
 
