@@ -222,7 +222,13 @@ def time_kernel_pair(
 
     int8 = corpus.precision == "int8"
 
-    def step(kernel_v3: bool, data, scales, qq, nv):  # type: ignore[no-untyped-def]
+    def step(
+        kernel_v3: bool,
+        data: "jax.Array",
+        scales: "Optional[jax.Array]",
+        qq: "jax.Array",
+        nv: "jax.Array",
+    ) -> "jax.Array":
         if int8:
             fn = (
                 score_topk_fused3_int8_packed
@@ -236,8 +242,14 @@ def time_kernel_pair(
         return fn(data, qq, nv, c, wide=wide)
 
     @_ft.partial(_jax.jit, static_argnums=(0,))
-    def chained(kernel_v3: bool, data, scales, qq, nv):  # type: ignore[no-untyped-def]
-        def body(i, qc):  # type: ignore[no-untyped-def]
+    def chained(
+        kernel_v3: bool,
+        data: "jax.Array",
+        scales: "Optional[jax.Array]",
+        qq: "jax.Array",
+        nv: "jax.Array",
+    ) -> "jax.Array":
+        def body(i: "jax.Array", qc: "jax.Array") -> "jax.Array":
             out = step(kernel_v3, data, scales, qc, nv)
             return qc + 0.0 * out[0, 0].astype(qc.dtype)
 
