@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import math
+import zlib
 
 from svs_tpu import AsyncKB
 from svs_tpu.serve import make_app
@@ -28,10 +29,14 @@ def make_embedder(dim: int = 64):
     async def embed(texts):
         out = []
         for t in texts:
+            # crc32, not hash(): PYTHONHASHSEED salting made vectors (and
+            # therefore exact-tie collisions between distinct docs) vary
+            # per process — a ~5%-per-run flake in the top-1 assertion
+            h = zlib.crc32(t.encode())
             v = [0.0] * dim
-            v[hash(t) % dim] = 1.0
+            v[h % dim] = 1.0
             # tiny second component so near-misses rank deterministically
-            v[(hash(t) // dim) % dim] += 0.1
+            v[(h // dim) % dim] += 0.1
             n = math.sqrt(sum(x * x for x in v))
             out.append([x / n for x in v])
         return out
