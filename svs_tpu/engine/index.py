@@ -562,6 +562,13 @@ class RetrievalEngine:
         #: ~30 s with no new arrivals).
         self._last_query_t = 0.0
         self._inflight = 0
+        #: Threads currently BLOCKED in ``_await_pack_device`` waiting
+        #: for the deferred pack upload.  The uploader's throttle treats
+        #: a positive count as "stop yielding": the waiter is (often) an
+        #: in-flight query, so deferring to it would be a priority
+        #: inversion — the query sleeps on the very upload the throttle
+        #: is politely holding back (round-4 advisor, medium).
+        self._pack_waiters = 0
         self._inflight_lock = threading.Lock()
         #: Set by shutdown(): aborts any in-progress background mirror
         #: upload (a daemon thread mid-device-call at interpreter exit
@@ -777,7 +784,7 @@ class RetrievalEngine:
         ):
             return None
         log.info("incremental append: +%d docs (no full repack)", added)
-        old.wait_device()  # a deferred cold-start upload must land first
+        self._await_pack_device(old)  # deferred cold-start upload lands first
 
         padded_new = np.zeros((added, old.dim_padded), dtype=np.float32)
         padded_new[:, : new_rows.shape[1]] = new_rows
@@ -934,7 +941,7 @@ class RetrievalEngine:
         emb_ids[dead_below] = emb_ids[live_tail]
         emb_ids = emb_ids[:new_n]
 
-        old.wait_device()  # a deferred cold-start upload must land first
+        self._await_pack_device(old)  # deferred cold-start upload lands first
         if dead_below.size:
             src = jnp.asarray(live_tail, dtype=jnp.int32)
             dst = jnp.asarray(dead_below, dtype=jnp.int32)
@@ -1258,6 +1265,23 @@ class RetrievalEngine:
 
     # -- device rescore mirror ------------------------------------------------
 
+    def _await_pack_device(self, corpus: PackedCorpus) -> None:
+        """Block until a deferred pack's device arrays are live, counted
+        as a PACK WAITER so the uploader's throttle stops yielding — a
+        device-path query sleeping here is still in the ``_inflight``
+        count, and without the waiter signal the throttle would defer
+        every chunk its full budget while the query waits on the upload
+        (priority inversion: ~5 s of pure sleep per 64 MB chunk)."""
+        if corpus.device_ready:
+            return
+        with self._inflight_lock:
+            self._pack_waiters += 1
+        try:
+            corpus.wait_device()
+        finally:
+            with self._inflight_lock:
+                self._pack_waiters -= 1
+
     def _spawn_pack_upload(self, corpus: PackedCorpus) -> None:
         """Background uploader for a deferred pack
         (``pack_corpus(defer_upload=True)``): stage the host pack onto
@@ -1567,6 +1591,13 @@ class RetrievalEngine:
                 return
             with self._inflight_lock:
                 busy = self._inflight > 0
+                waited_on = self._pack_waiters > 0
+            if waited_on:
+                # Someone is blocked in wait_device on THIS upload —
+                # yielding to "in-flight" traffic would be a priority
+                # inversion (the waiter is counted in-flight while it
+                # sleeps).  Finishing the upload is what unblocks them.
+                return
             if not busy and time.monotonic() - self._last_query_t >= 0.25:
                 return
             time.sleep(0.05)
@@ -1669,8 +1700,19 @@ class RetrievalEngine:
                 t0 = time.perf_counter()
                 np.asarray(f(x))
                 best = min(best, time.perf_counter() - t0)
-        except Exception:  # no device at all -> host always wins
-            best = float("inf")
+        except Exception:
+            # A TRANSIENT device error must not poison the cache: a
+            # permanently-cached inf would route all eligible traffic to
+            # the host scan for the life of the engine.  Leave the floor
+            # unset (return the prior) so a later quiet call re-measures;
+            # a truly absent backend keeps failing and keeps the prior,
+            # which host_route treats conservatively.
+            log.warning(
+                "device RPC floor probe failed; keeping the prior "
+                "(%.1f ms) and re-probing at the next quiet call",
+                prior * 1e3, exc_info=True,
+            )
+            return prior
         self._rpc_floor = best
         log.info("device RPC floor: %.2f ms", best * 1e3)
         return self._rpc_floor
@@ -2476,9 +2518,11 @@ class RetrievalEngine:
         # paths would trigger needless widen-and-retry loops).  The
         # guarded (v3) kernels quantize onto the coarser 2^-12 grid
         # (GUARD_KEY_EPS = 2^-11); when both could dispatch the larger
-        # term applies — and it stays sound across widen retries, which
-        # only ever move DOWN the ladder (v3 -> v2 -> exact) to paths
-        # with equal or smaller quantization error.
+        # term applies.  CONTRACT: callers recompute this bound at the
+        # CURRENT candidate count on every widen retry (KB/AsyncKB
+        # `_search_hydrated`) — the calibrated v2/v3 winner is per
+        # c-bucket, so a retry can land on the coarser guarded kernel
+        # and a bound computed once at the initial c would understate it.
         b = queries.shape[0]
         if self._guarded_selection_possible(corpus, b, k):
             key_eps = GUARD_KEY_EPS
@@ -2597,7 +2641,7 @@ class RetrievalEngine:
         handle they would cross the host->device link TWICE per batch
         (1.5 MB each at B=256 d=1536; tunnel links measure tens of ms/MB).
         """
-        corpus.wait_device()  # deferred cold-start packs finish uploading
+        self._await_pack_device(corpus)  # deferred cold-start packs finish uploading
         q = (
             q_dev
             if q_dev is not None
@@ -2774,7 +2818,7 @@ class RetrievalEngine:
         instead) — sound either way."""
         if self.mesh is not None:
             return None
-        corpus.wait_device()  # deferred cold-start packs finish uploading
+        self._await_pack_device(corpus)  # deferred cold-start packs finish uploading
         f = int(rows.size)
         f_pad = max(-(-f // ROW_MULTIPLE) * ROW_MULTIPLE, ROW_MULTIPLE)
         rows_p = np.zeros(f_pad, dtype=np.int32)
@@ -2829,7 +2873,7 @@ class RetrievalEngine:
         if k_eff <= 0:
             empty_i = np.zeros((0,), dtype=np.int64)
             return np.zeros((0,), dtype=np.float32), empty_i, empty_i
-        corpus.wait_device()  # deferred cold-start packs finish uploading
+        self._await_pack_device(corpus)  # deferred cold-start packs finish uploading
 
         if self.mesh is not None:
             from ..parallel.pairwise_sharded import sharded_pairwise_topk

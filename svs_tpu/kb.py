@@ -1065,6 +1065,25 @@ class AsyncKB:
                     await self._search_hydrated(
                         corpus, v, min(n, corpus.n_valid)
                     )
+            if self.engine.host_route(corpus, int(b)):
+                # Host dispatch answered every round above, so this batch
+                # shape never compiled on the device.  Warm that route
+                # too: if the host-scan bandwidth estimate later degrades
+                # and the dispatch flips mid-traffic, live requests must
+                # not pay the 5-20 s jit compile warmup exists to absorb.
+                prev = self.engine.host_dispatch
+                self.engine.host_dispatch = "off"
+                try:
+                    v = rng.standard_normal(
+                        (int(b), corpus.dim)
+                    ).astype(np.float32)
+                    v /= np.linalg.norm(v, axis=1, keepdims=True)
+                    with phase("warmup", self._stats):
+                        await self._search_hydrated(
+                            corpus, v, min(n, corpus.n_valid)
+                        )
+                finally:
+                    self.engine.host_dispatch = prev
 
     async def close(
         self,
@@ -1633,12 +1652,17 @@ class AsyncKB:
 
                     return await loop.run_in_executor(None, hydrate)
         c = c0 = self.engine.initial_candidates(n, corpus.n_valid)
-        pre_eps = (
-            self.engine.prescore_eps(corpus, vectors, c)
-            if self.engine.rescore
-            else None
-        )
         while True:
+            # Recomputed each retry: the v2/v3 kernel dispatch (and with
+            # it the key-quantization term in the bound) depends on the
+            # CURRENT candidate count — a widened retry can land in a
+            # c-bucket whose calibrated winner is the coarser guarded
+            # kernel, so a bound computed once at c0 would understate it.
+            pre_eps = (
+                self.engine.prescore_eps(corpus, vectors, c)
+                if self.engine.rescore
+                else None
+            )
             with phase("device_search", self._stats), profiler_trace("retrieve"):
                 # Fastest path: prescore -> rescore -> final top-k all
                 # chained on-device, compact [B, 2n+1] wire (None when
@@ -1929,6 +1953,22 @@ class KB:
                 v /= np.linalg.norm(v, axis=1, keepdims=True)
                 with phase("warmup", self._stats):
                     self._search_hydrated(corpus, v, min(n, corpus.n_valid))
+            if self.engine.host_route(corpus, int(b)):
+                # see AsyncKB.warmup: also compile the device route so a
+                # later dispatch flip never compiles on live traffic
+                prev = self.engine.host_dispatch
+                self.engine.host_dispatch = "off"
+                try:
+                    v = rng.standard_normal(
+                        (int(b), corpus.dim)
+                    ).astype(np.float32)
+                    v /= np.linalg.norm(v, axis=1, keepdims=True)
+                    with phase("warmup", self._stats):
+                        self._search_hydrated(
+                            corpus, v, min(n, corpus.n_valid)
+                        )
+                finally:
+                    self.engine.host_dispatch = prev
 
     def close(
         self,
@@ -2301,12 +2341,16 @@ class KB:
                 with db.transaction() as tx:
                     return _hydrate_and_mint(tx, emb, scores, self._doc_cache)
         c = c0 = self.engine.initial_candidates(n, corpus.n_valid)
-        pre_eps = (
-            self.engine.prescore_eps(corpus, vectors, c)
-            if self.engine.rescore
-            else None
-        )
         while True:
+            # Recomputed each retry — see AsyncKB._search_hydrated: the
+            # v2/v3 dispatch (and its key-eps term) depends on the
+            # current c, so a once-at-c0 bound can understate a widened
+            # retry's guarded-kernel quantization.
+            pre_eps = (
+                self.engine.prescore_eps(corpus, vectors, c)
+                if self.engine.rescore
+                else None
+            )
             with phase("device_search", self._stats), profiler_trace("retrieve"):
                 final = self.engine.topk_final(corpus, vectors, n, c)
                 if final is None:

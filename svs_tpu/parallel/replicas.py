@@ -169,7 +169,7 @@ class ReplicaEngine(RetrievalEngine):
             if clones is None:
                 # a deferred cold-start pack must land on the primary
                 # before clones copy device->device
-                corpus.wait_device()
+                self._await_pack_device(corpus)
                 log.info(
                     "cloning pack to %d replica device(s)",
                     len(self._secondaries),

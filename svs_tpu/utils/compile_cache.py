@@ -41,6 +41,19 @@ def enable_compilation_cache() -> None:
         try:
             import jax
 
+            existing = getattr(
+                jax.config, "jax_compilation_cache_dir", None
+            )
+            if existing:
+                # The user already configured a cache directory (env
+                # JAX_COMPILATION_CACHE_DIR or jax.config before import)
+                # — respect it like SVS_TPU_COMPILE_CACHE=off instead of
+                # silently clobbering their location/policy.
+                log.debug(
+                    "XLA compilation cache already configured at %s; "
+                    "leaving it alone", existing,
+                )
+                return
             if not raw and jax.default_backend() == "cpu":
                 # XLA:CPU AOT cache entries embed compile-machine
                 # feature sets that the loader cross-checks against the

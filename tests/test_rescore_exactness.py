@@ -293,6 +293,48 @@ def test_guarded_kernel_cluster_exact_end_to_end(db_path, caplog, monkeypatch):
     kb.close()
 
 
+def test_prescore_eps_recomputed_at_each_widen(db_path, monkeypatch):
+    """REGRESSION (round-4 advisor, high): the margin bound must be
+    recomputed at the CURRENT candidate count on every widen retry.
+    The calibrated v2/v3 dispatch is per c-bucket
+    (``RetrievalEngine._calib_winner``), so a widened retry can land on
+    the coarser guarded kernel (GUARD_KEY_EPS = 2^-11) while a bound
+    computed once at the initial c carried only KEY_EPS (2^-12) — the
+    margin proof could then pass falsely.  Drive an adversarial cluster
+    that must widen and assert the bound was re-derived at every width
+    the ladder visited."""
+    n_cluster, k = 200, 10
+    scores = 0.7 + np.arange(n_cluster, dtype=np.float64) * 1e-6
+    vectors = _cluster_vectors(scores)
+    kb = KB(
+        db_path,
+        _cluster_embedder(vectors),
+        force_fresh_db=True,
+        precision="bf16",
+    )
+    with kb.bulk_add_docs() as add:
+        for i in range(n_cluster):
+            add(f"c:{i}")
+
+    seen = []
+    real = kb.engine.prescore_eps
+
+    def spy(corpus, queries, c):
+        seen.append(int(c))
+        return real(corpus, queries, c)
+
+    monkeypatch.setattr(kb.engine, "prescore_eps", spy)
+    hits = kb.retrieve("probe", k)
+    assert [h["doc"]["text"] for h in hits] == [
+        f"c:{n_cluster - 1 - j}" for j in range(k)
+    ]
+    # the ladder widened at least once, and the bound was recomputed at
+    # each visited width (strictly increasing c values, one per attempt)
+    assert len(seen) >= 2, seen
+    assert seen == sorted(seen) and seen[-1] > seen[0], seen
+    kb.close()
+
+
 def test_width_hint_prevents_repeat_widening(db_path, caplog):
     """After one batch widens, the learned candidate-width hint makes the
     NEXT batch start at the working width — steady state is ONE device
