@@ -587,17 +587,74 @@ def main() -> None:
                 # mirror decides whether the rescore chain runs on-device
                 # (compact wire) or falls back to host gathers (~630 MB
                 # of candidate traffic per 256-batch at 1M x 1536).
-                # Measuring mid-upload mixes the two regimes.
+                # Measuring mid-upload mixes the two regimes — and the
+                # round-4 capture couldn't even SAY which regime it
+                # measured.  wait_for_mirror now covers the whole chain
+                # (pack upload -> cache rebuild -> mirror build); wait in
+                # slices so stderr shows progress on slow tunnels.
                 t0 = time.perf_counter()
                 import asyncio as _aio
 
                 loop = _aio.get_running_loop()
-                ready = await loop.run_in_executor(
-                    None, lambda: kb.engine.wait_for_mirror(timeout=480)
+                mirror_wait = float(
+                    os.environ.get("SVS_TPU_BENCH_MIRROR_WAIT", "900")
                 )
-                log(f"[full-stack] rescore mirror: "
+                ready = False
+                while (elapsed := time.perf_counter() - t0) < mirror_wait:
+                    ready = await loop.run_in_executor(
+                        None,
+                        lambda: kb.engine.wait_for_mirror(
+                            timeout=min(60.0, mirror_wait - elapsed)
+                        ),
+                    )
+                    if ready:
+                        break
+                    log(f"[full-stack] still waiting for steady state "
+                        f"({elapsed:.0f}s: pack_uploading="
+                        f"{kb.engine.pack_uploading} mirror_uploading="
+                        f"{kb.engine.mirror_uploading})")
+                log(f"[full-stack] steady state: "
                     f"{'ready' if ready else 'NOT ready (timed out)'} "
                     f"after {time.perf_counter() - t0:.1f}s")
+
+                corpus = kb.engine.corpus
+                dev_final = (
+                    corpus is not None
+                    and corpus.dev_rescore is not None
+                    and corpus.dev_emb is not None
+                )
+                host_f32 = (
+                    corpus.host_f32 if corpus is not None else None
+                )
+                if not dev_final and host_f32 is not None:
+                    # Host-rescore regime: page-warm the mmap'd f32
+                    # cache so the timed phase measures the regime, not
+                    # first-touch disk paging of a 6 GB file.
+                    t0 = time.perf_counter()
+                    probe = np.zeros(host_f32.shape[1], dtype=np.float32)
+                    _ = host_f32 @ probe
+                    log(f"[full-stack] page-warmed host f32 cache "
+                        f"({host_f32.nbytes / 1e9:.1f} GB) in "
+                        f"{time.perf_counter() - t0:.1f}s")
+                regime = {
+                    "mirror_ready": bool(ready),
+                    "device_final_pipeline": bool(dev_final),
+                    "host_f32_present": host_f32 is not None,
+                    "doc_cache_warm": bool(
+                        getattr(kb._doc_cache, "_warm", False)
+                    ),
+                    "precision": (
+                        corpus.precision if corpus is not None else None
+                    ),
+                }
+                if not dev_final and host_f32 is not None:
+                    # the per-batch host candidate gather this regime pays
+                    c0 = kb.engine.initial_candidates(
+                        k, corpus.n_valid
+                    )
+                    regime["est_host_gather_bytes_per_batch"] = int(
+                        batch * c0 * corpus.dim * 4
+                    )
                 n_sets = 12
                 queries = [[f"q:{r * batch + i}" for i in range(batch)]
                            for r in range(n_sets)]
@@ -630,6 +687,23 @@ def main() -> None:
                 by_depth = {d: await run_depth(d) for d in (2, 3)}
                 pipelined_depth = min(by_depth, key=by_depth.get)
                 pipelined_s = by_depth[pipelined_depth]
+                # Post-run observability: which route answered, what the
+                # dispatch inputs were, whether hedges fired.
+                final_stats = kb.stats()
+                disp = final_stats.get("dispatch", {})
+                regime["host_search_count"] = int(
+                    final_stats.get("host_search", {}).get("count", 0)
+                )
+                regime["device_search_count"] = int(
+                    final_stats.get("device_search", {}).get("count", 0)
+                )
+                regime["rpc_floor_ms"] = disp.get("rpc_floor_ms")
+                regime["host_scan_bw_gbs"] = round(
+                    disp.get("host_scan_bw", 0.0) / 1e9, 3
+                )
+                regime["hedge_fired"] = int(disp.get("hedge_fired", 0))
+                regime["hedge_won"] = int(disp.get("hedge_won", 0))
+                stats = final_stats
                 await kb.close(write_sidecar=False)
                 p50 = _percentile(times, 0.50)
                 log(f"[full-stack] batch {batch} top-{k}: p50 "
@@ -648,8 +722,9 @@ def main() -> None:
                 log(f"[full-stack] stages: " + ", ".join(
                     f"{name} p50 {st.get('p50_s', 0) * 1e3:.1f}ms"
                     for name, st in sorted(stats.items())
-                    if isinstance(st, dict)
+                    if isinstance(st, dict) and "p50_s" in st
                 ))
+                log(f"[full-stack] regime: {json.dumps(regime)}")
                 return {
                     "batch": batch,
                     "k": k,
@@ -664,6 +739,7 @@ def main() -> None:
                         pipelined_s / batch * 1e3, 4
                     ),
                     "pipelined_qps": round(batch / pipelined_s, 1),
+                    "regime": regime,
                     "stages": {
                         name: st
                         for name, st in stats.items() if isinstance(st, dict)

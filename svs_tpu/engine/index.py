@@ -524,11 +524,23 @@ class RetrievalEngine:
         from ..utils.env import env_float
 
         #: Learned host-scan bandwidth (bytes/s); EWMA-updated by every
-        #: host scan so the dispatch rule tracks the actual machine.
+        #: host scan, and refreshed by a cheap background slab probe when
+        #: it goes stale while the device path is winning (without that,
+        #: the estimate and the RPC floor starve each other — each only
+        #: updates when its own path runs).
         self._host_scan_bw = env_float(
             "SVS_TPU_HOST_SCAN_BW", _HOST_SCAN_BW_PRIOR
         )
+        self._host_bw_t = 0.0
+        self._host_bw_thread: Optional[threading.Thread] = None
+        #: Measured device round-trip floor + re-probe schedule: tunnel
+        #: weather moves the real floor by 10x across hours, so one
+        #: cached measurement under/over-routes for the process lifetime.
+        #: Quiet-moment re-probes on a decaying schedule blend in.
         self._rpc_floor: Optional[float] = None
+        self._rpc_floor_t = 0.0
+        self._rpc_probes = 0
+        self._rpc_probe_thread: Optional[threading.Thread] = None
         #: Sticky per-engine kernel-dispatch decisions (shape-class key
         #: -> 'v2'/'v3').  Frozen at first use of each shape so the
         #: prescore-error bound and the actual dispatch can never
@@ -574,6 +586,12 @@ class RetrievalEngine:
         #: upload (a daemon thread mid-device-call at interpreter exit
         #: aborts the process).
         self._mirror_stop = threading.Event()
+        #: Hedged-fetch bookkeeping: EWMA of healthy fetch seconds per
+        #: (path, shape) label, and counters surfaced via
+        #: :meth:`dispatch_stats`.  See :meth:`_fetch_hedged`.
+        self._fetch_ewma: Dict[str, float] = {}
+        self._hedge_fired = 0
+        self._hedge_won = 0
         #: How each :meth:`ensure_fresh` call was satisfied (``reuse`` =
         #: token/fingerprint hit, ``append``/``delete`` = incremental,
         #: ``sidecar`` = mmap load, ``scan`` = full BLOB rescan) — surfaced
@@ -1429,7 +1447,16 @@ class RetrievalEngine:
             self._build_mesh_rescore(corpus, cache_f32, row_map)
             return
         if cache_f32.nbytes <= _MIRROR_SYNC_MAX_BYTES:
-            self._upload_and_publish_mirror(corpus, cache_f32, row_map)
+            try:
+                self._upload_and_publish_mirror(corpus, cache_f32, row_map)
+            except Exception:
+                # The mirror is an optimization: a failed upload (dead
+                # link, OOM) must degrade to the host rescore, never
+                # fail the query/ensure_fresh that triggered the build.
+                log.warning(
+                    "device rescore mirror upload failed; rescore stays "
+                    "on the host cache", exc_info=True,
+                )
             return
         # Large mirrors upload in a BACKGROUND thread: shipping the f32
         # cache (6.1 GB at 1M x 1536) across the device link would
@@ -1552,24 +1579,53 @@ class RetrievalEngine:
         return t is not None and t.is_alive()
 
     def wait_for_mirror(self, timeout: Optional[float] = None) -> bool:
-        """Block until background uploads finish — the deferred pack
-        upload first (it spawns the mirror build when it lands), then
-        the f32 mirror (benchmarks and tests that want steady-state
-        behavior).  Returns False if a timeout elapsed first."""
+        """Block until the engine reaches its steady-state fast regime:
+        the deferred pack upload, the background rescore-cache rebuild
+        (sidecar cold starts scan SQLite for the f32 bytes), and the f32
+        device-mirror upload have all finished — INCLUDING uploads those
+        earlier stages spawn when they land (the cache rebuild attaching
+        ``host_cache`` is what makes the mirror build possible, so a
+        single join pass could return "ready" while the corpus still had
+        neither a host f32 cache nor a device mirror — exactly the
+        undiagnosable slow-regime measurement round 4 shipped).  Returns
+        False if a timeout elapsed first."""
         deadline = (
             None if timeout is None else time.monotonic() + timeout
         )
-        for attr in ("_pack_thread", "_mirror_thread"):
-            t = getattr(self, attr)
+
+        def join(t: Optional[threading.Thread]) -> bool:
             if t is None:
-                continue
+                return True
             left = (
                 None if deadline is None
                 else max(0.0, deadline - time.monotonic())
             )
             t.join(left)
-            if t.is_alive():
+            return not t.is_alive()
+
+        # Loop: each completed stage can spawn the next (pack upload ->
+        # mirror build; cache rebuild -> mirror build on the next kick).
+        for _ in range(6):
+            if not join(self._pack_thread):
                 return False
+            if not join(self._cache_rebuild_thread):
+                return False
+            corpus = self._corpus
+            if corpus is not None and corpus.device_ready:
+                # The cache may have attached after the pack upload's
+                # own mirror kick — re-kick so the mirror build isn't
+                # stranded until the next query.
+                self._maybe_build_device_rescore(corpus)
+            if not join(self._mirror_thread):
+                return False
+            # Done only when nothing respawned behind our backs.
+            threads = (
+                self._pack_thread,
+                self._cache_rebuild_thread,
+                self._mirror_thread,
+            )
+            if all(t is None or not t.is_alive() for t in threads):
+                return True
         return True
 
     def _mirror_throttle(
@@ -1668,11 +1724,82 @@ class RetrievalEngine:
 
     # -- host-path dispatch --------------------------------------------------
 
+    #: Re-probe schedule for the RPC floor: 30 s after the first
+    #: measurement, doubling to a 15-minute steady state — frequent
+    #: enough to track hour-scale tunnel weather, rare enough to cost
+    #: nothing (one probe = 3 tiny RPCs at a quiet moment).
+    RPC_REPROBE_BASE_S = 30.0
+    RPC_REPROBE_MAX_S = 900.0
+
+    def _measure_rpc_floor_once(self) -> float:
+        """min-of-3 round trips of a pre-compiled 8-element reduction —
+        the time is all RPC.  Raises on device errors (callers decide
+        caching policy)."""
+        dev = self.device
+        if dev is None and self.mesh is not None:
+            dev = next(iter(self.mesh.devices.flat))
+        x = jax.device_put(np.zeros(8, np.float32), dev)
+        f = jax.jit(jnp.sum)
+        np.asarray(f(x))  # compile outside the timed runs
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def _rpc_refresh_interval(self) -> float:
+        return min(
+            self.RPC_REPROBE_MAX_S,
+            self.RPC_REPROBE_BASE_S * (2.0 ** max(0, self._rpc_probes - 1)),
+        )
+
+    def _quiet(self) -> bool:
+        with self._inflight_lock:
+            busy = self._inflight > 0
+        return not (busy or self.pack_uploading or self.mirror_uploading)
+
+    def _maybe_spawn_rpc_probe(self) -> None:
+        """Background re-measure of the RPC floor at a quiet moment; the
+        result blends in (EWMA) so one outlier probe can't swing the
+        dispatch, while a genuinely moved floor converges in a few
+        probes."""
+        if not self._quiet():
+            return
+        t = self._rpc_probe_thread
+        if t is not None and t.is_alive():
+            return
+
+        def work() -> None:
+            try:
+                new = self._measure_rpc_floor_once()
+            except Exception:
+                log.debug("rpc floor re-probe failed", exc_info=True)
+                return
+            old = self._rpc_floor
+            blended = new if old is None else 0.5 * old + 0.5 * new
+            self._rpc_floor = blended
+            self._rpc_floor_t = time.monotonic()
+            self._rpc_probes += 1
+            log.info(
+                "device RPC floor re-probed: %.2f ms (blended %.2f ms)",
+                new * 1e3, blended * 1e3,
+            )
+
+        t = threading.Thread(
+            target=work, name="svs-tpu-rpc-probe", daemon=True
+        )
+        t.start()
+        self._rpc_probe_thread = t
+
     def device_rpc_floor(self) -> float:
-        """Measured round-trip floor of one minimal dispatch+fetch on
-        this engine's device: ~30 ms on tunneled deployments, ~0.1 ms
-        locally.  Measured lazily once per engine (min of 3 runs of a
-        pre-compiled 8-element reduction — the time is all RPC).
+        """Time-weighted round-trip floor of one minimal dispatch+fetch
+        on this engine's device: ~30 ms on tunneled deployments, ~0.1 ms
+        locally.  First measured lazily at a quiet moment, then
+        re-probed in the background on a decaying schedule
+        (:meth:`_maybe_spawn_rpc_probe`) — tunnel weather moves the real
+        floor by 10x across hours, so a single cached measurement would
+        mis-route load for the process lifetime.
 
         Never measured while uploads or searches are in flight: the
         probe would queue behind them (a 600 MB mirror chunk held one
@@ -1680,26 +1807,19 @@ class RetrievalEngine:
         host scans.  Until a quiet moment arrives, the prior stands
         (``SVS_TPU_RPC_FLOOR``, default 30 ms)."""
         if self._rpc_floor is not None:
+            if (
+                time.monotonic() - self._rpc_floor_t
+                >= self._rpc_refresh_interval()
+            ):
+                self._maybe_spawn_rpc_probe()
             return self._rpc_floor
         from ..utils.env import env_float
 
         prior = env_float("SVS_TPU_RPC_FLOOR", _RPC_FLOOR_PRIOR)
-        with self._inflight_lock:
-            busy = self._inflight > 0
-        if busy or self.pack_uploading or self.mirror_uploading:
+        if not self._quiet():
             return prior  # uncached: re-attempt at the next quiet call
         try:
-            dev = self.device
-            if dev is None and self.mesh is not None:
-                dev = next(iter(self.mesh.devices.flat))
-            x = jax.device_put(np.zeros(8, np.float32), dev)
-            f = jax.jit(jnp.sum)
-            np.asarray(f(x))  # compile outside the timed runs
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                np.asarray(f(x))
-                best = min(best, time.perf_counter() - t0)
+            best = self._measure_rpc_floor_once()
         except Exception:
             # A TRANSIENT device error must not poison the cache: a
             # permanently-cached inf would route all eligible traffic to
@@ -1714,8 +1834,10 @@ class RetrievalEngine:
             )
             return prior
         self._rpc_floor = best
+        self._rpc_floor_t = time.monotonic()
+        self._rpc_probes = 1
         log.info("device RPC floor: %.2f ms", best * 1e3)
-        return self._rpc_floor
+        return best
 
     def host_route(self, corpus: PackedCorpus, batch: int) -> bool:
         """The dispatch rule: answer from the host f32 cache when the
@@ -1747,12 +1869,64 @@ class RetrievalEngine:
             return False
         # One GEMM pass per query slab (host_topk_exact); one device RPC
         # serves the whole batch.
+        self._maybe_refresh_host_bw(corpus)
         slab = max(
             1, _HOST_SCAN_MAX_SCORE_BYTES // max(1, corpus.n_valid * 4)
         )
         passes = -(-batch // slab)
         host_s = passes * corpus.host_f32.nbytes / self._host_scan_bw
         return host_s < self.device_rpc_floor()
+
+    #: Re-probe the host-scan bandwidth estimate when it has not been
+    #: refreshed (by a real host scan or a probe) for this long.
+    HOST_BW_REFRESH_S = 300.0
+
+    def _maybe_refresh_host_bw(self, corpus: PackedCorpus) -> None:
+        """Cheap background slab probe of the host-scan bandwidth when
+        the EWMA has gone stale — the estimate otherwise only updates
+        when the host path RUNS, so a device-winning steady state would
+        starve it forever (and a stale low estimate can keep the host
+        path off exactly when tunnel weather makes it the right
+        route)."""
+        if time.monotonic() - self._host_bw_t < self.HOST_BW_REFRESH_S:
+            return
+        t = self._host_bw_thread
+        if t is not None and t.is_alive():
+            return
+        hf = corpus.host_f32
+        if hf is None or hf.shape[0] == 0:
+            return
+        self._host_bw_t = time.monotonic()  # claim before the thread runs
+
+        def work() -> None:
+            try:
+                rows = min(
+                    hf.shape[0],
+                    max(1, 64 * 1024 * 1024 // max(1, hf.shape[1] * 4)),
+                )
+                q = np.zeros(hf.shape[1], dtype=np.float32)
+                q[0] = 1.0
+                t0 = time.perf_counter()
+                _ = hf[:rows] @ q
+                dt = time.perf_counter() - t0
+                if dt > 1e-6:
+                    measured = rows * hf.shape[1] * 4 / dt
+                    self._host_scan_bw = (
+                        0.5 * self._host_scan_bw + 0.5 * measured
+                    )
+                    log.debug(
+                        "host scan bandwidth probe: %.2f GB/s "
+                        "(EWMA %.2f GB/s)",
+                        measured / 1e9, self._host_scan_bw / 1e9,
+                    )
+            except Exception:
+                log.debug("host bandwidth probe failed", exc_info=True)
+
+        t = threading.Thread(
+            target=work, name="svs-tpu-hostbw-probe", daemon=True
+        )
+        t.start()
+        self._host_bw_thread = t
 
     def host_topk_exact(
         self, corpus: PackedCorpus, queries: np.ndarray, k: int
@@ -1813,6 +1987,7 @@ class RetrievalEngine:
         if elapsed > 1e-5:
             measured = passes * hf.nbytes / elapsed
             self._host_scan_bw = 0.5 * self._host_scan_bw + 0.5 * measured
+            self._host_bw_t = time.monotonic()  # real scan = fresh sample
         return emb_out, score_out
 
     @_marks_inflight
@@ -1868,15 +2043,24 @@ class RetrievalEngine:
         # (measured ~190 ms -> ~60 ms per 256-query batch at 1M x 1536).
         # ONE query upload serves prescore and rescore (see
         # ``_prescore_packed``).
-        q_dev = self._put_queries(corpus, queries)
-        packed_dev, wide = self._prescore_packed(
-            corpus, queries, k_eff, q_dev=q_dev
+        holder: Dict[str, bool] = {}
+
+        def dispatch() -> jax.Array:
+            q_dev = self._put_queries(corpus, queries)
+            packed_dev, w = self._prescore_packed(
+                corpus, queries, k_eff, q_dev=q_dev
+            )
+            holder["wide"] = w
+            return _rescore_from_packed(
+                packed_dev, dev[0], dev[1], q_dev, k_eff, w,
+                dim=_mirror_dim(dev[0], corpus),
+            )
+
+        # [B, 2C + 1] compact wire; hedged — see _fetch_hedged
+        arr = self._fetch_hedged(
+            dispatch, f"rescore:{queries.shape[0]}x{k_eff}"
         )
-        combined = _rescore_from_packed(
-            packed_dev, dev[0], dev[1], q_dev, k_eff, wide,
-            dim=_mirror_dim(dev[0], corpus),
-        )
-        arr = np.asarray(combined)  # [B, 2C + 1] compact wire
+        wide = holder["wide"]
         if wide:
             rows = arr[:, :k_eff].astype(np.int64)
             f32_part = np.ascontiguousarray(arr[:, k_eff:]).view(np.float32)
@@ -1890,6 +2074,114 @@ class RetrievalEngine:
         tail = np.ascontiguousarray(f32_part[:, k_eff])
         vals = np.broadcast_to(tail[:, None], exact.shape)
         return vals, rows, exact
+
+    #: Hedge only after the fetch has exceeded ``max(HEDGE_MIN_S,
+    #: HEDGE_FACTOR x EWMA)`` — generous so a mid-traffic jit compile (a
+    #: widen retry's fresh shape) never fires a spurious duplicate, tight
+    #: enough that a wedged tunnel RPC (observed: a stalled relay streams
+    #: 0 bytes forever) costs one deadline instead of an unbounded stall.
+    HEDGE_MIN_S = 2.0
+    HEDGE_FACTOR = 8.0
+
+    def _fetch_hedged(
+        self,
+        dispatch: Callable[[], Any],
+        label: str,
+    ) -> np.ndarray:
+        """``np.asarray(dispatch())`` with a wedge deadline.
+
+        Tunneled device links stall for multi-second stretches with the
+        device itself idle (round-4 driver capture: ``device_search``
+        p50 3.9 s per batch against 3.6 ms of device time).  When a
+        result fetch exceeds a deadline derived from this label's recent
+        healthy fetches, the SAME step is dispatched again — pure jitted
+        math over on-device arrays, ~ms — and whichever fetch lands
+        first wins; the wedged thread is abandoned (daemon).  First call
+        per label (the compile) is never hedged and seeds the EWMA.
+        ``SVS_TPU_HEDGE=off`` disables."""
+        import os as _os
+
+        ewma = self._fetch_ewma.get(label)
+        if ewma is None or _os.environ.get("SVS_TPU_HEDGE", "") in (
+            "0", "off"
+        ):
+            t0 = time.perf_counter()
+            out = np.asarray(dispatch())
+            dt = time.perf_counter() - t0
+            prev = self._fetch_ewma.get(label)
+            self._fetch_ewma[label] = (
+                dt if prev is None else 0.7 * prev + 0.3 * dt
+            )
+            return out
+
+        deadline = max(self.HEDGE_MIN_S, self.HEDGE_FACTOR * ewma)
+        lock = threading.Lock()
+        done = threading.Event()
+        box: Dict[str, Any] = {}
+
+        def fetch(slot: str) -> None:
+            try:
+                a = np.asarray(dispatch())
+                with lock:
+                    if "result" not in box:
+                        box["result"] = a
+                        box["winner"] = slot
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                with lock:
+                    box.setdefault("errors", []).append(exc)
+                    if len(box.get("errors", ())) < box.get("racers", 1):
+                        return  # the other racer may still win
+            done.set()
+
+        t0 = time.perf_counter()
+        box["racers"] = 1
+        threading.Thread(
+            target=fetch, args=("primary",), daemon=True,
+            name="svs-tpu-fetch",
+        ).start()
+        if not done.wait(deadline):
+            self._hedge_fired += 1
+            log.warning(
+                "device fetch %s exceeded %.1fs (healthy ~%.0fms); "
+                "hedging with a duplicate dispatch", label, deadline,
+                ewma * 1e3,
+            )
+            with lock:
+                box["racers"] = 2
+            threading.Thread(
+                target=fetch, args=("hedge",), daemon=True,
+                name="svs-tpu-fetch-hedge",
+            ).start()
+            # Bounded: if the primary ERRORED and the hedge also wedges,
+            # an unbounded wait would hang the query forever.
+            if not done.wait(max(120.0, 4.0 * deadline)):
+                raise TimeoutError(
+                    f"device fetch {label} wedged: primary and hedge "
+                    f"both silent past {max(120.0, 4.0 * deadline):.0f}s"
+                )
+        with lock:
+            if "result" not in box:
+                raise box["errors"][0]
+            if box.get("winner") == "hedge":
+                self._hedge_won += 1
+            else:
+                dt = time.perf_counter() - t0
+                self._fetch_ewma[label] = 0.7 * ewma + 0.3 * dt
+            return box["result"]
+
+    def dispatch_stats(self) -> Dict[str, float]:
+        """Current adaptive-dispatch inputs and hedge counters, surfaced
+        through ``kb.stats()['dispatch']`` so operators can see WHY the
+        engine routes the way it does (a stale RPC floor or host-scan
+        bandwidth estimate silently mis-routes load otherwise)."""
+        out: Dict[str, float] = {
+            "host_scan_bw": float(self._host_scan_bw),
+            "hedge_fired": float(self._hedge_fired),
+            "hedge_won": float(self._hedge_won),
+        }
+        if self._rpc_floor is not None:
+            out["rpc_floor_ms"] = float(self._rpc_floor * 1e3)
+        return out
 
     def _put_queries(
         self, corpus: PackedCorpus, queries: np.ndarray
@@ -1955,26 +2247,26 @@ class RetrievalEngine:
                 empty,
                 np.full((b,), -np.inf, dtype=np.float32),
             )
-        q_dev = self._put_queries(corpus, queries)
-        packed_dev, wide = self._prescore_packed(
-            corpus, queries, c_eff, q_dev=q_dev
-        )
-        if self.mesh is not None:
-            from ..parallel.sharded import sharded_rescore_final
-
-            combined = sharded_rescore_final(
-                packed_dev,
-                dev[0],
-                corpus.dev_emb,
-                q_dev,
-                n_eff,
-                wide=wide,
-                mesh=self.mesh,
-                data_axis=self.data_axis,
-                dim=_mirror_dim(dev[0], corpus),
+        def dispatch() -> jax.Array:
+            q_dev = self._put_queries(corpus, queries)
+            packed_dev, wide = self._prescore_packed(
+                corpus, queries, c_eff, q_dev=q_dev
             )
-        else:
-            combined = _final_from_packed(
+            if self.mesh is not None:
+                from ..parallel.sharded import sharded_rescore_final
+
+                return sharded_rescore_final(
+                    packed_dev,
+                    dev[0],
+                    corpus.dev_emb,
+                    q_dev,
+                    n_eff,
+                    wide=wide,
+                    mesh=self.mesh,
+                    data_axis=self.data_axis,
+                    dim=_mirror_dim(dev[0], corpus),
+                )
+            return _final_from_packed(
                 packed_dev,
                 dev[0],
                 dev[1],
@@ -1984,7 +2276,11 @@ class RetrievalEngine:
                 wide,
                 dim=_mirror_dim(dev[0], corpus),
             )
-        arr = np.asarray(combined)  # [B, 2n+1] int32 wire
+
+        # [B, 2n+1] int32 wire; hedged — see _fetch_hedged
+        arr = self._fetch_hedged(
+            dispatch, f"final:{queries.shape[0]}x{c_eff}x{n_eff}"
+        )
         emb = arr[:, :n_eff].astype(np.int64)
         scores = np.ascontiguousarray(arr[:, n_eff : 2 * n_eff]).view(
             np.float32
@@ -2619,10 +2915,21 @@ class RetrievalEngine:
                 np.zeros((b, 0), dtype=np.float32),
                 np.zeros((b, 0), dtype=np.int64),
             )
-        packed_dev, wide = self._prescore_packed(corpus, queries, k_eff)
         from ..ops.topk import unpack_vals_idx
 
-        vals_np, rows_np = unpack_vals_idx(packed_dev, k_eff, wide=wide)
+        holder: Dict[str, bool] = {}
+
+        def dispatch() -> jax.Array:
+            arr, w = self._prescore_packed(corpus, queries, k_eff)
+            holder["wide"] = w
+            return arr
+
+        packed_np = self._fetch_hedged(
+            dispatch, f"prescore:{queries.shape[0]}x{k_eff}"
+        )
+        vals_np, rows_np = unpack_vals_idx(
+            packed_np, k_eff, wide=holder["wide"]
+        )
         return vals_np, rows_np
 
     def _prescore_packed(

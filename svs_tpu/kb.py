@@ -960,6 +960,7 @@ class AsyncKB:
         incremental pack paths."""
         out = self._stats.snapshot()
         out["pack_events"] = {k: float(v) for k, v in self.engine.pack_events.items()}
+        out["dispatch"] = self.engine.dispatch_stats()
         return out
 
     # -- plumbing -----------------------------------------------------------
@@ -1900,6 +1901,7 @@ class KB:
         incremental pack paths."""
         out = self._stats.snapshot()
         out["pack_events"] = {k: float(v) for k, v in self.engine.pack_events.items()}
+        out["dispatch"] = self.engine.dispatch_stats()
         return out
 
     # -- plumbing ------------------------------------------------------------

@@ -1,0 +1,258 @@
+"""Fresh dispatch inputs + hedged fetches (round-5 work on the round-4
+verdict's items 1c and 6).
+
+The adaptive host/device dispatch consumes two measurements — the device
+round-trip floor and the host-scan bandwidth — that previously froze at
+their first sample: tunnel weather moves the real floor by 10x across
+hours, and the bandwidth EWMA only updated when the host path actually
+ran (mutual starvation).  These tests pin the decaying re-probe schedule,
+the probe-based convergence, the background bandwidth refresh, the hedged
+result fetch that rides out wedged RPCs, and the ``stats()`` surface that
+makes all of it observable.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from svs_tpu import KB
+from svs_tpu.engine import RetrievalEngine
+from svs_tpu.store import Database, embedding_to_bytes
+from tests.kb_helpers import make_angle_embedder
+
+
+def _pack_corpus(db_path, unit_rows, n=64, d=32, precision="bf16"):
+    m = unit_rows(n, d)
+    db = Database(db_path)
+    with db.transaction() as tx:
+        for i, v in enumerate(m):
+            tx.add_doc(
+                f"d{i}", None, None, embedding_to_bytes(list(map(float, v)))
+            )
+        tx.bump_matrix_version()
+    eng = RetrievalEngine(precision=precision)
+    corpus = eng.ensure_fresh(db)
+    return db, eng, corpus, m
+
+
+# -- RPC floor: decaying re-probe + convergence ------------------------------
+
+
+def test_rpc_floor_reprobe_converges_from_bad_measurement(db_path):
+    """A floor measured 10x too high (or too low) converges toward the
+    real floor after a few quiet re-probes (EWMA blend halves the error
+    per probe)."""
+    eng = RetrievalEngine()
+    real = eng._measure_rpc_floor_once()
+
+    for start in (real * 10 + 0.05, real / 10):
+        eng._rpc_floor = start
+        eng._rpc_probes = 1
+        for _ in range(8):
+            eng._rpc_floor_t = 0.0  # stale: force the schedule to fire
+            eng.device_rpc_floor()
+            t = eng._rpc_probe_thread
+            assert t is not None
+            t.join(30)
+        # error halves per probe: 8 probes cut 10x to ~1.04x; allow
+        # generous slack for timing noise on a busy CI host
+        assert eng._rpc_floor < max(real * 4, start / 16), (
+            start, eng._rpc_floor, real
+        )
+        assert eng._rpc_floor > real / 16
+
+
+def test_rpc_floor_schedule_decays(db_path):
+    eng = RetrievalEngine()
+    eng._rpc_probes = 1
+    first = eng._rpc_refresh_interval()
+    eng._rpc_probes = 10
+    later = eng._rpc_refresh_interval()
+    assert first == eng.RPC_REPROBE_BASE_S
+    assert later == eng.RPC_REPROBE_MAX_S
+    # a fresh measurement does NOT immediately re-probe
+    eng._rpc_floor = 0.001
+    eng._rpc_floor_t = time.monotonic()
+    eng._rpc_probe_thread = None
+    eng.device_rpc_floor()
+    assert eng._rpc_probe_thread is None
+
+
+# -- host bandwidth: background refresh --------------------------------------
+
+
+def test_host_bw_probe_refreshes_stale_estimate(db_path, unit_rows):
+    db, eng, corpus, _ = _pack_corpus(db_path, unit_rows)
+    try:
+        assert corpus.host_f32 is not None
+        eng._host_scan_bw = 1e3  # absurd: 1 KB/s
+        eng._host_bw_t = 0.0  # stale
+        eng.host_dispatch = "auto"
+        eng._rpc_floor = 0.001
+        eng.host_route(corpus, 1)
+        t = eng._host_bw_thread
+        assert t is not None, "stale estimate did not spawn a probe"
+        t.join(30)
+        assert eng._host_scan_bw > 1e6, eng._host_scan_bw
+        # and the sample is now fresh: no second probe spawns
+        eng._host_bw_thread = None
+        eng.host_route(corpus, 1)
+        assert eng._host_bw_thread is None
+    finally:
+        db.close()
+
+
+# -- hedged fetches ----------------------------------------------------------
+
+
+def test_hedged_fetch_rides_out_wedged_primary():
+    """When the primary fetch wedges past the deadline, a duplicate
+    dispatch answers and the call returns the (identical) result fast."""
+    eng = RetrievalEngine()
+    eng._fetch_ewma["t"] = 0.001
+    calls = []
+    gate_first = threading.Event()
+
+    def dispatch():
+        calls.append(time.monotonic())
+        if len(calls) == 1:
+            gate_first.wait(20)  # wedge the primary
+        return jnp.arange(8, dtype=jnp.float32)
+
+    # shrink the deadline so the test is fast
+    eng.HEDGE_MIN_S = 0.2
+    t0 = time.perf_counter()
+    out = eng._fetch_hedged(dispatch, "t")
+    took = time.perf_counter() - t0
+    gate_first.set()
+    np.testing.assert_array_equal(out, np.arange(8, dtype=np.float32))
+    assert len(calls) == 2, "hedge never dispatched"
+    assert took < 5.0, took
+    assert eng._hedge_fired == 1 and eng._hedge_won == 1
+    st = eng.dispatch_stats()
+    assert st["hedge_fired"] == 1.0 and st["hedge_won"] == 1.0
+
+
+def test_hedged_fetch_primary_error_falls_to_hedge():
+    eng = RetrievalEngine()
+    eng._fetch_ewma["t"] = 0.001
+    eng.HEDGE_MIN_S = 0.2
+    calls = []
+
+    def dispatch():
+        calls.append(1)
+        if len(calls) == 1:
+            time.sleep(0.5)  # past the deadline, then error
+            raise RuntimeError("link reset")
+        return jnp.ones(4)
+
+    out = eng._fetch_hedged(dispatch, "t")
+    np.testing.assert_array_equal(out, np.ones(4, dtype=np.float32))
+    assert len(calls) == 2
+
+
+def test_hedged_fetch_both_error_raises():
+    eng = RetrievalEngine()
+    eng._fetch_ewma["t"] = 0.001
+    eng.HEDGE_MIN_S = 0.2
+
+    def dispatch():
+        time.sleep(0.3)
+        raise RuntimeError("link down")
+
+    with pytest.raises(RuntimeError, match="link down"):
+        eng._fetch_hedged(dispatch, "t")
+
+
+def test_hedged_fetch_first_call_seeds_ewma_inline():
+    eng = RetrievalEngine()
+    out = eng._fetch_hedged(lambda: jnp.zeros(3), "fresh")
+    assert out.shape == (3,)
+    assert "fresh" in eng._fetch_ewma
+    assert eng._hedge_fired == 0
+
+
+def test_hedge_env_off(monkeypatch):
+    monkeypatch.setenv("SVS_TPU_HEDGE", "off")
+    eng = RetrievalEngine()
+    eng._fetch_ewma["t"] = 1e-9  # would hedge instantly if enabled
+    eng.HEDGE_MIN_S = 0.0
+    calls = []
+
+    def dispatch():
+        calls.append(1)
+        time.sleep(0.05)
+        return jnp.zeros(2)
+
+    eng._fetch_hedged(dispatch, "t")
+    assert len(calls) == 1
+
+
+# -- end-to-end: retrieval still exact with hedging in the path --------------
+
+
+def test_retrieve_exact_through_hedged_path(db_path):
+    kb = KB(db_path, make_angle_embedder(), force_fresh_db=True)
+    try:
+        with kb.bulk_add_docs() as add:
+            for i in range(40):
+                add(f"angle:{(i * 11) % 360}")
+        hits = kb.retrieve("angle:33", 5)
+        assert hits[0]["doc"]["text"] == "angle:33"
+        st = kb.stats()
+        assert "dispatch" in st and "host_scan_bw" in st["dispatch"]
+    finally:
+        kb.close()
+
+
+# -- wait_for_mirror covers the whole readiness chain ------------------------
+
+
+def test_wait_for_mirror_joins_cache_rebuild_and_builds_mirror(
+    db_path, unit_rows, monkeypatch, tmp_path
+):
+    """A sidecar WITHOUT the f32 cache (size-limited publish, older
+    writer) cold-starts with no host cache; ``wait_for_mirror`` must
+    wait out the background SQLite rescan AND the mirror build it
+    enables — a single join pass returned "ready" while the corpus had
+    neither (the round-4 undiagnosable slow-regime capture)."""
+    import svs_tpu.engine.index as index_mod
+
+    db, eng, corpus, _ = _pack_corpus(db_path, unit_rows, precision="bf16")
+    side = tmp_path / "t.svsx"
+    eng.write_sidecar(side)
+    db.close()
+
+    real_load = index_mod.load_sidecar
+
+    def load_stripped(path, expected_version=None):
+        out = real_load(path, expected_version=expected_version)
+        if out is None:
+            return None
+        data, scales, ids, header = out
+        header = {
+            k: v for k, v in header.items()
+            if k not in ("_f32_cache", "_f32_row_map")
+        }
+        return data, scales, ids, header
+
+    monkeypatch.setattr(index_mod, "load_sidecar", load_stripped)
+
+    db2 = Database(db_path)
+    try:
+        eng2 = RetrievalEngine(precision="bf16")
+        corpus2 = eng2.ensure_fresh(db2, side)
+        assert eng2.pack_events["sidecar"] == 1
+        assert eng2.wait_for_mirror(timeout=60)
+        assert corpus2.host_f32 is not None, (
+            "cache rebuild not finished by wait_for_mirror"
+        )
+        assert corpus2.dev_rescore is not None, (
+            "mirror not built by wait_for_mirror"
+        )
+    finally:
+        db2.close()
