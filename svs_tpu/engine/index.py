@@ -533,6 +533,9 @@ class RetrievalEngine:
         )
         self._host_bw_t = 0.0
         self._host_bw_thread: Optional[threading.Thread] = None
+        #: Background builder for large host int8 prescore arrays
+        #: (:meth:`_ensure_host_i8`).
+        self._host_i8_thread: Optional[threading.Thread] = None
         #: Measured device round-trip floor + re-probe schedule: tunnel
         #: weather moves the real floor by 10x across hours, so one
         #: cached measurement under/over-routes for the process lifetime.
@@ -1964,6 +1967,9 @@ class RetrievalEngine:
             # hf row rm[p] holds pack row p's vector -> emb id of hf row
             emb_hf = np.empty_like(corpus.emb_ids)
             emb_hf[rm] = corpus.emb_ids
+        two = self._host_two_pass(corpus, hf, emb_hf, queries, k_eff)
+        if two is not None:
+            return two
         t0 = time.perf_counter()
         # Slab the batch so the [B, n] score matrix stays bounded (the
         # pre-upload path routes ANY batch size here).
@@ -1989,6 +1995,147 @@ class RetrievalEngine:
             self._host_scan_bw = 0.5 * self._host_scan_bw + 0.5 * measured
             self._host_bw_t = time.monotonic()  # real scan = fresh sample
         return emb_out, score_out
+
+    #: Host two-pass dispatch bounds: below MIN_ROWS a single BLAS
+    #: matvec is already ~100 us (selection overhead would dominate);
+    #: above MAX_BATCH the per-query int8 scan re-reads the matrix b
+    #: times while the full-scan GEMM reads the f32 cache once per slab,
+    #: so the crossover is b ~ f32_bytes/int8_bytes = 4.
+    HOST_TWOPASS_MIN_ROWS = 4096
+    HOST_TWOPASS_MAX_BATCH = 4
+    #: Build the int8 host arrays synchronously below this f32-cache
+    #: size (one ~quantize pass); larger corpora build in a background
+    #: thread and answer with the full scan meanwhile.
+    HOST_I8_SYNC_MAX_BYTES = 128 * 1024 * 1024
+
+    def _ensure_host_i8(
+        self, corpus: PackedCorpus, hf: np.ndarray
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """The corpus's host int8 prescore arrays, built lazily from the
+        host f32 cache (native quantization; row sums for the VNNI
+        kernel).  Attached atomically to the immutable pack object —
+        same publication pattern as ``host_cache``."""
+        tri = corpus.host_i8
+        if tri is not None:
+            return tri
+        from ..native import native_available, quantize_int8
+
+        if not native_available():
+            return None
+
+        def build() -> None:
+            di8, scales = quantize_int8(hf)
+            sums = di8.sum(axis=1, dtype=np.int32)
+            object.__setattr__(corpus, "host_i8", (di8, scales, sums))
+
+        if hf.nbytes <= self.HOST_I8_SYNC_MAX_BYTES:
+            build()
+            return corpus.host_i8
+        # large: background build, full scan until it lands
+        t = getattr(self, "_host_i8_thread", None)
+        if t is None or not t.is_alive():
+            t = threading.Thread(
+                target=build, name="svs-tpu-host-i8", daemon=True
+            )
+            t.start()
+            self._host_i8_thread = t
+        return None
+
+    def _host_two_pass(
+        self,
+        corpus: PackedCorpus,
+        hf: np.ndarray,
+        emb_hf: np.ndarray,
+        queries: np.ndarray,
+        k_eff: int,
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Two-pass host search: native int8 prescore selects candidates
+        (1/4 the scanned bytes of the full f32 matvec the reference
+        does, ``svs/kb.py:1185``), an exact f32 rescore of the candidate
+        set applies the reference tie rule, and the SAME margin proof as
+        the device path verifies coverage — widen x4 and retry on
+        failure, full rescore (= exact by construction) at C = n.
+        Returned scores are per-row f32 dots of the stored vectors —
+        bit-identical to the reference's accumulation.  Returns ``None``
+        when the route doesn't apply (no native kernel, tiny corpus,
+        batch past the int8-rescan crossover, rescore opted out)."""
+        b = queries.shape[0]
+        n = hf.shape[0]
+        if (
+            not self.rescore
+            or b > self.HOST_TWOPASS_MAX_BATCH
+            or n < self.HOST_TWOPASS_MIN_ROWS
+            or k_eff >= n // 8  # candidate set would be most of the corpus
+        ):
+            return None
+        tri = self._ensure_host_i8(corpus, hf)
+        if tri is None:
+            return None
+        from ..native import int8_topc_prescore
+
+        di8, scales, sums = tri
+        t0 = time.perf_counter()
+        s_q = (
+            np.maximum(np.max(np.abs(queries), axis=1), 1e-30) / 127.0
+        ).astype(np.float32)
+        q_i8 = np.clip(
+            np.rint(queries / s_q[:, None]), -127, 127
+        ).astype(np.int8)
+        # Same int8 error bound as the device path (prescore_eps
+        # derivation), minus the packed-key term (no key quantization
+        # here): concentration + deterministic residual + f32 cushion.
+        d = hf.shape[1]
+        s_d = float(scales.max()) if scales.size else 0.0
+        t_conc = float(np.sqrt(2.0 * np.log(2.0 / 1e-15)))
+        eps = (
+            0.5 * t_conc * (s_q.astype(np.float64) + s_d) * 1.001
+            + 0.25 * d * s_q.astype(np.float64) * s_d
+            + 3e-5
+        )
+        c = self.candidate_count(k_eff)
+        while True:
+            c_eff = min(c, n)
+            out = int8_topc_prescore(di8, scales, sums, q_i8, s_q, c_eff)
+            if out is None:
+                return None
+            pre_vals, pre_idx = out
+            emb_out = np.empty((b, k_eff), dtype=np.int64)
+            score_out = np.empty((b, k_eff), dtype=np.float32)
+            ok = True
+            for bi in range(b):
+                rows = pre_idx[bi].astype(np.int64)
+                # per-row dots: the reference's exact accumulation order
+                exact = hf[rows] @ queries[bi]
+                e_sel, s_sel = _subset_select_np(
+                    exact[None, :], emb_hf[rows], k_eff
+                )
+                if c_eff < n and s_sel[0, -1] < pre_vals[bi, -1] + eps[bi]:
+                    ok = False
+                    break
+                emb_out[bi] = e_sel[0]
+                score_out[bi] = s_sel[0]
+            if ok:
+                elapsed = time.perf_counter() - t0
+                if elapsed > 1e-5:
+                    # feed the dispatch model the EFFECTIVE bandwidth
+                    # (model cost: passes * f32 bytes / bw), so the
+                    # route keeps preferring the host where the
+                    # two-pass makes it cheaper
+                    slab = max(
+                        1, _HOST_SCAN_MAX_SCORE_BYTES // max(1, n * 4)
+                    )
+                    passes = -(-b // slab)
+                    self._host_scan_bw = (
+                        0.5 * self._host_scan_bw
+                        + 0.5 * passes * hf.nbytes / elapsed
+                    )
+                    self._host_bw_t = time.monotonic()
+                return emb_out, score_out
+            c *= 4
+            log.info(
+                "host two-pass margin insufficient; widening candidates "
+                "to %d", min(c, n),
+            )
 
     @_marks_inflight
     def topk_with_rescore(

@@ -285,6 +285,15 @@ class PackedCorpus:
     _device_ready: Optional[threading.Event] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    #: Host int8 prescore arrays ``(docs_i8, scales, row_sums)`` in
+    #: HOST-CACHE row order — first pass of the host two-pass search
+    #: (``RetrievalEngine.host_topk_exact``).  Derived lazily from
+    #: ``host_cache`` (one atomic attach, like the cache itself);
+    #: snapshot-consistent by construction since both live on this
+    #: immutable pack object.
+    host_i8: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = (
+        dataclasses.field(default=None, repr=False, compare=False)
+    )
     #: Replica-mode clones of this pack on other devices (one per
     #: secondary device, set by ``parallel.replicas.ReplicaEngine``).
     #: Attached to the CORPUS — not to engine state — so an in-flight

@@ -186,7 +186,148 @@ void fastpack_permute_cast_int8(const float* src, const int64_t* perm,
     });
 }
 
-int fastpack_abi_version() { return 3; }
+}  // extern "C"
+
+// --- int8 dot kernels (host two-pass prescore) ------------------------------
+
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#endif
+
+namespace {
+
+// dot(q, d) over int8 with three tiers (built with -march=native):
+//
+// - AVX-512 VNNI: ``dpbusd`` wants u8 x s8, so the query is biased by
+//   +128 into u8 once per call; the per-row correction is
+//   ``128 * sum(d)``, with row sums precomputed once per corpus.
+// - AVX2: ``maddubs`` via the abs/sign trick (|q| as u8, d signed by
+//   q's sign); pair products cap at 2*127*127 < int16 max, no overflow.
+// - scalar fallback (also handles the non-multiple tail).
+inline int32_t dot_i8_scalar(const int8_t* a, const int8_t* b, size_t lo,
+                             size_t hi) {
+    int32_t acc = 0;
+    for (size_t j = lo; j < hi; ++j)
+        acc += static_cast<int32_t>(a[j]) * static_cast<int32_t>(b[j]);
+    return acc;
+}
+
+#if defined(__AVX512VNNI__) && defined(__AVX512BW__) && defined(__AVX512F__)
+#define FASTPACK_HAVE_VNNI 1
+inline int32_t dot_i8_vnni(const uint8_t* q_biased, const int8_t* d,
+                           size_t cols, int32_t row_sum) {
+    __m512i acc = _mm512_setzero_si512();
+    size_t j = 0;
+    for (; j + 64 <= cols; j += 64) {
+        const __m512i vq = _mm512_loadu_si512(
+            reinterpret_cast<const void*>(q_biased + j));
+        const __m512i vd = _mm512_loadu_si512(
+            reinterpret_cast<const void*>(d + j));
+        acc = _mm512_dpbusd_epi32(acc, vq, vd);
+    }
+    int32_t biased = _mm512_reduce_add_epi32(acc);
+    // tail stays in the BIASED domain so the single full-row correction
+    // (128 * sum over ALL cols) is exact for any cols, not just
+    // multiples of 64
+    for (; j < cols; ++j)
+        biased += static_cast<int32_t>(q_biased[j]) *
+                  static_cast<int32_t>(d[j]);
+    return biased - 128 * row_sum;
+}
+#elif defined(__AVX2__)
+#define FASTPACK_HAVE_AVX2_I8 1
+inline int32_t dot_i8_avx2(const int8_t* q, const int8_t* d, size_t cols) {
+    __m256i acc = _mm256_setzero_si256();
+    const __m256i ones = _mm256_set1_epi16(1);
+    size_t j = 0;
+    for (; j + 32 <= cols; j += 32) {
+        const __m256i vq = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(q + j));
+        const __m256i vd = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(d + j));
+        const __m256i abs_q = _mm256_abs_epi8(vq);
+        const __m256i d_signed = _mm256_sign_epi8(vd, vq);
+        const __m256i prod16 = _mm256_maddubs_epi16(abs_q, d_signed);
+        acc = _mm256_add_epi32(acc, _mm256_madd_epi16(prod16, ones));
+    }
+    __m128i lo = _mm256_castsi256_si128(acc);
+    __m128i hi = _mm256_extracti128_si256(acc, 1);
+    __m128i s = _mm_add_epi32(lo, hi);
+    s = _mm_add_epi32(s, _mm_srli_si128(s, 8));
+    s = _mm_add_epi32(s, _mm_srli_si128(s, 4));
+    int32_t dot = _mm_cvtsi128_si32(s);
+    if (j < cols) dot += dot_i8_scalar(q, d, j, cols);
+    return dot;
+}
+#endif
+
+}  // namespace
+
+extern "C" {
+
+// Host two-pass prescore (the host analog of the device's int8
+// prescore + exact f32 rescore design): reconstruction scores
+// ``(q_i8 . d_i8) * s_q * s_d[r]`` for every row, then exact top-c
+// selection per query (same tie convention as fastpack_topk_f32 — the
+// caller's f32 rescore + margin proof applies the reference tie rule
+// and verifies coverage, exactly like the device candidates).  The
+// int8 matrix is 1/4 the bytes of the f32 scan the reference does
+// (``svs/kb.py:1185``) and the dot runs on VNNI/AVX2 integer units —
+// this is what makes the host path WIN (not tie) the reference's own
+// 10k warm-query shape on identical hardware.
+//
+// ``row_sums``: int32 per-row sums of ``docs`` (precomputed once per
+// corpus) — required by the VNNI bias trick; ignored by other tiers
+// (pass nullptr only if the binary reports no VNNI).
+void fastpack_int8_topc(const int8_t* docs, const float* row_scales,
+                        const int32_t* row_sums,
+                        size_t rows, size_t cols,
+                        const int8_t* queries, const float* q_scales,
+                        size_t b, int c,
+                        float* out_vals, int32_t* out_idx, int n_threads) {
+    std::vector<float> scores(rows);
+    const int cc = static_cast<int>(std::min<size_t>(c, rows));
+#if defined(FASTPACK_HAVE_VNNI)
+    std::vector<uint8_t> q_biased(cols);
+#endif
+    for (size_t qi = 0; qi < b; ++qi) {
+        const int8_t* q = queries + qi * cols;
+        const float sq = q_scales[qi];
+#if defined(FASTPACK_HAVE_VNNI)
+        for (size_t j = 0; j < cols; ++j)
+            q_biased[j] = static_cast<uint8_t>(
+                static_cast<int32_t>(q[j]) + 128);
+#endif
+        run_parallel(rows, n_threads, [&](size_t begin, size_t end) {
+            for (size_t r = begin; r < end; ++r) {
+                const int8_t* d = docs + r * cols;
+#if defined(FASTPACK_HAVE_VNNI)
+                const int32_t acc = row_sums
+                    ? dot_i8_vnni(q_biased.data(), d, cols, row_sums[r])
+                    : dot_i8_scalar(q, d, 0, cols);  // no sums: exact, slow
+#elif defined(FASTPACK_HAVE_AVX2_I8)
+                const int32_t acc = dot_i8_avx2(q, d, cols);
+#else
+                const int32_t acc = dot_i8_scalar(q, d, 0, cols);
+#endif
+                scores[r] = static_cast<float>(acc) * sq * row_scales[r];
+            }
+        });
+        fastpack_topk_f32(scores.data(), rows, cc,
+                          out_vals + qi * c, out_idx + qi * c);
+    }
+}
+
+// 1 when the VNNI tier is compiled in (callers must then pass row_sums).
+int fastpack_int8_needs_row_sums() {
+#if defined(FASTPACK_HAVE_VNNI)
+    return 1;
+#else
+    return 0;
+#endif
+}
+
+int fastpack_abi_version() { return 4; }
 
 }  // extern "C"
 
