@@ -223,6 +223,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         window_ms=args.batch_window_ms,
         max_queue=args.max_queue,
         warm=not args.no_warm,
+        workers=args.workers,
         precision=args.precision,
         sidecar="auto",
         replicas=args.replicas,
@@ -363,6 +364,11 @@ def main(argv: "Optional[List[str]]" = None) -> int:
     p.add_argument("--no-warm", action="store_true",
                    help="skip pre-compiling the batcher's batch shapes "
                    "at startup (early requests then pay jit compiles)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="fork N serving processes sharing the port via "
+                   "SO_REUSEPORT — scales the HOST side (HTTP/JSON/"
+                   "hydration) with cores; a single local TPU stays "
+                   "single-process, see serve.run_server docs")
     p.set_defaults(fn=cmd_serve)
 
     sub.add_parser("bench", help="run the benchmark harness (see bench.py)")

@@ -333,28 +333,52 @@ class _DocFragmentCache:
     """
 
     def __init__(self, max_entries: int = 200_000) -> None:
-        self._max = max_entries
+        # Two-generation (segmented) eviction: on overflow the current
+        # segment becomes the old one and a fresh segment starts; hits
+        # in the old segment promote.  A wholesale clear() thrashed at
+        # corpora larger than the cache (1M docs, uniform hits): every
+        # clear dropped the hottest entries along with the coldest, so
+        # the hit rate collapsed to ~0 right when the cache was full.
+        # Segments keep roughly the hottest half resident forever.
+        self._seg_max = max(1, max_entries // 2)
         self._frags: Dict[int, Tuple[Dict[str, Any], bytes]] = {}
+        self._old: Dict[int, Tuple[Dict[str, Any], bytes]] = {}
         self.hits = 0
         self.misses = 0
+
+    def __len__(self) -> int:
+        return len(self._frags) + len(self._old)
 
     def frag(self, doc: Dict[str, Any]) -> bytes:
         key = doc["id"]
         entry = self._frags.get(key)
+        if entry is None:
+            entry = self._old.get(key)
+            promoted = entry is not None
+        else:
+            promoted = False
         if entry is not None and entry[0] == doc:
             self.hits += 1
+            if promoted:
+                self._store(key, entry)
             return entry[1]
         self.misses += 1
         raw = json.dumps(
             _doc_json(doc), separators=(",", ":"), ensure_ascii=False
         ).encode()
-        if len(self._frags) >= self._max:
-            self._frags.clear()  # wholesale: O(1) amortized
         # ``doc`` is the minted hit dict (never aliased by the caller
         # after rendering), so retaining it as the validation witness is
         # safe.
-        self._frags[key] = (doc, raw)
+        self._store(key, (doc, raw))
         return raw
+
+    def _store(
+        self, key: int, entry: Tuple[Dict[str, Any], bytes]
+    ) -> None:
+        if len(self._frags) >= self._seg_max:
+            self._old = self._frags
+            self._frags = {}
+        self._frags[key] = entry
 
     def render(
         self, results: List[List[Retrieval]], single: bool
@@ -444,6 +468,15 @@ def make_app(
                 # prefer non-warming replicas.
                 "warming": (kb.engine.pack_uploading
                             or kb.engine.mirror_uploading),
+                # live serving internals: a collapsing fragment-cache
+                # hit rate or a deep batcher queue is the first sign of
+                # host-side saturation
+                "fragment_cache": {
+                    "hits": fragcache.hits,
+                    "misses": fragcache.misses,
+                    "entries": len(fragcache),
+                },
+                "queue_depth": batcher._pending,
             }
         )
 
@@ -765,6 +798,7 @@ def run_server(
     max_queue: Optional[int] = None,
     warm: bool = True,
     warm_n: int = 16,
+    workers: int = 1,
     **kb_kwargs: Any,
 ) -> None:
     """Open ``db_path`` and serve it until interrupted (CLI entry).
@@ -772,11 +806,41 @@ def run_server(
     ``warm`` (default on) pre-compiles the batcher's power-of-two batch
     shapes before accepting traffic — at 1M x 1536 each first-use
     compile costs 5-20 s on a tunneled device, which otherwise lands as
-    multi-second tail latency on early live requests."""
+    multi-second tail latency on early live requests.
+
+    ``workers`` > 1 forks that many processes sharing the port via
+    ``SO_REUSEPORT`` (the kernel load-balances accepts); each worker
+    opens the KB independently — reads share the SQLite file and the
+    sidecar, writes serialize through SQLite's own locking.  Scaling
+    model, documented honestly: each worker owns a full Python runtime,
+    so the HOST-side work (HTTP, JSON render, hydration, host-path
+    scans) scales with cores.  The accelerator does NOT multiply — on a
+    single local TPU the device runtime is single-process, so extra
+    workers should run host-dispatch-heavy or CPU-backend deployments;
+    for multi-chip device scaling use one worker with the replica
+    engine (``parallel.ReplicaEngine``), which fans batches out across
+    chips inside one process."""
     if web is None:
         raise RuntimeError(
             "aiohttp is required for serving: pip install 'svs-tpu[http]'"
         )
+
+    worker_pids: List[int] = []
+    if workers > 1:
+        import os as _os
+
+        if not hasattr(_os, "fork"):  # pragma: no cover - windows
+            log.warning("--workers needs fork(); serving single-process")
+        else:
+            # Fork BEFORE any JAX backend / KB initialization: a forked
+            # XLA client is undefined behavior, so each worker must
+            # initialize its own from scratch.
+            for _ in range(workers - 1):
+                pid = _os.fork()
+                if pid == 0:
+                    worker_pids = []  # child: serves, owns no siblings
+                    break
+                worker_pids.append(pid)
 
     async def _main() -> None:
         kb = AsyncKB(db_path, **kb_kwargs)
@@ -796,9 +860,12 @@ def run_server(
         )
         runner = web.AppRunner(app)
         await runner.setup()
-        site = web.TCPSite(runner, host, port)
+        site = web.TCPSite(
+            runner, host, port, reuse_port=(workers > 1) or None
+        )
         await site.start()
-        log.info("serving %s on http://%s:%d", db_path, host, port)
+        log.info("serving %s on http://%s:%d (pid %d)",
+                 db_path, host, port, __import__("os").getpid())
         try:
             await asyncio.Event().wait()
         finally:
@@ -809,3 +876,18 @@ def run_server(
         asyncio.run(_main())
     except KeyboardInterrupt:
         pass
+    finally:
+        if worker_pids:
+            import os as _os
+            import signal as _signal
+
+            for pid in worker_pids:
+                try:
+                    _os.kill(pid, _signal.SIGINT)
+                except OSError:
+                    pass
+            for pid in worker_pids:
+                try:
+                    _os.waitpid(pid, 0)
+                except OSError:
+                    pass

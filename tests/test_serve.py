@@ -38,7 +38,9 @@ async def test_healthz_and_retrieve_single(db_path):
     try:
         r = await client.get("/healthz")
         assert r.status == 200
-        assert await r.json() == {"ok": True, "docs": 12, "warming": False}
+        body = await r.json()
+        assert body["ok"] is True and body["docs"] == 12
+        assert body["warming"] is False
 
         r = await client.post("/retrieve", json={"query": "vec:3", "n": 2})
         assert r.status == 200
@@ -706,3 +708,64 @@ def test_sync_kb_warmup(db_path):
         assert kb.stats()["warmup"]["count"] == 2
     finally:
         kb.close()
+
+
+def test_fragment_cache_segmented_eviction():
+    """Overflow moves the current segment to 'old' instead of dropping
+    everything; hot entries promote back and survive rollovers (a
+    wholesale clear collapsed the hit rate at corpora larger than the
+    cache)."""
+    from svs_tpu.serve import _DocFragmentCache
+
+    fc = _DocFragmentCache(max_entries=8)  # segments of 4
+    docs = [
+        {"id": i, "parent_id": None, "level": 0, "text": f"t{i}",
+         "embedding": True, "meta": None}
+        for i in range(20)
+    ]
+    hot = docs[0]
+    fc.frag(hot)
+    for d in docs[1:20]:
+        fc.frag(d)      # rolls the segments several times
+        fc.frag(hot)    # hot doc touched between every insert
+    # the hot doc stayed cached through every rollover
+    before = fc.misses
+    fc.frag(hot)
+    assert fc.misses == before
+    assert fc.hits >= 19
+    assert len(fc) <= 8
+
+
+async def test_healthz_exports_cache_and_queue(db_path):
+    kb = await _make_kb(db_path)
+    client = await _client(kb)
+    try:
+        # populate the fragment cache via one retrieve
+        resp = await client.post("/retrieve", json={"query": "vec:1", "n": 2})
+        assert resp.status == 200
+        h = await (await client.get("/healthz")).json()
+        assert h["ok"] is True
+        assert "fragment_cache" in h and "queue_depth" in h
+        assert h["fragment_cache"]["misses"] >= 1
+        assert h["queue_depth"] == 0
+        # a second identical retrieve hits the cache
+        await client.post("/retrieve", json={"query": "vec:1", "n": 2})
+        h2 = await (await client.get("/healthz")).json()
+        assert h2["fragment_cache"]["hits"] > h["fragment_cache"]["hits"]
+    finally:
+        await client.close()
+        await kb.close()
+
+
+def test_cli_serve_accepts_workers(monkeypatch):
+    import svs_tpu.cli as cli
+
+    seen = {}
+
+    def fake_run_server(db, **kw):
+        seen.update(kw)
+
+    monkeypatch.setattr("svs_tpu.serve.run_server", fake_run_server)
+    rc = cli.main(["serve", "/tmp/x.sqlite", "--workers", "3"])
+    assert rc == 0
+    assert seen["workers"] == 3
