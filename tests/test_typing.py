@@ -34,6 +34,35 @@ def test_static_annotation_lint_clean():
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
 
+def test_lint_detects_violations(tmp_path):
+    """The gate must actually FIRE on each rule it claims to enforce —
+    a lint that only ever passes proves nothing."""
+    bad = tmp_path / "pkg"
+    bad.mkdir()
+    (bad / "mod.py").write_text(
+        "from typing import List, Optional\n"
+        "def f(x): ...\n"                          # untyped param+return
+        "def g(x: List) -> None: ...\n"            # bare generic
+        "def h(x: int = None) -> None: ...\n"      # implicit optional
+        "def ok(x: Optional[int] = None) -> None: ...\n"
+        "def ok2(x: 'int | None' = None) -> None: ...\n"
+        "y = 1  # type: ignore\n"                  # bare ignore
+    )
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "typecheck_lite.py"),
+         str(bad)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 1
+    out = proc.stdout
+    assert "missing annotation" in out
+    assert "bare generic 'List'" in out
+    assert "no_implicit_optional" in out
+    assert "bare '# type: ignore'" in out
+    # the two Optional spellings are accepted
+    assert "def ok" not in out
+
+
 _DRIVE = r"""
 import warnings
 from typeguard.importhook import install_import_hook

@@ -17,6 +17,9 @@ executes in CI and in the default test suite (``tests/test_typing.py``):
   def signature must be parameterized;
 - ``ignore-without-code``: every ``# type: ignore`` must carry an error
   code (``# type: ignore[attr-defined]``) so suppressions stay narrow;
+- ``no_implicit_optional`` (a strict-mode default since mypy 0.990): a
+  parameter whose default is ``None`` must spell the optionality in its
+  annotation (``Optional[...]``, ``... | None``, ``Any``/``object``);
 - lambdas are exempt (as in mypy).
 
 Part 2 is the typeguard runtime check (``tests/test_typing.py``), which
@@ -117,6 +120,48 @@ def _bare_generics_in(annotation: ast.AST) -> Iterator[str]:
         yield from _bare_generics_in(child)
 
 
+def _admits_none(annotation: ast.AST) -> bool:
+    """Whether an annotation can type a ``None`` value: ``Optional``/
+    ``Union`` arms, PEP 604 ``X | None``, literal ``None``, ``Any``,
+    ``object``, or a string annotation of any of those."""
+    if isinstance(annotation, ast.Constant):
+        if annotation.value is None:
+            return True
+        if isinstance(annotation.value, str):
+            try:
+                sub = ast.parse(annotation.value, mode="eval").body
+            except SyntaxError:
+                return False
+            return _admits_none(sub)
+        return False
+    if isinstance(annotation, ast.Name):
+        return annotation.id in ("Optional", "Any", "object", "Union")
+    if isinstance(annotation, ast.Attribute):
+        return annotation.attr in ("Optional", "Any", "object", "Union")
+    if isinstance(annotation, ast.Subscript):
+        if _admits_none(annotation.value):
+            # Optional[...] always admits None; Union[...] only if an
+            # arm does — checked by walking the slice below
+            base = annotation.value
+            name = (
+                base.id if isinstance(base, ast.Name)
+                else base.attr if isinstance(base, ast.Attribute) else ""
+            )
+            if name in ("Optional", "Any", "object"):
+                return True
+            return any(
+                _admits_none(c) for c in ast.walk(annotation.slice)
+            )
+        return False
+    if isinstance(annotation, ast.BinOp) and isinstance(
+        annotation.op, ast.BitOr
+    ):
+        return _admits_none(annotation.left) or _admits_none(
+            annotation.right
+        )
+    return False
+
+
 def check_file(path: Path) -> List[str]:
     src = path.read_text()
     tree = ast.parse(src, filename=str(path))
@@ -140,9 +185,31 @@ def check_file(path: Path) -> List[str]:
         skip_first = is_method and all_args and all_args[0].arg in (
             "self", "cls"
         )
+        # map default expressions to their parameters: positional
+        # defaults align with the TAIL of posonly+args; kw_defaults
+        # align 1:1 with kwonlyargs (None = no default)
+        pos = list(args.posonlyargs) + list(args.args)
+        none_defaulted = set()
+        for a, dflt in zip(pos[len(pos) - len(args.defaults):],
+                           args.defaults):
+            if isinstance(dflt, ast.Constant) and dflt.value is None:
+                none_defaulted.add(a)
+        for a, kd in zip(args.kwonlyargs, args.kw_defaults):
+            if isinstance(kd, ast.Constant) and kd.value is None:
+                none_defaulted.add(a)
         for i, a in enumerate(all_args):
             if i == 0 and skip_first:
                 continue
+            if (
+                a in none_defaulted
+                and a.annotation is not None
+                and not _admits_none(a.annotation)
+            ):
+                problems.append(
+                    f"{path}:{node.lineno}: def {node.name}: parameter "
+                    f"{a.arg!r} defaults to None but its annotation "
+                    f"does not admit None (no_implicit_optional)"
+                )
             if a.annotation is None:
                 problems.append(
                     f"{path}:{node.lineno}: def {node.name}: parameter "
