@@ -72,20 +72,31 @@ async def _load(base: str) -> dict:
     counts = [0] * CLIENTS
     lat: list = []
 
+    statuses: dict = {}
+
     async def client(ci: int) -> None:
         async with aiohttp.ClientSession() as s:
             i = ci * 100_000
             while time.monotonic() < stop:
                 i += 1
                 t0 = time.perf_counter()
-                async with s.post(
-                    base + "/retrieve",
-                    json={"query": f"q:{i % N}", "n": TOP_N},
-                ) as r:
-                    await r.read()
-                    if r.status == 200:
-                        counts[ci] += 1
-                        lat.append(time.perf_counter() - t0)
+                try:
+                    async with s.post(
+                        base + "/retrieve",
+                        json={"query": f"q:{i % N}", "n": TOP_N},
+                    ) as r:
+                        body = await r.read()
+                        statuses[r.status] = statuses.get(r.status, 0) + 1
+                        if r.status == 200:
+                            counts[ci] += 1
+                            lat.append(time.perf_counter() - t0)
+                        elif statuses[r.status] == 1:
+                            print(f"  status {r.status}: {body[:200]!r}",
+                                  flush=True)
+                except aiohttp.ClientError as exc:
+                    statuses[str(type(exc).__name__)] = (
+                        statuses.get(str(type(exc).__name__), 0) + 1
+                    )
 
     t0 = time.perf_counter()
     await asyncio.gather(*(client(i) for i in range(CLIENTS)))
@@ -97,6 +108,7 @@ async def _load(base: str) -> dict:
         "requests": total,
         "p50_ms": round(lat[len(lat) // 2] * 1e3, 2) if lat else None,
         "p99_ms": round(lat[int(len(lat) * 0.99)] * 1e3, 2) if lat else None,
+        "statuses": statuses,
     }
 
 
@@ -111,8 +123,9 @@ def main() -> None:
             "--precision", "auto", "--max-batch", "64",
         ]
         env = dict(os.environ)
+        errlog = open(f"/tmp/serve_workers_{workers}.log", "w")
         proc = subprocess.Popen(
-            cmd, env=env, stderr=subprocess.DEVNULL,
+            cmd, env=env, stderr=errlog,
             start_new_session=True,
         )
         base = f"http://127.0.0.1:{port}"
