@@ -249,6 +249,17 @@ FUSED_BLOCK_N = 16 * FUSED_SUBTILE
 #: Contraction chunk (corpus dim must be a multiple — always true: packs
 #: pad the dim to 128).
 DIM_CHUNK = 128
+#: int8 contraction chunk: the int8 MXU path amortizes per-grid-step
+#: overhead better with a 256-wide contraction (measured v5e 1M x 1536
+#: b=256: matmul-only 2.41 vs 2.77 ms/step, full guarded kernel 3.38 vs
+#: 3.69 — benchmarks/tpu_int8_opt.py).  Dims not a multiple of 256 fall
+#: back to DIM_CHUNK; support checks stay on DIM_CHUNK so dispatch is
+#: unchanged.
+DIM_CHUNK_INT8 = 256
+
+
+def _int8_chunk(d: int) -> int:
+    return DIM_CHUNK_INT8 if d % DIM_CHUNK_INT8 == 0 else DIM_CHUNK
 #: Accumulator budget: B * FUSED_BLOCK_N * 4 bytes; 256 queries -> 8 MB
 #: of the ~16 MB VMEM.
 FUSED_MAX_BATCH = 256
@@ -445,16 +456,17 @@ def _fused_extract_int8(
 ) -> Tuple[jax.Array, jax.Array]:
     n, d = q_docs.shape
     b = q_int8.shape[0]
-    grid = (n // FUSED_BLOCK_N, d // DIM_CHUNK)
+    chunk = _int8_chunk(d)
+    grid = (n // FUSED_BLOCK_N, d // chunk)
     out_shape = (b, (n // FUSED_SUBTILE) * EXTRACT_H)
     return pl.pallas_call(
         _fused_int8_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid [1] int32
-            pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
+            pl.BlockSpec((b, chunk), lambda j, c: (0, c)),
             pl.BlockSpec((b, 1), lambda j, c: (0, 0)),
-            pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
+            pl.BlockSpec((FUSED_BLOCK_N, chunk), lambda j, c: (j, c)),
             pl.BlockSpec((1, FUSED_BLOCK_N), lambda j, c: (0, j)),
         ],
         out_specs=[
@@ -728,16 +740,17 @@ def _fused2_extract_int8(
 ) -> jax.Array:
     n, d = q_docs.shape
     b = q_int8.shape[0]
-    grid = (n // FUSED_BLOCK_N, d // DIM_CHUNK)
+    chunk = _int8_chunk(d)
+    grid = (n // FUSED_BLOCK_N, d // chunk)
     out_shape = (b, (n // FUSED_SUBTILE) * EXTRACT_H)
     return pl.pallas_call(
         _fused2_int8_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
+            pl.BlockSpec((b, chunk), lambda j, c: (0, c)),
             pl.BlockSpec((b, 1), lambda j, c: (0, 0)),
-            pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
+            pl.BlockSpec((FUSED_BLOCK_N, chunk), lambda j, c: (j, c)),
             pl.BlockSpec((1, FUSED_BLOCK_N), lambda j, c: (0, j)),
         ],
         out_specs=pl.BlockSpec((b, _FUSED_OUT_LANES), lambda j, c: (0, j)),
@@ -1239,16 +1252,17 @@ def _fused3_extract_int8(
 ) -> jax.Array:
     n, d = q_docs.shape
     b = q_int8.shape[0]
-    grid = (n // FUSED_BLOCK_N, d // DIM_CHUNK)
+    chunk = _int8_chunk(d)
+    grid = (n // FUSED_BLOCK_N, d // chunk)
     out_shape = (b, (n // FUSED_BLOCK_N) * _GUARD_OUT_LANES)
     return pl.pallas_call(
         _fused3_int8_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, DIM_CHUNK), lambda j, c: (0, c)),
+            pl.BlockSpec((b, chunk), lambda j, c: (0, c)),
             pl.BlockSpec((b, 1), lambda j, c: (0, 0)),
-            pl.BlockSpec((FUSED_BLOCK_N, DIM_CHUNK), lambda j, c: (j, c)),
+            pl.BlockSpec((FUSED_BLOCK_N, chunk), lambda j, c: (j, c)),
             pl.BlockSpec((1, FUSED_BLOCK_N), lambda j, c: (0, j)),
         ],
         out_specs=pl.BlockSpec((b, _GUARD_OUT_LANES), lambda j, c: (0, j)),
