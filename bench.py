@@ -688,7 +688,16 @@ def main() -> None:
                 pipelined_depth = min(by_depth, key=by_depth.get)
                 pipelined_s = by_depth[pipelined_depth]
                 # Post-run observability: which route answered, what the
-                # dispatch inputs were, whether hedges fired.
+                # dispatch inputs were, whether hedges fired.  The RPC
+                # floor is probed explicitly here (quiet moment): the
+                # b=256 route check short-circuits before ever probing
+                # it, which left the field null in early captures.
+                try:
+                    await loop.run_in_executor(
+                        None, kb.engine.device_rpc_floor
+                    )
+                except Exception:
+                    pass
                 final_stats = kb.stats()
                 disp = final_stats.get("dispatch", {})
                 regime["host_search_count"] = int(
