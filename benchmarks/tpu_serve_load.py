@@ -78,13 +78,24 @@ async def run() -> None:
             q = f"query {cid}-{i}"
             i += 1
             t = time.perf_counter()
-            async with session.post(
-                url, json={"query": q, "n": TOP_N}
-            ) as resp:
-                body = await resp.json()
-                if resp.status != 200 or len(body["results"]) != TOP_N:
-                    errors[0] += 1
-                    continue
+            try:
+                async with session.post(
+                    url, json={"query": q, "n": TOP_N}
+                ) as resp:
+                    if resp.status != 200:
+                        # 504 = a device stall outlived the handler;
+                        # count it, keep the load running (a crashed
+                        # client would abort the whole measurement)
+                        await resp.read()
+                        errors[0] += 1
+                        continue
+                    body = await resp.json()
+                    if len(body["results"]) != TOP_N:
+                        errors[0] += 1
+                        continue
+            except aiohttp.ClientError:
+                errors[0] += 1
+                continue
             lat.append(time.perf_counter() - t)
 
     # no client timeout: the warmup request pays compile + first device

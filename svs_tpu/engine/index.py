@@ -2222,12 +2222,19 @@ class RetrievalEngine:
         vals = np.broadcast_to(tail[:, None], exact.shape)
         return vals, rows, exact
 
-    #: Hedge only after the fetch has exceeded ``max(HEDGE_MIN_S,
-    #: HEDGE_FACTOR x EWMA)`` — generous so a mid-traffic jit compile (a
-    #: widen retry's fresh shape) never fires a spurious duplicate, tight
-    #: enough that a wedged tunnel RPC (observed: a stalled relay streams
-    #: 0 bytes forever) costs one deadline instead of an unbounded stall.
+    #: Hedge only after the fetch has exceeded ``clamp(HEDGE_FACTOR x
+    #: EWMA, HEDGE_MIN_S, HEDGE_MAX_S)`` — generous so a mid-traffic jit
+    #: compile (a widen retry's fresh shape) never fires a spurious
+    #: duplicate, tight enough that a wedged tunnel RPC (observed: a
+    #: stalled relay streams 0 bytes forever) costs one deadline instead
+    #: of an unbounded stall.  The MAX cap matters under sustained bad
+    #: weather: stall-inflated samples would otherwise grow the EWMA —
+    #: and with it the deadline — until a single request could sit for
+    #: a minute before hedging (observed: a 504 through the serve layer
+    #: whose handler timed out first).  EWMA samples are clamped to the
+    #: deadline for the same reason.
     HEDGE_MIN_S = 2.0
+    HEDGE_MAX_S = 20.0
     HEDGE_FACTOR = 8.0
 
     def _fetch_hedged(
@@ -2261,7 +2268,10 @@ class RetrievalEngine:
             )
             return out
 
-        deadline = max(self.HEDGE_MIN_S, self.HEDGE_FACTOR * ewma)
+        deadline = min(
+            self.HEDGE_MAX_S,
+            max(self.HEDGE_MIN_S, self.HEDGE_FACTOR * ewma),
+        )
         lock = threading.Lock()
         done = threading.Event()
         box: Dict[str, Any] = {}
@@ -2312,7 +2322,9 @@ class RetrievalEngine:
             if box.get("winner") == "hedge":
                 self._hedge_won += 1
             else:
-                dt = time.perf_counter() - t0
+                # clamp: a stall that barely beat the deadline must not
+                # teach the EWMA that stalls are normal
+                dt = min(time.perf_counter() - t0, deadline)
                 self._fetch_ewma[label] = 0.7 * ewma + 0.3 * dt
             return box["result"]
 

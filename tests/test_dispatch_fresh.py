@@ -168,6 +168,32 @@ def test_hedged_fetch_both_error_raises():
         eng._fetch_hedged(dispatch, "t")
 
 
+def test_hedge_deadline_capped_under_inflated_ewma():
+    """Sustained bad weather inflates the per-label EWMA; the deadline
+    must clamp at HEDGE_MAX_S so a wedge never waits out 8x a
+    stall-poisoned average (observed: a 504 through the serve layer
+    because the handler timed out before the hedge fired)."""
+    eng = RetrievalEngine()
+    eng._fetch_ewma["t"] = 100.0  # stall-inflated: 8x = 800 s uncapped
+    eng.HEDGE_MAX_S = 0.3
+    calls = []
+    gate = threading.Event()
+
+    def dispatch():
+        calls.append(1)
+        if len(calls) == 1:
+            gate.wait(20)
+        return jnp.ones(2)
+
+    t0 = time.perf_counter()
+    out = eng._fetch_hedged(dispatch, "t")
+    took = time.perf_counter() - t0
+    gate.set()
+    assert len(calls) == 2, "capped deadline never fired the hedge"
+    assert took < 5.0, took
+    np.testing.assert_array_equal(out, np.ones(2, dtype=np.float32))
+
+
 def test_hedged_fetch_first_call_seeds_ewma_inline():
     eng = RetrievalEngine()
     out = eng._fetch_hedged(lambda: jnp.zeros(3), "fresh")
