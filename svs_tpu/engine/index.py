@@ -536,6 +536,11 @@ class RetrievalEngine:
         #: Background builder for large host int8 prescore arrays
         #: (:meth:`_ensure_host_i8`).
         self._host_i8_thread: Optional[threading.Thread] = None
+        #: Separate EWMA for the two-pass host search's EFFECTIVE
+        #: bandwidth — one scalar cannot model both cost functions (the
+        #: two-pass runs ~4x the full scan's effective rate, but only at
+        #: b <= HOST_TWOPASS_MAX_BATCH shapes).
+        self._host_twopass_bw: Optional[float] = None
         #: Measured device round-trip floor + re-probe schedule: tunnel
         #: weather moves the real floor by 10x across hours, so one
         #: cached measurement under/over-routes for the process lifetime.
@@ -625,7 +630,13 @@ class RetrievalEngine:
         The replica engine extends this to stop its fan-out pool.
         Called by ``KB.close()``/``AsyncKB.close()``."""
         self._mirror_stop.set()
-        for attr in ("_pack_thread", "_mirror_thread"):
+        # _rpc_probe_thread does device calls too: a daemon thread
+        # caught mid-RPC at interpreter exit aborts the process, same
+        # hazard as the uploaders.  The host-side builders join fast.
+        for attr in (
+            "_pack_thread", "_mirror_thread", "_rpc_probe_thread",
+            "_host_bw_thread", "_host_i8_thread",
+        ):
             t = getattr(self, attr)
             if t is not None and t.is_alive():
                 t.join(timeout=30.0)
@@ -1608,7 +1619,17 @@ class RetrievalEngine:
 
         # Loop: each completed stage can spawn the next (pack upload ->
         # mirror build; cache rebuild -> mirror build on the next kick).
-        for _ in range(6):
+        # Runs until nothing respawns or the deadline passes — a fixed
+        # iteration cap falling through to True would report a steady
+        # state that was never reached (e.g. a transiently-failing
+        # mirror upload re-kicked every pass).  With no deadline, a
+        # permanently-failing respawn cycle is cut after a bounded
+        # number of re-kicks and reported honestly as not-ready.
+        spins = 0
+        while True:
+            spins += 1
+            if spins > 8 and deadline is None:
+                return False
             if not join(self._pack_thread):
                 return False
             if not join(self._cache_rebuild_thread):
@@ -1629,7 +1650,8 @@ class RetrievalEngine:
             )
             if all(t is None or not t.is_alive() for t in threads):
                 return True
-        return True
+            if deadline is not None and time.monotonic() >= deadline:
+                return False
 
     def _mirror_throttle(
         self, stop: threading.Event, max_defer: float = 60.0
@@ -1871,13 +1893,23 @@ class RetrievalEngine:
         if batch * corpus.n_valid * 4 > _HOST_SCAN_MAX_SCORE_BYTES:
             return False
         # One GEMM pass per query slab (host_topk_exact); one device RPC
-        # serves the whole batch.
+        # serves the whole batch.  At two-pass-eligible shapes the host
+        # answers from the int8 prescore at its own (faster) measured
+        # rate — use that estimate there, and ONLY there (the full-scan
+        # EWMA stays calibrated for larger batches).
         self._maybe_refresh_host_bw(corpus)
+        bw = self._host_scan_bw
+        if (
+            batch <= self.HOST_TWOPASS_MAX_BATCH
+            and self._host_twopass_bw is not None
+            and corpus.host_i8 is not None
+        ):
+            bw = max(bw, self._host_twopass_bw)
         slab = max(
             1, _HOST_SCAN_MAX_SCORE_BYTES // max(1, corpus.n_valid * 4)
         )
         passes = -(-batch // slab)
-        host_s = passes * corpus.host_f32.nbytes / self._host_scan_bw
+        host_s = passes * corpus.host_f32.nbytes / bw
         return host_s < self.device_rpc_floor()
 
     #: Re-probe the host-scan bandwidth estimate when it has not been
@@ -2117,19 +2149,24 @@ class RetrievalEngine:
             if ok:
                 elapsed = time.perf_counter() - t0
                 if elapsed > 1e-5:
-                    # feed the dispatch model the EFFECTIVE bandwidth
-                    # (model cost: passes * f32 bytes / bw), so the
-                    # route keeps preferring the host where the
-                    # two-pass makes it cheaper
+                    # Record the two-pass EFFECTIVE bandwidth (model
+                    # cost: passes * f32 bytes / bw) in its OWN EWMA —
+                    # folding it into _host_scan_bw would teach the
+                    # full-scan cost model a ~4x-inflated speed and
+                    # mis-route batches past HOST_TWOPASS_MAX_BATCH,
+                    # which must pay the real f32 GEMM.  host_route
+                    # consults this estimate only at two-pass-eligible
+                    # shapes.
                     slab = max(
                         1, _HOST_SCAN_MAX_SCORE_BYTES // max(1, n * 4)
                     )
                     passes = -(-b // slab)
-                    self._host_scan_bw = (
-                        0.5 * self._host_scan_bw
-                        + 0.5 * passes * hf.nbytes / elapsed
+                    measured = passes * hf.nbytes / elapsed
+                    prev = self._host_twopass_bw
+                    self._host_twopass_bw = (
+                        measured if prev is None
+                        else 0.5 * prev + 0.5 * measured
                     )
-                    self._host_bw_t = time.monotonic()
                 return emb_out, score_out
             c *= 4
             log.info(

@@ -1066,12 +1066,21 @@ class AsyncKB:
                     await self._search_hydrated(
                         corpus, v, min(n, corpus.n_valid)
                     )
-            if self.engine.host_route(corpus, int(b)):
+            if (
+                corpus.device_ready  # NEVER block startup on the upload
+                and self.engine.host_dispatch == "auto"
+                and self.engine.host_route(corpus, int(b))
+            ):
                 # Host dispatch answered every round above, so this batch
                 # shape never compiled on the device.  Warm that route
                 # too: if the host-scan bandwidth estimate later degrades
                 # and the dispatch flips mid-traffic, live requests must
                 # not pay the 5-20 s jit compile warmup exists to absorb.
+                # Gated on device_ready (a deferred pack upload would
+                # otherwise stall startup for the whole multi-GB
+                # transfer) and on 'auto' ('force' can only flip by an
+                # explicit user action — compiling its device shapes
+                # would pay minutes for an unreachable route).
                 prev = self.engine.host_dispatch
                 self.engine.host_dispatch = "off"
                 try:
@@ -1955,9 +1964,14 @@ class KB:
                 v /= np.linalg.norm(v, axis=1, keepdims=True)
                 with phase("warmup", self._stats):
                     self._search_hydrated(corpus, v, min(n, corpus.n_valid))
-            if self.engine.host_route(corpus, int(b)):
+            if (
+                corpus.device_ready
+                and self.engine.host_dispatch == "auto"
+                and self.engine.host_route(corpus, int(b))
+            ):
                 # see AsyncKB.warmup: also compile the device route so a
                 # later dispatch flip never compiles on live traffic
+                # (gated on device_ready and 'auto' — see there)
                 prev = self.engine.host_dispatch
                 self.engine.host_dispatch = "off"
                 try:

@@ -44,11 +44,39 @@ def _build() -> Optional[ctypes.CDLL]:
     for cmd in (base + ["-march=native"], base):
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            try:
+                _HOST_TAG.write_text(_host_fingerprint())
+            except OSError:
+                pass  # unwritable dir: the ISA check degrades to rebuild
             return ctypes.CDLL(str(_SO))
         except (OSError, subprocess.SubprocessError) as exc:
             last = exc
     log.info("fastpack native build unavailable (%s); using NumPy paths", last)
     return None
+
+
+_HOST_TAG = _SO.with_suffix(".so.host")
+
+
+def _host_fingerprint() -> str:
+    """ISA fingerprint of THIS host.  The .so is compiled with
+    -march=native, so a cached artifact is only valid on hosts with the
+    same instruction-set features — a package directory on a shared
+    filesystem (NFS home across heterogeneous nodes) would otherwise
+    serve an AVX-512 binary to an AVX2 host and SIGILL on first use."""
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += "|" + " ".join(sorted(line.split()[2:]))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(feats.encode()).hexdigest()[:16]
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
@@ -63,9 +91,22 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         lib = None
         if _SO.exists():
             try:
-                lib = ctypes.CDLL(str(_SO))
+                cached_host = _HOST_TAG.read_text().strip()
             except OSError:
-                lib = None
+                cached_host = ""
+            if cached_host != _host_fingerprint():
+                log.info(
+                    "fastpack cached for a different host ISA; rebuilding"
+                )
+                try:
+                    _SO.unlink()
+                except OSError:
+                    pass
+            else:
+                try:
+                    lib = ctypes.CDLL(str(_SO))
+                except OSError:
+                    lib = None
         if lib is None:
             lib = _build()
 

@@ -375,6 +375,10 @@ class _DocFragmentCache:
     def _store(
         self, key: int, entry: Tuple[Dict[str, Any], bytes]
     ) -> None:
+        # drop the old-segment copy on promotion/refresh: a leftover
+        # duplicate would double-count in __len__ and waste a protected
+        # slot until the next rotation
+        self._old.pop(key, None)
         if len(self._frags) >= self._seg_max:
             self._old = self._frags
             self._frags = {}
@@ -826,6 +830,7 @@ def run_server(
         )
 
     worker_pids: List[int] = []
+    forked = False
     if workers > 1:
         import os as _os
 
@@ -835,12 +840,25 @@ def run_server(
             # Fork BEFORE any JAX backend / KB initialization: a forked
             # XLA client is undefined behavior, so each worker must
             # initialize its own from scratch.
+            forked = True
             for _ in range(workers - 1):
                 pid = _os.fork()
                 if pid == 0:
                     worker_pids = []  # child: serves, owns no siblings
                     break
                 worker_pids.append(pid)
+            if worker_pids:
+                # Parent: translate SIGTERM (systemd/docker stop) into
+                # the KeyboardInterrupt path so the finally block below
+                # reaps the children — the default disposition would
+                # kill only the parent and orphan workers still holding
+                # the SO_REUSEPORT socket.
+                import signal as _signal
+
+                def _term(_sig: int, _frm: object) -> None:
+                    raise KeyboardInterrupt
+
+                _signal.signal(_signal.SIGTERM, _term)
 
     async def _main() -> None:
         kb = AsyncKB(db_path, **kb_kwargs)
@@ -860,8 +878,11 @@ def run_server(
         )
         runner = web.AppRunner(app)
         await runner.setup()
+        # reuse_port only when fork actually happened — on platforms
+        # without fork/SO_REUSEPORT the documented fallback is plain
+        # single-process serving, not a TCPSite ValueError.
         site = web.TCPSite(
-            runner, host, port, reuse_port=(workers > 1) or None
+            runner, host, port, reuse_port=forked or None
         )
         await site.start()
         log.info("serving %s on http://%s:%d (pid %d)",

@@ -44,11 +44,13 @@ def enable_compilation_cache() -> None:
             existing = getattr(
                 jax.config, "jax_compilation_cache_dir", None
             )
-            if existing:
+            if existing and not raw:
                 # The user already configured a cache directory (env
                 # JAX_COMPILATION_CACHE_DIR or jax.config before import)
                 # — respect it like SVS_TPU_COMPILE_CACHE=off instead of
-                # silently clobbering their location/policy.
+                # silently clobbering their location/policy.  An
+                # EXPLICIT SVS_TPU_COMPILE_CACHE path still wins: that
+                # is this knob's documented contract.
                 log.debug(
                     "XLA compilation cache already configured at %s; "
                     "leaving it alone", existing,

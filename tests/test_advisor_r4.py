@@ -162,7 +162,12 @@ def test_warmup_warms_device_route_when_host_answers(db_path):
     kb = _build(db_path)
     try:
         eng = kb.engine
-        eng.host_dispatch = "force"  # every live query answers on host
+        # 'auto' with a dispatch that picks the host: inflated RPC floor
+        eng.host_dispatch = "auto"
+        eng._rpc_floor = 10.0
+        eng._rpc_floor_t = time.monotonic()
+        eng._rpc_probes = 1
+        eng._host_scan_bw = 1e12
         kb.warmup([1, 2], n=3, rounds=1)
         stats = kb.stats()
         # the ladder itself went to the host...
@@ -171,6 +176,44 @@ def test_warmup_warms_device_route_when_host_answers(db_path):
         # batch size), so a dispatch flip never compiles on live traffic
         assert stats.get("device_search", {}).get("count", 0) >= 2
         # and the override was restored
-        assert eng.host_dispatch == "force"
+        assert eng.host_dispatch == "auto"
     finally:
+        kb.close()
+
+
+def test_warmup_never_blocks_on_deferred_upload(db_path, monkeypatch):
+    """REGRESSION (round-5 self-review): pre-upload, host_route answers
+    True because device_ready is False — the device-warm block must NOT
+    flip to the device route there, or server startup stalls for the
+    whole multi-GB background upload."""
+    import threading as _threading
+
+    import svs_tpu.engine.packing as packing
+
+    monkeypatch.setattr(packing, "DEFER_MIN_BYTES", 0)
+    gate = _threading.Event()
+    real = packing.staged_device_put
+
+    def gated(host, device, chunk_bytes=None, throttle=None):
+        assert gate.wait(timeout=30)
+        return real(host, device, chunk_bytes=chunk_bytes, throttle=throttle)
+
+    monkeypatch.setattr(packing, "staged_device_put", gated)
+    kb = _build(db_path)
+    try:
+        kb.engine.host_dispatch = "auto"
+        done = _threading.Event()
+
+        def warm():
+            kb.warmup([1], n=2, rounds=1)
+            done.set()
+
+        t = _threading.Thread(target=warm, daemon=True)
+        t.start()
+        # warmup must finish on the host path without the upload landing
+        assert done.wait(timeout=30), (
+            "warmup blocked on the deferred pack upload"
+        )
+    finally:
+        gate.set()
         kb.close()
