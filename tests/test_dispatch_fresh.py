@@ -282,3 +282,45 @@ def test_wait_for_mirror_joins_cache_rebuild_and_builds_mirror(
         )
     finally:
         db2.close()
+
+
+def test_wait_for_mirror_spin_cap_reports_not_ready(monkeypatch):
+    """Background work that keeps RESPAWNING behind the readiness
+    check (e.g. another writer's uploads) must end in False — never a
+    fall-through True, never a hang (round-5 self-review).  A build
+    that merely FAILS and settles still returns True; the bench's
+    regime block records whether the mirror actually exists."""
+    eng = RetrievalEngine()
+
+    class _FakeCorpus:
+        device_ready = True
+
+    eng._corpus = _FakeCorpus()  # type: ignore[assignment]
+    monkeypatch.setattr(
+        eng, "_maybe_build_device_rescore", lambda corpus: None
+    )
+
+    class Flicker:
+        """Dead when the join helper checks, alive at the convergence
+        re-check — the deterministic shape of 'replaced by a concurrent
+        actor between join and check'."""
+
+        def __init__(self) -> None:
+            self.calls = 0
+
+        def is_alive(self) -> bool:
+            self.calls += 1
+            return self.calls % 2 == 0
+
+        def join(self, timeout=None) -> None:
+            pass
+
+    eng._mirror_thread = Flicker()  # type: ignore[assignment]
+    t0 = time.perf_counter()
+    assert eng.wait_for_mirror() is False  # spin cap, no deadline
+    assert time.perf_counter() - t0 < 10.0
+
+    eng._mirror_thread = Flicker()  # type: ignore[assignment]
+    t0 = time.perf_counter()
+    assert eng.wait_for_mirror(timeout=0.3) is False  # deadline
+    assert time.perf_counter() - t0 < 5.0
