@@ -1622,13 +1622,14 @@ class RetrievalEngine:
         # Runs until nothing respawns or the deadline passes — a fixed
         # iteration cap falling through to True would report a steady
         # state that was never reached (e.g. a transiently-failing
-        # mirror upload re-kicked every pass).  With no deadline, a
-        # permanently-failing respawn cycle is cut after a bounded
-        # number of re-kicks and reported honestly as not-ready.
+        # mirror upload re-kicked every pass).  The re-kick cap applies
+        # WITH a deadline too: a fast-failing upload would otherwise be
+        # respawned every pass in a hot loop until the deadline (a
+        # 10-minute timeout = hundreds of doomed upload threads).
         spins = 0
         while True:
             spins += 1
-            if spins > 8 and deadline is None:
+            if spins > 8:
                 return False
             if not join(self._pack_thread):
                 return False
@@ -1864,7 +1865,9 @@ class RetrievalEngine:
         log.info("device RPC floor: %.2f ms", best * 1e3)
         return best
 
-    def host_route(self, corpus: PackedCorpus, batch: int) -> bool:
+    def host_route(
+        self, corpus: PackedCorpus, batch: int, k: Optional[int] = None
+    ) -> bool:
         """The dispatch rule: answer from the host f32 cache when the
         estimated host exact-scan cost (batch x cache bytes / learned
         host bandwidth) beats the measured device round-trip floor.
@@ -1873,6 +1876,13 @@ class RetrievalEngine:
         unavailable (no host cache, rescore opted out) — and never at
         batch x corpus sizes whose score matrix would not be small
         (``_HOST_SCAN_MAX_SCORE_BYTES``): the device wins those anyway.
+
+        ``k`` (when the caller knows it) keeps the cost model honest at
+        two-pass shapes: the faster two-pass bandwidth only applies when
+        the executor would actually take the two-pass, which declines at
+        ``k >= n/8`` — without the check, a large-``k`` small-batch
+        request would be modeled at int8 speed and then execute the full
+        f32 GEMM.
         """
         if (
             self.host_dispatch == "off"
@@ -1903,6 +1913,7 @@ class RetrievalEngine:
             batch <= self.HOST_TWOPASS_MAX_BATCH
             and self._host_twopass_bw is not None
             and corpus.host_i8 is not None
+            and k is not None and k < corpus.n_valid // 8
         ):
             bw = max(bw, self._host_twopass_bw)
         slab = max(

@@ -1069,7 +1069,7 @@ class AsyncKB:
             if (
                 corpus.device_ready  # NEVER block startup on the upload
                 and self.engine.host_dispatch == "auto"
-                and self.engine.host_route(corpus, int(b))
+                and self.engine.host_route(corpus, int(b), k=n)
             ):
                 # Host dispatch answered every round above, so this batch
                 # shape never compiled on the device.  Warm that route
@@ -1641,7 +1641,7 @@ class AsyncKB:
         """Verified-exact top-``n`` device search + hydration for embedded
         query ``vectors`` (the widen-on-insufficient-margin loop)."""
         loop = asyncio.get_running_loop()
-        if self.engine.host_route(corpus, vectors.shape[0]):
+        if self.engine.host_route(corpus, vectors.shape[0], k=n):
             # Small corpus / small batch on a high-RPC-floor device: the
             # host exact scan beats the device round trip (identical
             # results by construction).  ``host_search`` in kb.stats()
@@ -1967,7 +1967,7 @@ class KB:
             if (
                 corpus.device_ready
                 and self.engine.host_dispatch == "auto"
-                and self.engine.host_route(corpus, int(b))
+                and self.engine.host_route(corpus, int(b), k=n)
             ):
                 # see AsyncKB.warmup: also compile the device route so a
                 # later dispatch flip never compiles on live traffic
@@ -2345,7 +2345,7 @@ class KB:
     def _search_hydrated(
         self, corpus: PackedCorpus, vectors: np.ndarray, n: int
     ) -> List[List[Retrieval]]:
-        if self.engine.host_route(corpus, vectors.shape[0]):
+        if self.engine.host_route(corpus, vectors.shape[0], k=n):
             # see AsyncKB._search_hydrated: host exact scan beats the
             # device round trip at this corpus x batch size
             with phase("host_search", self._stats):

@@ -41,13 +41,18 @@ def _build() -> Optional[ctypes.CDLL]:
     # with AVX2 maddubs/pmaddwd-class code, and the artifact is built
     # lazily ON this host so native tuning is safe; fall back to the
     # portable build if the flag is unsupported.
-    for cmd in (base + ["-march=native"], base):
+    for flags, tag in (
+        (["-march=native"], None),  # None -> this host's fingerprint
+        ([], "portable"),  # ISA-independent: valid on ANY host
+    ):
         try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            subprocess.run(
+                base + flags, check=True, capture_output=True, timeout=120
+            )
             try:
-                _HOST_TAG.write_text(_host_fingerprint())
+                _HOST_TAG.write_text(tag or _host_fingerprint())
             except OSError:
-                pass  # unwritable dir: the ISA check degrades to rebuild
+                pass  # unwritable dir: the legacy "" tag is accepted
             return ctypes.CDLL(str(_SO))
         except (OSError, subprocess.SubprocessError) as exc:
             last = exc
@@ -94,7 +99,14 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 cached_host = _HOST_TAG.read_text().strip()
             except OSError:
                 cached_host = ""
-            if cached_host != _host_fingerprint():
+            # Only a PRESENT, different, native fingerprint invalidates:
+            # "" = legacy/prebaked artifact (trust it — pre-tag builds
+            # were portable, and unlinking a working .so in a read-only
+            # deployment would drop native entirely); "portable" =
+            # ISA-independent fallback build, valid on any host.
+            if cached_host not in ("", "portable") and (
+                cached_host != _host_fingerprint()
+            ):
                 log.info(
                     "fastpack cached for a different host ISA; rebuilding"
                 )

@@ -375,13 +375,15 @@ class _DocFragmentCache:
     def _store(
         self, key: int, entry: Tuple[Dict[str, Any], bytes]
     ) -> None:
-        # drop the old-segment copy on promotion/refresh: a leftover
-        # duplicate would double-count in __len__ and waste a protected
-        # slot until the next rotation
-        self._old.pop(key, None)
         if len(self._frags) >= self._seg_max:
             self._old = self._frags
             self._frags = {}
+        # AFTER any rotation: drop the old-segment copy on promotion or
+        # refresh — popping before rotation would leave a stale
+        # duplicate behind when the refreshed key was in the segment
+        # that just rotated out (double-counted in __len__, wasted
+        # protected slot).
+        self._old.pop(key, None)
         self._frags[key] = entry
 
     def render(
@@ -887,9 +889,30 @@ def run_server(
         await site.start()
         log.info("serving %s on http://%s:%d (pid %d)",
                  db_path, host, port, __import__("os").getpid())
+
+        async def rewarm_after_uploads() -> None:
+            """A deferred-upload cold start warms host-only (blocking
+            startup on the multi-GB transfer would be worse); once the
+            uploads land, warm the DEVICE shapes in the background so
+            the dispatch flip doesn't jit-compile on live traffic."""
+            corpus = kb.engine.corpus
+            if corpus is None or corpus.device_ready:
+                return
+            loop = asyncio.get_running_loop()
+            settled = await loop.run_in_executor(
+                None, lambda: kb.engine.wait_for_mirror(timeout=1800)
+            )
+            if settled and warm:
+                t0 = time.perf_counter()
+                await kb.warmup(warm_bucket_ladder(max_batch), n=warm_n)
+                log.info("post-upload device warmup: %.1fs",
+                         time.perf_counter() - t0)
+
+        rewarm = asyncio.ensure_future(rewarm_after_uploads())
         try:
             await asyncio.Event().wait()
         finally:
+            rewarm.cancel()
             await runner.cleanup()
             await kb.close()
 
