@@ -1421,6 +1421,13 @@ class RetrievalEngine:
             or not self.rescore
             or self.device_rescore == "host"
             or corpus.n_valid == 0
+            # Superseded: a store write swapped the engine's current
+            # pack — never spawn uploads for the old one (a straggler
+            # wait_for_mirror executor thread could otherwise re-kick a
+            # device upload for a dead pack).  `_corpus is None` stays
+            # allowed: replica SECONDARY engines build mirrors for
+            # clones they never own via ensure_fresh.
+            or (self._corpus is not None and self._corpus is not corpus)
         ):
             return
         if self.mesh is not None and self.model_axis is not None:
@@ -1602,7 +1609,10 @@ class RetrievalEngine:
         single join pass could return "ready" while the corpus still had
         neither a host f32 cache nor a device mirror — exactly the
         undiagnosable slow-regime measurement round 4 shipped).  Returns
-        False if a timeout elapsed first."""
+        False when a timeout elapsed first OR background work kept
+        respawning past a bounded number of re-kicks (a fast-failing
+        upload cycle) — either way "not settled", and the caller's
+        regime/record should read the actual corpus state."""
         deadline = (
             None if timeout is None else time.monotonic() + timeout
         )

@@ -1036,6 +1036,7 @@ class AsyncKB:
         batch_sizes: Sequence[int] = (1,),
         n: int = 16,
         rounds: int = 2,
+        routes: str = "both",
     ) -> None:
         """Pre-compile the search pipeline for the given batch sizes.
 
@@ -1067,7 +1068,8 @@ class AsyncKB:
                         corpus, v, min(n, corpus.n_valid)
                     )
             if (
-                corpus.device_ready  # NEVER block startup on the upload
+                routes == "both"
+                and corpus.device_ready  # NEVER block startup on upload
                 and self.engine.host_dispatch == "auto"
                 and self.engine.host_route(corpus, int(b), k=n)
             ):
@@ -1081,6 +1083,10 @@ class AsyncKB:
                 # transfer) and on 'auto' ('force' can only flip by an
                 # explicit user action — compiling its device shapes
                 # would pay minutes for an unreachable route).
+                # ``routes='live'`` (concurrent-with-traffic callers,
+                # e.g. serve's post-upload rewarm) skips this block: it
+                # TOGGLES the shared host_dispatch attribute, which
+                # would misroute live requests mid-warm.
                 prev = self.engine.host_dispatch
                 self.engine.host_dispatch = "off"
                 try:
@@ -1949,6 +1955,7 @@ class KB:
         batch_sizes: Sequence[int] = (1,),
         n: int = 16,
         rounds: int = 2,
+        routes: str = "both",
     ) -> None:
         """Sync mirror of :meth:`AsyncKB.warmup` (pre-compile the search
         pipeline for the given batch sizes)."""
@@ -1965,7 +1972,8 @@ class KB:
                 with phase("warmup", self._stats):
                     self._search_hydrated(corpus, v, min(n, corpus.n_valid))
             if (
-                corpus.device_ready
+                routes == "both"
+                and corpus.device_ready
                 and self.engine.host_dispatch == "auto"
                 and self.engine.host_route(corpus, int(b), k=n)
             ):

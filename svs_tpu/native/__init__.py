@@ -94,33 +94,48 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _build_failed:
             return _lib
         lib = None
+        untagged_fallback = False
         if _SO.exists():
             try:
                 cached_host = _HOST_TAG.read_text().strip()
             except OSError:
                 cached_host = ""
-            # Only a PRESENT, different, native fingerprint invalidates:
-            # "" = legacy/prebaked artifact (trust it — pre-tag builds
-            # were portable, and unlinking a working .so in a read-only
-            # deployment would drop native entirely); "portable" =
-            # ISA-independent fallback build, valid on any host.
-            if cached_host not in ("", "portable") and (
-                cached_host != _host_fingerprint()
+            # "portable" = ISA-independent fallback build: valid on any
+            # host.  This host's fingerprint: valid here.  Anything else
+            # — a DIFFERENT host's fingerprint, or no tag at all (legacy
+            # -march=native builds predate the tag; a failed tag write
+            # leaves none) — prefers a fresh rebuild: the artifact may
+            # carry another machine's vector ISA and SIGILL on first
+            # use.  If rebuilding is impossible (no toolchain, read-only
+            # package dir — the prebaked-deployment case), the untagged
+            # artifact is loaded with a warning rather than silently
+            # dropping native entirely.
+            if cached_host == "portable" or (
+                cached_host == _host_fingerprint()
             ):
-                log.info(
-                    "fastpack cached for a different host ISA; rebuilding"
-                )
-                try:
-                    _SO.unlink()
-                except OSError:
-                    pass
-            else:
                 try:
                     lib = ctypes.CDLL(str(_SO))
                 except OSError:
                     lib = None
+            else:
+                log.info(
+                    "fastpack artifact has no/foreign host ISA tag; "
+                    "rebuilding"
+                )
+                untagged_fallback = cached_host == ""
         if lib is None:
             lib = _build()
+            if lib is None and untagged_fallback and _SO.exists():
+                log.warning(
+                    "fastpack: no toolchain to rebuild; loading the "
+                    "untagged cached artifact — if this package dir is "
+                    "shared across hosts with different vector ISAs, "
+                    "set SVS_TPU_NO_NATIVE=1 instead"
+                )
+                try:
+                    lib = ctypes.CDLL(str(_SO))
+                except OSError:
+                    lib = None
 
         def abi_of(candidate: "ctypes.CDLL") -> int:
             # a cached .so predating the ABI symbol raises AttributeError

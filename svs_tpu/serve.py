@@ -890,28 +890,45 @@ def run_server(
         log.info("serving %s on http://%s:%d (pid %d)",
                  db_path, host, port, __import__("os").getpid())
 
+        closing = asyncio.Event()
+
         async def rewarm_after_uploads() -> None:
             """A deferred-upload cold start warms host-only (blocking
             startup on the multi-GB transfer would be worse); once the
-            uploads land, warm the DEVICE shapes in the background so
-            the dispatch flip doesn't jit-compile on live traffic."""
-            corpus = kb.engine.corpus
-            if corpus is None or corpus.device_ready:
-                return
-            loop = asyncio.get_running_loop()
-            settled = await loop.run_in_executor(
-                None, lambda: kb.engine.wait_for_mirror(timeout=1800)
-            )
-            if settled and warm:
-                t0 = time.perf_counter()
-                await kb.warmup(warm_bucket_ladder(max_batch), n=warm_n)
-                log.info("post-upload device warmup: %.1fs",
-                         time.perf_counter() - t0)
+            uploads land, warm the shapes the LIVE dispatch now picks —
+            routes='live' so no shared dispatch state is toggled while
+            traffic flows — in the background, so the host->device flip
+            doesn't jit-compile on live requests."""
+            try:
+                if not warm:
+                    return
+                corpus = kb.engine.corpus
+                if corpus is None or corpus.device_ready:
+                    return
+                loop = asyncio.get_running_loop()
+                settled = await loop.run_in_executor(
+                    None, lambda: kb.engine.wait_for_mirror(timeout=1800)
+                )
+                if settled and not closing.is_set():
+                    t0 = time.perf_counter()
+                    await kb.warmup(
+                        warm_bucket_ladder(max_batch), n=warm_n,
+                        routes="live",
+                    )
+                    log.info("post-upload device warmup: %.1fs",
+                             time.perf_counter() - t0)
+            except asyncio.CancelledError:
+                raise
+            except Exception:
+                # fire-and-forget: an unlogged failure here would
+                # silently re-expose live traffic to first-use compiles
+                log.warning("post-upload warmup failed", exc_info=True)
 
         rewarm = asyncio.ensure_future(rewarm_after_uploads())
         try:
             await asyncio.Event().wait()
         finally:
+            closing.set()  # the executor leg of rewarm checks this
             rewarm.cancel()
             await runner.cleanup()
             await kb.close()
