@@ -1421,15 +1421,14 @@ class RetrievalEngine:
             or not self.rescore
             or self.device_rescore == "host"
             or corpus.n_valid == 0
-            # Superseded: a store write swapped the engine's current
-            # pack — never spawn uploads for the old one (a straggler
-            # wait_for_mirror executor thread could otherwise re-kick a
-            # device upload for a dead pack).  `_corpus is None` stays
-            # allowed: replica SECONDARY engines build mirrors for
-            # clones they never own via ensure_fresh.
-            or (self._corpus is not None and self._corpus is not corpus)
         ):
             return
+        # NOTE: no "is this the engine's current pack" guard here —
+        # derived subset corpora (filtered pairwise) and replica clones
+        # legitimately build mirrors for packs the engine never owns.
+        # Stale-primary spawns are already harmless: the background
+        # publish path re-checks ``self._corpus`` at publish time
+        # (``check_current``) and discards mirrors for superseded packs.
         if self.mesh is not None and self.model_axis is not None:
             return  # model-axis shards split the dim; rescore stays host
         from ..utils.env import env_int
