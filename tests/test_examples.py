@@ -102,3 +102,12 @@ def test_replicas_example(tmp_path):
     result = _run("replicas.py", cwd=tmp_path)
     assert result.returncode == 0, result.stderr[-2000:]
     assert "verified" in result.stdout
+
+
+def test_observability_example(tmp_path):
+    result = _run("observability.py", cwd=tmp_path)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "per-phase timings" in result.stdout
+    assert "pack events" in result.stdout
+    assert "dispatch inputs" in result.stdout
+    assert "host_scan_bw" in result.stdout
