@@ -217,3 +217,28 @@ def test_warmup_never_blocks_on_deferred_upload(db_path, monkeypatch):
     finally:
         gate.set()
         kb.close()
+
+
+def test_compile_cache_explicit_override_beats_ambient(
+    monkeypatch, tmp_path
+):
+    """REGRESSION (round-5 self-review pass 2): an explicit
+    SVS_TPU_COMPILE_CACHE path must win over an ambient
+    JAX_COMPILATION_CACHE_DIR / jax.config setting — that is the knob's
+    documented contract; only the no-override case defers to the user's
+    ambient configuration."""
+    import jax
+
+    import svs_tpu.utils.compile_cache as cc
+
+    ambient = str(tmp_path / "ambient")
+    explicit = str(tmp_path / "explicit")
+    jax.config.update("jax_compilation_cache_dir", ambient)
+    monkeypatch.setenv("SVS_TPU_COMPILE_CACHE", explicit)
+    monkeypatch.setattr(cc, "_done", False)
+    try:
+        cc.enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == explicit
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setattr(cc, "_done", False)
